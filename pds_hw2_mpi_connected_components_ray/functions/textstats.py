@@ -1,0 +1,118 @@
+"""Text analysis primitives: tokenization, quality metrics, language id,
+document fingerprints. Pure, vectorized where possible.
+
+These power the training-data-pipeline operators over the `documents`
+table. Token semantics deliberately mirror ANSI-SQL-expressible rules so
+the DuckDB oracle can reproduce them exactly (see __ray_entry__):
+tokens = runs of non-whitespace in trim(text).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+_WS = re.compile(r"\s+")
+_PUNCT = re.compile(r"[^\w\s]", re.U)
+# A BPE-ish subword proxy: words, numbers, or single non-space symbols —
+# the standard pre-tokenizer shape (cf. GPT-2's regex), simplified to be
+# deterministic and dependency-free.
+_BPEISH = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+
+# Tiny per-language stopword inventories for the n-gram/stopword
+# language heuristic (en/de/el cover the fixture corpus).
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for", "with", "on", "as"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu", "den", "von"},
+    "el": {"και", "το", "της", "των", "του", "στο", "με", "για", "από", "είναι", "την", "ότι"},
+}
+
+
+def token_count(text: str) -> int:
+    """Whitespace tokens in trim(text); '' -> 0. SQL mirror:
+    CASE WHEN trim(text)='' THEN 0 ELSE length(regexp_split_to_array(trim(text),'\\s+')) END
+    """
+    t = text.strip()
+    return 0 if not t else len(_WS.split(t))
+
+
+def token_counts_series(texts: pd.Series) -> pd.Series:
+    """Vectorized token_count over a pandas string Series."""
+    t = texts.fillna("").str.strip()
+    n = t.str.split().str.len().fillna(0).astype("int64")
+    return n
+
+
+def bpeish_token_count(text: str) -> int:
+    """Count of BPE-ish pre-tokens (letters runs / digit runs / symbols)."""
+    return len(_BPEISH.findall(text))
+
+
+def quality_metrics(texts: pd.Series) -> pd.DataFrame:
+    """Vectorized quality scoring: n_chars, n_tokens, avg token length,
+    punctuation ratio, stopword(en) ratio, uppercase ratio.
+
+    Cheap heuristics in the spirit of C4/Gopher quality filters.
+    """
+    t = texts.fillna("")
+    n_chars = t.str.len().astype("int64")
+    n_tokens = token_counts_series(t)
+    n_punct = t.str.count(_PUNCT.pattern).astype("int64")
+    n_upper = t.str.count(r"[A-Z]").astype("int64")
+    words = t.str.lower().str.findall(r"[a-z]+")
+    en_stop = _STOPWORDS["en"]
+    n_stop = words.map(lambda ws: sum(1 for w in ws if w in en_stop)).astype("int64")
+    n_words = words.str.len().astype("int64")
+    denom_c = np.maximum(n_chars.to_numpy(), 1)
+    denom_w = np.maximum(n_words.to_numpy(), 1)
+    denom_t = np.maximum(n_tokens.to_numpy(), 1)
+    return pd.DataFrame(
+        {
+            "n_chars": n_chars,
+            "n_tokens": n_tokens,
+            "avg_token_len": (n_chars.to_numpy() - np.maximum(n_tokens.to_numpy() - 1, 0))
+            / denom_t,
+            "punct_ratio": n_punct.to_numpy() / denom_c,
+            "stopword_ratio": n_stop.to_numpy() / denom_w,
+            "upper_ratio": n_upper.to_numpy() / denom_c,
+        }
+    )
+
+
+def lang_id(text: str) -> str:
+    """Stopword-vote language id over {en, de, el}; ties break by
+    alphabetical language code; empty/evidence-free text -> 'und'."""
+    words = set(re.findall(r"[^\W\d_]+", text.lower(), re.U))
+    best, best_n = "und", 0
+    for code in sorted(_STOPWORDS):
+        n = len(words & _STOPWORDS[code])
+        if n > best_n:
+            best, best_n = code, n
+    return best
+
+
+_FP_BASE = np.uint64(1099511628211)
+_FP_OFF = np.uint64(1469598103934665603)
+
+
+def fingerprint64(text: str) -> int:
+    """FNV-1a 64-bit rolling document fingerprint (pure, stable)."""
+    h = _FP_OFF
+    for b in text.encode("utf-8"):
+        h = np.uint64((int(h) ^ b) * int(_FP_BASE) & 0xFFFFFFFFFFFFFFFF)
+    return int(h) & ((1 << 63) - 1)
+
+
+def fingerprint64_series(texts: pd.Series) -> pd.Series:
+    """Per-doc fingerprint for a Series (python loop per row is inherent
+    for hashing variable-length strings; the regexes/hash are cheap)."""
+    import hashlib
+
+    def fp(s: str) -> int:
+        return int.from_bytes(
+            hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big"
+        ) & ((1 << 63) - 1)
+
+    return texts.fillna("").map(fp).astype("int64")

@@ -1,0 +1,109 @@
+"""Extraction ETL: pages -> text rows / link rows / canonical edge table.
+
+The re-imagined converter front-end (the reference's ETL is
+/root/reference/src/converter/mtx_to_bin.c): instead of MatrixMarket ->
+CSC binary, we go Common-Crawl-style pages -> extracted links ->
+normalized urls -> minted int64 vertex ids -> symmetric deduped edge
+table, all as streaming map_batches stages. The `html` binary column is
+projected away immediately after extraction (early projection --
+SURVEY.md section 7.4).
+
+Per-row invariant: `extract_text(html) == text` byte-identically per url
+(BASELINE.json input_hint), enforced by tests at every parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ray.data import Dataset
+
+from ..functions.extract import extract_links, extract_text
+from ..functions.urls import mint_id, normalize_url
+from ..stages.graph import canonical_edges
+from ..sources.pages import DOC_URL_PREFIX
+
+
+def extract_text_stage(pages: Dataset) -> Dataset:
+    """pages -> (url, text) with text re-extracted from html."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = [extract_text(h) for h in batch["html"]]
+        return pd.DataFrame({"url": batch["url"].tolist(), "text": texts})
+
+    return pages.map_batches(fn, batch_format="pandas")
+
+
+def extract_link_rows(pages: Dataset, normalize: bool = True) -> Dataset:
+    """pages -> (src_url, dst_url) one row per href (duplicates kept)."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        srcs: list[str] = []
+        dsts: list[str] = []
+        for url, html in zip(batch["url"], batch["html"]):
+            for href in extract_links(html):
+                d = normalize_url(href, base=url) if normalize else href
+                if d:
+                    srcs.append(url)
+                    dsts.append(d)
+        return pd.DataFrame({"src_url": srcs, "dst_url": dsts})
+
+    return pages.map_batches(fn, batch_format="pandas")
+
+
+def mint_edge_ids(link_rows: Dataset) -> Dataset:
+    """(src_url, dst_url) -> directed (src, dst) int64 via stable hashing."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": np.fromiter(
+                    (mint_id(u) for u in batch["src_url"]), dtype=np.int64, count=len(batch)
+                ),
+                "dst": np.fromiter(
+                    (mint_id(u) for u in batch["dst_url"]), dtype=np.int64, count=len(batch)
+                ),
+            }
+        )
+
+    return link_rows.map_batches(fn, batch_format="pandas")
+
+
+def url_id_table(pages: Dataset) -> Dataset:
+    """(url, vertex) dimension table for joining results back to urls."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "url": batch["url"].tolist(),
+                "vertex": np.fromiter(
+                    (mint_id(u) for u in batch["url"]), dtype=np.int64, count=len(batch)
+                ),
+            }
+        )
+
+    return pages.map_batches(fn, batch_format="pandas")
+
+
+def pages_to_edges(pages: Dataset) -> Dataset:
+    """Full front-end: pages -> canonical undirected deduped edge table."""
+    return canonical_edges(mint_edge_ids(extract_link_rows(pages)))
+
+
+def doc_id_edges(pages: Dataset) -> Dataset:
+    """For docs.example fixture pages: parse doc ids straight out of the
+    urls -> directed (src_doc, dst_doc). SQL-mirrorable (ids are the url
+    path tail)."""
+    links = extract_link_rows(pages, normalize=False)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        pl = len(DOC_URL_PREFIX)
+        return pd.DataFrame(
+            {
+                "src_doc": batch["src_url"].str.slice(pl).astype(np.int64),
+                "dst_doc": batch["dst_url"].str.slice(pl).astype(np.int64),
+            }
+        )
+
+    return links.map_batches(fn, batch_format="pandas")

@@ -1,0 +1,70 @@
+"""Pages-table source (Common-Crawl-style: url, warc_ts, html, text, lang).
+
+Two entry points:
+- ``read_pages(path)``: column-pruned Parquet read of a real pages table
+  (the engine's primary input per BASELINE.json input_hint).
+- ``pages_from_documents(sf_dir)``: deterministically wraps the driver's
+  `documents` table into a pages table, planting links
+  doc i -> (i*31 + j) % n for j in 1..3 -- the arithmetic is mirrored in
+  the DuckDB oracle, making the whole extraction front-end SQL-checkable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data import Dataset
+
+from ..functions.extract import build_html
+
+DOC_URL_PREFIX = "https://docs.example/"
+LINKS_PER_DOC = 3
+LINK_MULT = 31
+
+
+def doc_url(doc_id: int) -> str:
+    return f"{DOC_URL_PREFIX}{doc_id}"
+
+
+def read_pages(path: str, columns: list[str] | None = None) -> Dataset:
+    return rd.read_parquet(path, columns=columns)
+
+
+def pages_from_documents(sf_dir: str, n_docs: int | None = None) -> Dataset:
+    """documents -> pages with planted links (deterministic)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    n = n_docs if n_docs is not None else docs.count()
+
+    def to_pages(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        texts = batch["text"].fillna("").tolist()
+        urls = [doc_url(int(i)) for i in ids]
+        link_targets = [
+            [doc_url(int((i * LINK_MULT + j) % n)) for j in range(1, LINKS_PER_DOC + 1)]
+            for i in ids
+        ]
+        htmls = [
+            build_html(u, t, ls).encode("utf-8")
+            for u, t, ls in zip(urls, texts, link_targets)
+        ]
+        base = np.datetime64("2025-01-01T00:00:00", "us")
+        ts = base + ids.astype("timedelta64[s]").astype("timedelta64[us]")
+        return pd.DataFrame(
+            {
+                "url": urls,
+                "warc_ts": ts,
+                "html": htmls,
+                "text": texts,
+                "lang": batch["lang"].fillna("und").tolist(),
+            }
+        )
+
+    return docs.map_batches(to_pages, batch_format="pandas")
+
+
+def pages_from_arrow(table: pa.Table, num_blocks: int = 4) -> Dataset:
+    """Test helper: in-memory pages table -> Dataset."""
+    return rd.from_arrow(table).repartition(num_blocks)

@@ -1,0 +1,94 @@
+"""Edge-table primitives: symmetrize, dedup, degrees, vertices.
+
+Edge table schema: (src:int64, dst:int64) -- FIXTURES.md section 3. The
+canonical undirected closure mirrors the reference converter: store
+(a,b) and (b,a) for a != b, keep self-loops once, values implicitly 1
+(/root/reference/src/converter/mtx_to_bin.c:199-213, src/matrix.c:8-9).
+Duplicate edges are removed here (the reference tolerates them but they
+only waste shuffle volume downstream).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+from ray.data.aggregate import Count
+
+
+def _sym_batch(batch: pa.Table) -> pa.Table:
+    """Emit both directions of every edge; per-batch local dedup as a
+    pre-shuffle combiner (global dedup still needs the groupby)."""
+    src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    dst = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    s = np.concatenate([src, dst])
+    d = np.concatenate([dst, src])
+    pairs = np.unique(np.stack([s, d], axis=1), axis=0)
+    return pa.table({"src": pairs[:, 0], "dst": pairs[:, 1]})
+
+
+def symmetrize(edges: Dataset) -> Dataset:
+    """Undirected closure (both directions), NOT yet globally deduped."""
+    return edges.map_batches(_sym_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dedup_edges(edges: Dataset) -> Dataset:
+    """Global exact dedup of (src, dst) pairs via hash-partition + first.
+
+    A single groupby shuffle on a packed 128-bit key is overkill; we pack
+    (src,dst) into one struct group key. Per-batch local dedup happens in
+    symmetrize, so the shuffle sees mostly-unique pairs already.
+    """
+    deduped = edges.groupby(["src", "dst"]).aggregate(Count(alias_name="_n"))
+    return deduped.drop_columns(["_n"])
+
+
+def canonical_edges(raw_directed: Dataset) -> Dataset:
+    """raw directed hrefs -> canonical undirected, deduped edge table."""
+    return dedup_edges(symmetrize(raw_directed))
+
+
+def degrees(edges: Dataset) -> Dataset:
+    """(vertex, degree) from a symmetric edge table: degree = out-degree
+    = in-degree = count of rows per src (self-loop counts once)."""
+    agg = edges.groupby("src").aggregate(Count(alias_name="degree"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["vertex", "degree"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def vertices(edges: Dataset) -> Dataset:
+    """Distinct vertex ids of a symmetric edge table: distinct(src).
+
+    (On a symmetric table every vertex appears as src.)
+    """
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        u = pc.unique(t["src"])
+        return pa.table({"vertex": u})
+
+    local = edges.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+    agg = local.groupby("vertex").aggregate(Count(alias_name="_n"))
+    return agg.drop_columns(["_n"])
+
+
+def init_labels(edges: Dataset) -> Dataset:
+    """labels_0: (vertex, label=vertex) -- T5 of the reference kernel
+    (/root/reference/src/connected_components.c:94-96)."""
+    return vertices(edges).map_batches(
+        lambda t: t.append_column("label", t["vertex"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def drop_self_loops(edges: Dataset) -> Dataset:
+    return edges.map_batches(
+        lambda t: t.filter(pc.not_equal(t["src"], t["dst"])),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -1,0 +1,83 @@
+"""Superstep checkpoint layout + resume.
+
+Layout (one directory per superstep, written atomically via tmp+rename,
+`_SUCCESS` marker last -- the resumability pattern for batch pipelines):
+
+    <root>/superstep_000007/
+        labels/part-*.parquet      (vertex:int64, label:int64)
+        frontier/part-*.parquet    (vertex:int64, label:int64) -- changed rows
+        lineage.json               {superstep, changed, wall_s, mode, ...}
+        _SUCCESS
+
+`latest_superstep` returns the highest k with a `_SUCCESS` marker;
+incomplete directories (killed mid-write) are ignored, so resume always
+starts from a consistent state. Resuming re-runs at most the superstep
+that was in flight (idempotent: hash-min is monotone, re-propagation is
+harmless).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_STEP_RE = re.compile(r"^superstep_(\d{6})$")
+
+
+def _step_dir(root: str, k: int) -> str:
+    return os.path.join(root, f"superstep_{k:06d}")
+
+
+def save_superstep(
+    root: str,
+    k: int,
+    labels: pa.Table,
+    frontier: pa.Table,
+    lineage: dict,
+) -> None:
+    """Atomic checkpoint write: tmp dir -> rename -> _SUCCESS."""
+    os.makedirs(root, exist_ok=True)
+    final = _step_dir(root, k)
+    tmp = final + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.makedirs(os.path.join(tmp, "labels"))
+    os.makedirs(os.path.join(tmp, "frontier"))
+    pq.write_table(labels, os.path.join(tmp, "labels", "part-0.parquet"))
+    pq.write_table(frontier, os.path.join(tmp, "frontier", "part-0.parquet"))
+    lineage = dict(lineage, superstep=k, wall_written=time.time())
+    with open(os.path.join(tmp, "lineage.json"), "w") as f:
+        json.dump(lineage, f)
+    os.rename(tmp, final)
+    with open(os.path.join(final, "_SUCCESS"), "w") as f:
+        f.write("")
+
+
+def latest_superstep(root: str) -> int | None:
+    """Highest superstep k with a complete (_SUCCESS) checkpoint."""
+    if not os.path.isdir(root):
+        return None
+    best = None
+    for name in os.listdir(root):
+        m = _STEP_RE.match(name)
+        if m and os.path.exists(os.path.join(root, name, "_SUCCESS")):
+            k = int(m.group(1))
+            best = k if best is None else max(best, k)
+    return best
+
+
+def load_superstep(root: str, k: int) -> tuple[pa.Table, pa.Table, dict]:
+    d = _step_dir(root, k)
+    labels = pq.read_table(os.path.join(d, "labels"))
+    frontier = pq.read_table(os.path.join(d, "frontier"))
+    with open(os.path.join(d, "lineage.json")) as f:
+        lineage = json.load(f)
+    return labels, frontier, lineage

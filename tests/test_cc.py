@@ -1,0 +1,104 @@
+"""Connected components: exact per-vertex label equality vs three
+independent oracles, across all execution strategies and parallelism
+levels (SURVEY.md section 5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from fixtures.synth_pages import ALL_GRAPHS, g_dups_selfloops, g_two_cliques
+from pds_hw2_mpi_connected_components_ray.pipelines.cc import (
+    component_count,
+    connected_components,
+)
+from pds_hw2_mpi_connected_components_ray.sources.edges import from_numpy_edges
+from pds_hw2_mpi_connected_components_ray.stages.graph import canonical_edges
+from tests.oracles import cc_bfs, cc_hashmin_seq, cc_union_find
+
+
+def _labels_df(res):
+    return (
+        res.labels.to_pandas().sort_values("vertex").reset_index(drop=True)
+    )
+
+
+def _edge_vertices(edges: np.ndarray) -> np.ndarray:
+    return np.unique(edges.reshape(-1))
+
+
+@pytest.mark.parametrize("gname", ["g_two_cliques", "g_ring_of_cliques", "g_random_forest"])
+@pytest.mark.parametrize("strategy", [("hashmin", "local"), ("hashmin", "shuffle"), ("unionfind", None)])
+def test_cc_matches_oracles(gname, strategy):
+    g = ALL_GRAPHS[gname]()
+    oracle = cc_union_find(g.n, g.edges)
+    assert np.array_equal(oracle, cc_bfs(g.n, g.edges))
+    method, mode = strategy
+    edges = canonical_edges(from_numpy_edges(g.edges, num_blocks=4))
+    kwargs = {"method": method}
+    if mode:
+        kwargs["mode"] = mode
+    res = connected_components(edges, **kwargs)
+    df = _labels_df(res)
+    # engine only labels vertices that appear in edges
+    present = _edge_vertices(g.edges)
+    assert np.array_equal(df["vertex"].to_numpy(), present)
+    assert np.array_equal(df["label"].to_numpy(), oracle[present])
+
+
+def test_cc_path_graph_deep_convergence():
+    g = ALL_GRAPHS["g_path"]()
+    edges = canonical_edges(from_numpy_edges(g.edges, num_blocks=8))
+    res = connected_components(edges, method="hashmin", mode="local")
+    df = _labels_df(res)
+    assert (df["label"] == 0).all()
+    assert res.n_components == 1
+    # pointer jumping must beat the O(diameter) bound by a lot
+    assert res.supersteps < 30
+
+
+def test_cc_star_graph():
+    g = ALL_GRAPHS["g_star"]()
+    edges = canonical_edges(from_numpy_edges(g.edges, num_blocks=4))
+    res = connected_components(edges, method="hashmin", mode="local")
+    assert res.n_components == 1
+    assert (_labels_df(res)["label"] == 0).all()
+
+
+def test_cc_seq_hashmin_oracle_agrees():
+    g = g_two_cliques()
+    assert np.array_equal(cc_hashmin_seq(g.n, g.edges), cc_union_find(g.n, g.edges))
+
+
+def test_dups_selfloops_same_result_as_clean():
+    gd = g_dups_selfloops()
+    gc = g_two_cliques()
+    ed = canonical_edges(from_numpy_edges(gd.edges, num_blocks=4))
+    ec = canonical_edges(from_numpy_edges(gc.edges, num_blocks=4))
+    rd_ = connected_components(ed, method="hashmin", mode="local")
+    rc = connected_components(ec, method="hashmin", mode="local")
+    dd, dc = _labels_df(rd_), _labels_df(rc)
+    # dup/selfloop graph has 5 extra self-loop vertices (0..4 already in cliques)
+    merged = dd.merge(dc, on="vertex", suffixes=("_d", "_c"))
+    assert (merged["label_d"] == merged["label_c"]).all()
+    assert rd_.n_components == rc.n_components
+
+
+@pytest.mark.parametrize("nblocks", [1, 2, 8])
+def test_cc_deterministic_across_parallelism(nblocks):
+    g = ALL_GRAPHS["g_ring_of_cliques"]()
+    edges = canonical_edges(from_numpy_edges(g.edges, num_blocks=nblocks))
+    res = connected_components(edges, method="hashmin", mode="local")
+    df = _labels_df(res)
+    oracle = cc_union_find(g.n, g.edges)
+    present = _edge_vertices(g.edges)
+    assert np.array_equal(df["label"].to_numpy(), oracle[present])
+
+
+def test_component_count_matches():
+    g = g_two_cliques()
+    edges = canonical_edges(from_numpy_edges(g.edges, num_blocks=4))
+    res = connected_components(edges, method="hashmin", mode="local")
+    # isolated vertices never appear in the edge table: 2 components
+    assert res.n_components == 2
+    assert component_count(res.labels) == 2
