@@ -1,0 +1,200 @@
+"""Label-propagation community detection (synchronous, deterministic).
+
+Update rule (fixed K iterations, synchronous -- every vertex updates
+from the previous iteration's labels):
+
+    new_label(v) = argmax_label count(label among distinct neighbors of v)
+                   ties -> smallest label; no neighbors -> keep own label
+
+The deterministic tie-break replaces the usual randomized/async LPA so
+results are parallelism-invariant and oracle-checkable (FIXTURES.md:
+"seeded tie-break for determinism"); the async flavor of the north_star
+is approximated by raising ``iterations`` -- labels still converge to
+community consensus. Neighbor multiplicity is over the deduped
+symmetric edge table (distinct neighbors).
+
+Modes mirror cc/pagerank: ``local`` broadcasts the label vector
+(n <= threshold); ``shuffle`` is join + groupby((dst,label)).count +
+per-vertex argmax, fully distributed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Count
+
+from ..context import default_parallelism
+from ..stages.graph import init_labels, vertices
+from ..stages.joins import hash_join
+
+
+@dataclass
+class LabelPropResult:
+    labels: Dataset  # (vertex:int64, label:int64)
+    iterations: int
+    mode: str
+
+
+def labelprop(
+    edges: Dataset,
+    *,
+    iterations: int = 4,
+    mode: str = "auto",
+    broadcast_threshold: int = 2_000_000,
+    num_partitions: int | None = None,
+) -> LabelPropResult:
+    """Run sync LPA on a canonical symmetric deduped edge table."""
+    edges = edges.materialize()
+    if mode == "auto":
+        n = vertices(edges).count()
+        mode = "local" if n <= broadcast_threshold else "shuffle"
+    if mode == "local":
+        return _lp_local(edges, iterations)
+    return _lp_shuffle(edges, iterations, num_partitions)
+
+
+def _mode_per_vertex(d: np.ndarray, lab: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-dst mode with (count desc, label asc) tie-break.
+
+    Inputs: parallel arrays of (dst, neighbor_label) pairs.
+    Returns (dst_unique, winning_label).
+    """
+    if len(d) == 0:
+        return d, lab
+    pairs = np.stack([d, lab], axis=1)
+    uniq, counts = np.unique(pairs, axis=0, return_counts=True)
+    du, lu = uniq[:, 0], uniq[:, 1]
+    order = np.lexsort((lu, -counts, du))  # dst asc, count desc, label asc
+    du, lu = du[order], lu[order]
+    first = np.r_[True, du[1:] != du[:-1]]
+    return du[first], lu[first]
+
+
+# ---------------------------------------------------------------- local
+
+
+class _NeighborLabels:
+    def __init__(self, ref):
+        self._ref = ref
+        self._state = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._state is None:
+            self._state = ray.get(self._ref)
+        verts, labels = self._state
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        lab = labels[np.searchsorted(verts, src)]
+        # per-batch partial counts as a combiner
+        pairs = np.stack([dst, lab], axis=1)
+        uniq, counts = np.unique(pairs, axis=0, return_counts=True)
+        return pa.table(
+            {"vertex": uniq[:, 0], "label": uniq[:, 1], "cnt": counts.astype(np.int64)}
+        )
+
+
+def _lp_local(edges: Dataset, iterations: int) -> LabelPropResult:
+    from .cc import _collect_vertices
+
+    verts = _collect_vertices(edges)
+    n = len(verts)
+    labels = verts.copy()
+    for _ in range(iterations):
+        ref = ray.put((verts, labels))
+        partials = edges.map_batches(
+            _NeighborLabels(ref), batch_format="pyarrow", zero_copy_batch=True
+        )
+        vv, ll, cc_ = [], [], []
+        for b in partials.iter_batches(batch_format="pyarrow", batch_size=None):
+            vv.append(b["vertex"].to_numpy(zero_copy_only=False))
+            ll.append(b["label"].to_numpy(zero_copy_only=False))
+            cc_.append(b["cnt"].to_numpy(zero_copy_only=False))
+        if not vv:
+            break
+        d = np.concatenate(vv)
+        lab = np.concatenate(ll)
+        cnt = np.concatenate(cc_)
+        # merge partial counts, then argmax with deterministic tie-break
+        pairs = np.stack([d, lab], axis=1)
+        uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+        tot = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(tot, inv, cnt)
+        du, lu = uniq[:, 0], uniq[:, 1]
+        order = np.lexsort((lu, -tot, du))
+        du, lu = du[order], lu[order]
+        first = np.r_[True, du[1:] != du[:-1]]
+        winners_v, winners_l = du[first], lu[first]
+        new = labels.copy()
+        new[np.searchsorted(verts, winners_v)] = winners_l
+        if np.array_equal(new, labels):
+            break
+        labels = new
+
+    import ray.data as rd
+
+    return LabelPropResult(
+        labels=rd.from_arrow(pa.table({"vertex": verts, "label": labels})),
+        iterations=iterations,
+        mode="local",
+    )
+
+
+# -------------------------------------------------------------- shuffle
+
+
+def _lp_shuffle(
+    edges: Dataset, iterations: int, num_partitions: int | None
+) -> LabelPropResult:
+    npart = num_partitions or default_parallelism()
+    labels = init_labels(edges).materialize()
+    for _ in range(iterations):
+        fr = labels.map_batches(
+            lambda t: t.rename_columns(["src", "slabel"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        neigh = hash_join(edges, fr, on=("src",), num_partitions=npart)
+        counts = (
+            neigh.map_batches(
+                lambda t: pa.table({"vertex": t["dst"], "label": t["slabel"]}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .groupby(["vertex", "label"])
+            .aggregate(Count(alias_name="cnt"))
+        )
+
+        def pick(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["cnt", "label"], ascending=[False, True])
+            return g.iloc[:1][["vertex", "label"]]
+
+        winners = counts.groupby("vertex").map_groups(pick, batch_format="pandas")
+        merged = hash_join(
+            labels,
+            winners.map_batches(
+                lambda t: t.rename_columns(["vertex", "wlabel"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            on=("vertex",),
+            join_type="left_outer",
+            num_partitions=npart,
+        )
+        labels = merged.map_batches(
+            lambda t: pa.table(
+                {
+                    "vertex": t["vertex"],
+                    "label": pa.compute.coalesce(t["wlabel"], t["label"]),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+    return LabelPropResult(labels=labels, iterations=iterations, mode="shuffle")

@@ -1,0 +1,299 @@
+"""PageRank: power iteration with uniform dangling-mass redistribution.
+
+Semantics (fixed across all execution modes and the DuckDB oracle):
+
+    r_0(v)     = 1/n
+    r_{k+1}(v) = (1-d)/n + d * ( sum_{u->v} r_k(u)/outdeg(u) + D_k/n )
+    D_k        = sum of r_k over vertices with outdeg == 0
+
+Synchronous updates; either a fixed iteration count (oracle-comparable)
+or an L1 tolerance. Works on directed or symmetric edge tables (on a
+symmetric table there are no dangling vertices, but the term is still
+computed -- it is exactly 0).
+
+Two modes, same adaptive split as CC (SURVEY.md section 4): ``local``
+broadcasts the O(n) rank vector per iteration (n <= threshold),
+``shuffle`` keeps ranks in a hash-partitioned Dataset and does
+join + groupby-sum per iteration (the scale path).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Count, Sum
+
+from ..context import default_parallelism
+from ..stages.joins import hash_join
+
+_DAMPING = 0.85
+
+
+@dataclass
+class PageRankResult:
+    ranks: Dataset  # (vertex:int64, rank:float64)
+    iterations: int
+    mode: str
+    l1_delta: float
+
+
+def _all_vertices(edges: Dataset) -> Dataset:
+    """Distinct vertices over src and dst (directed-safe)."""
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        u = pc.unique(pa.concat_arrays([t["src"].combine_chunks(), t["dst"].combine_chunks()]))
+        return pa.table({"vertex": u})
+
+    local = edges.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return local.groupby("vertex").aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+
+
+def pagerank(
+    edges: Dataset,
+    *,
+    damping: float = _DAMPING,
+    max_iters: int = 20,
+    tol: float | None = None,
+    mode: str = "auto",
+    broadcast_threshold: int = 2_000_000,
+    num_partitions: int | None = None,
+) -> PageRankResult:
+    edges = edges.materialize()
+    if mode == "auto":
+        n = _all_vertices(edges).count()
+        mode = "local" if n <= broadcast_threshold else "shuffle"
+    if mode == "local":
+        return _pagerank_local(edges, damping, max_iters, tol)
+    return _pagerank_shuffle(edges, damping, max_iters, tol, num_partitions)
+
+
+# ---------------------------------------------------------------- local
+
+
+class _ContribProp:
+    """Per-batch contribution scatter with a per-dst partial-sum combiner."""
+
+    def __init__(self, ref):
+        self._ref = ref
+        self._state = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._state is None:
+            self._state = ray.get(self._ref)
+        verts, w = self._state  # w = r/deg per vertex (0 for dangling)
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        contrib = w[np.searchsorted(verts, src)]
+        order = np.argsort(dst, kind="stable")
+        d = dst[order]
+        c = contrib[order]
+        bounds = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        sums = np.add.reduceat(c, bounds)
+        return pa.table({"vertex": d[bounds], "contrib": sums})
+
+
+def _pagerank_local(
+    edges: Dataset, damping: float, max_iters: int, tol: float | None
+) -> PageRankResult:
+    # vertex set + out-degrees, collected once (n <= broadcast threshold)
+    vparts = [
+        b["vertex"].to_numpy(zero_copy_only=False)
+        for b in _all_vertices(edges).iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    verts = np.sort(np.concatenate(vparts))
+    n = len(verts)
+    deg = np.zeros(n, dtype=np.int64)
+
+    def deg_batch(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(s, return_counts=True)
+        return pa.table({"vertex": u, "cnt": c})
+
+    for b in edges.map_batches(deg_batch, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        v = b["vertex"].to_numpy(zero_copy_only=False)
+        np.add.at(deg, np.searchsorted(verts, v), b["cnt"].to_numpy(zero_copy_only=False))
+
+    r = np.full(n, 1.0 / n)
+    dangling_mask = deg == 0
+    it = 0
+    l1 = float("inf")
+    for it in range(1, max_iters + 1):
+        w = np.where(dangling_mask, 0.0, r / np.maximum(deg, 1))
+        ref = ray.put((verts, w))
+        partials = edges.map_batches(
+            _ContribProp(ref), batch_format="pyarrow", zero_copy_batch=True
+        )
+        contrib = np.zeros(n)
+        for b in partials.iter_batches(batch_format="pyarrow", batch_size=None):
+            v = b["vertex"].to_numpy(zero_copy_only=False)
+            if len(v) == 0:
+                continue
+            np.add.at(
+                contrib,
+                np.searchsorted(verts, v),
+                b["contrib"].to_numpy(zero_copy_only=False),
+            )
+        dangling = float(r[dangling_mask].sum())
+        r_new = (1 - damping) / n + damping * (contrib + dangling / n)
+        l1 = float(np.abs(r_new - r).sum())
+        r = r_new
+        if tol is not None and l1 < tol:
+            break
+
+    import ray.data as rd
+
+    ranks = rd.from_arrow(pa.table({"vertex": verts, "rank": r}))
+    return PageRankResult(ranks=ranks, iterations=it, mode="local", l1_delta=l1)
+
+
+# -------------------------------------------------------------- shuffle
+
+
+def _pagerank_shuffle(
+    edges: Dataset,
+    damping: float,
+    max_iters: int,
+    tol: float | None,
+    num_partitions: int | None,
+) -> PageRankResult:
+    npart = num_partitions or default_parallelism()
+    verts = _all_vertices(edges).materialize()
+    n = verts.count()
+
+    deg = (
+        edges.groupby("src")
+        .aggregate(Count(alias_name="deg"))
+        .map_batches(
+            lambda t: t.rename_columns(["vertex", "deg"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    # vertex table with degree (0 for dangling): left join via union-max
+    vdeg = (
+        verts.map_batches(
+            lambda t: t.append_column("deg", pa.array(np.zeros(len(t), np.int64))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .union(deg)
+        .groupby("vertex")
+        .aggregate(Sum("deg", alias_name="deg"))
+        .materialize()
+    )
+
+    ranks = vdeg.map_batches(
+        lambda t: pa.table(
+            {
+                "vertex": t["vertex"],
+                "deg": t["deg"],
+                "rank": pa.array(np.full(len(t), 1.0 / n)),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    it = 0
+    l1 = float("inf")
+    for it in range(1, max_iters + 1):
+        dangling = (
+            ranks.map_batches(
+                lambda t: pa.table(
+                    {
+                        "m": pa.array(
+                            [
+                                pc.sum(
+                                    pc.if_else(
+                                        pc.equal(t["deg"], 0), t["rank"], 0.0
+                                    )
+                                ).as_py()
+                                or 0.0
+                            ],
+                            pa.float64(),
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).sum("m")
+            or 0.0
+        )
+        contribs_src = ranks.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t["vertex"],
+                    "w": pc.divide(
+                        t["rank"],
+                        pc.cast(pc.max_element_wise(t["deg"], 1), pa.float64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        joined = hash_join(edges, contribs_src, on=("src",), num_partitions=npart)
+        sums = (
+            joined.map_batches(
+                lambda t: pa.table({"vertex": t["dst"], "contrib": t["w"]}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .groupby("vertex")
+            .aggregate(Sum("contrib", alias_name="contrib"))
+        )
+        base = (1 - damping) / n + damping * dangling / n
+        merged = hash_join(
+            ranks,
+            sums,
+            on=("vertex",),
+            join_type="left_outer",
+            num_partitions=npart,
+        )
+        new_ranks = merged.map_batches(
+            lambda t: pa.table(
+                {
+                    "vertex": t["vertex"],
+                    "deg": t["deg"],
+                    "rank": pc.add(
+                        base,
+                        pc.multiply(
+                            damping, pc.coalesce(t["contrib"], 0.0)
+                        ),
+                    ),
+                    "old_rank": t["rank"],
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+        l1 = (
+            new_ranks.map_batches(
+                lambda t: pa.table(
+                    {
+                        "d": pa.array(
+                            [pc.sum(pc.abs(pc.subtract(t["rank"], t["old_rank"]))).as_py() or 0.0],
+                            pa.float64(),
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).sum("d")
+            or 0.0
+        )
+        ranks = new_ranks.drop_columns(["old_rank"]).materialize()
+        if tol is not None and l1 < tol:
+            break
+
+    return PageRankResult(
+        ranks=ranks.drop_columns(["deg"]), iterations=it, mode="shuffle", l1_delta=l1
+    )

@@ -1,0 +1,88 @@
+"""Checkpoint/resume: a killed-and-resumed CC run must equal a fresh run
+(north_rule requirement; BASELINE.md 'resume' target)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from fixtures.synth_pages import g_path, g_ring_of_cliques
+from pds_hw2_mpi_connected_components_ray.pipelines.cc import connected_components
+from pds_hw2_mpi_connected_components_ray.sources.edges import from_numpy_edges
+from pds_hw2_mpi_connected_components_ray.stages.graph import canonical_edges
+from pds_hw2_mpi_connected_components_ray.state import checkpoint as ckpt
+from tests.oracles import cc_union_find
+
+
+def _labels(res):
+    df = res.labels.to_pandas().sort_values("vertex").reset_index(drop=True)
+    return df["vertex"].to_numpy(), df["label"].to_numpy()
+
+
+@pytest.mark.parametrize("mode", ["local", "shuffle"])
+def test_resume_equals_fresh(tmp_path, mode):
+    g = g_path(300)
+    edges = canonical_edges(from_numpy_edges(g.edges, num_blocks=4))
+    ckdir = str(tmp_path / f"ck_{mode}")
+
+    # fresh full run (no checkpointing) = golden
+    fresh = connected_components(edges, method="hashmin", mode=mode)
+    fv, fl = _labels(fresh)
+
+    # "killed" run: stop after 2 supersteps (simulates job death)
+    partial = connected_components(
+        edges, method="hashmin", mode=mode, max_supersteps=2, checkpoint_dir=ckdir
+    )
+    assert ckpt.latest_superstep(ckdir) == 1  # supersteps 0,1 checkpointed
+    assert partial.supersteps == 2
+
+    # resumed run completes from the checkpoint
+    resumed = connected_components(
+        edges, method="hashmin", mode=mode, checkpoint_dir=ckdir, resume=True
+    )
+    assert resumed.resumed_from == 1
+    rv, rl = _labels(resumed)
+    assert np.array_equal(rv, fv)
+    assert np.array_equal(rl, fl)
+    # and matches the oracle
+    oracle = cc_union_find(g.n, g.edges)
+    assert np.array_equal(rl, oracle[rv])
+    # strictly fewer supersteps than fresh (work was actually reused)
+    assert resumed.supersteps < fresh.supersteps + 2
+
+
+def test_incomplete_checkpoint_ignored(tmp_path):
+    g = g_ring_of_cliques()
+    edges = canonical_edges(from_numpy_edges(g.edges, num_blocks=4))
+    ckdir = str(tmp_path / "ck")
+    connected_components(
+        edges, method="hashmin", mode="local", max_supersteps=2, checkpoint_dir=ckdir
+    )
+    last = ckpt.latest_superstep(ckdir)
+    # corrupt the newest checkpoint: drop its _SUCCESS marker
+    os.remove(os.path.join(ckdir, f"superstep_{last:06d}", "_SUCCESS"))
+    assert ckpt.latest_superstep(ckdir) == last - 1
+    resumed = connected_components(
+        edges, method="hashmin", mode="local", checkpoint_dir=ckdir, resume=True
+    )
+    assert resumed.resumed_from == last - 1
+    oracle = cc_union_find(g.n, g.edges)
+    rv, rl = _labels(resumed)
+    assert np.array_equal(rl, oracle[rv])
+
+
+def test_lineage_metrics_recorded(tmp_path):
+    g = g_ring_of_cliques()
+    edges = canonical_edges(from_numpy_edges(g.edges, num_blocks=4))
+    ckdir = str(tmp_path / "ck")
+    connected_components(edges, method="hashmin", mode="local", checkpoint_dir=ckdir)
+    last = ckpt.latest_superstep(ckdir)
+    assert last is not None
+    _, _, lineage = ckpt.load_superstep(ckdir, last)
+    assert lineage["superstep"] == last
+    assert "changed" in lineage and "wall_s" in lineage and lineage["mode"] == "local"
+    # final superstep converged
+    assert lineage["changed"] == 0

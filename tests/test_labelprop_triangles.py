@@ -1,0 +1,75 @@
+"""Label-propagation communities + triangle counting vs oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from fixtures.synth_pages import ALL_GRAPHS, g_ring_of_cliques, g_star, g_two_cliques
+from pds_hw2_mpi_connected_components_ray.pipelines.labelprop import labelprop
+from pds_hw2_mpi_connected_components_ray.pipelines.triangles import (
+    triangle_count,
+    triangles_per_vertex,
+)
+from pds_hw2_mpi_connected_components_ray.sources.edges import from_numpy_edges
+from pds_hw2_mpi_connected_components_ray.stages.graph import canonical_edges
+from tests.oracles import labelprop_sync_oracle, triangles_oracle
+
+
+@pytest.mark.parametrize("mode", ["local", "shuffle"])
+def test_labelprop_matches_oracle(mode):
+    g = g_ring_of_cliques()
+    edges = canonical_edges(from_numpy_edges(g.edges, num_blocks=4))
+    res = labelprop(edges, iterations=4, mode=mode)
+    df = res.labels.to_pandas().sort_values("vertex").reset_index(drop=True)
+    oracle = labelprop_sync_oracle(g.n, g.edges, iters=4)
+    present = np.unique(g.edges.reshape(-1))
+    assert np.array_equal(df["label"].to_numpy(), oracle[present])
+
+
+def test_labelprop_finds_cliques_as_communities():
+    g = g_ring_of_cliques(k=10, size=8)
+    edges = canonical_edges(from_numpy_edges(g.edges, num_blocks=4))
+    res = labelprop(edges, iterations=8, mode="local")
+    df = res.labels.to_pandas()
+    # most vertices of each clique share that clique's dominant label
+    df["clique"] = df["vertex"] // 8
+    agree = df.groupby("clique")["label"].apply(lambda s: (s == s.mode().iloc[0]).mean())
+    assert (agree > 0.7).all()
+
+
+def test_triangles_two_cliques():
+    g = g_two_cliques()  # 2 * C(8,3) = 112
+    edges = canonical_edges(from_numpy_edges(g.edges, num_blocks=4))
+    assert triangle_count(edges) == 112
+    assert triangles_oracle(g.n, g.edges) == 112
+
+
+def test_triangles_ring_of_cliques():
+    g = g_ring_of_cliques()  # 20 * C(10,3) = 2400 (bridges add none)
+    edges = canonical_edges(from_numpy_edges(g.edges, num_blocks=4))
+    want = triangles_oracle(g.n, g.edges)
+    assert want == 2400
+    assert triangle_count(edges) == want
+
+
+def test_triangles_star_no_explosion_and_zero():
+    g = g_star(leaves=2000)
+    edges = canonical_edges(from_numpy_edges(g.edges, num_blocks=4))
+    assert triangle_count(edges) == 0
+
+
+def test_triangles_random_matches_bruteforce():
+    rng = np.random.RandomState(3)
+    e = rng.randint(0, 60, size=(300, 2)).astype(np.int64)
+    edges = canonical_edges(from_numpy_edges(e, num_blocks=4))
+    assert triangle_count(edges) == triangles_oracle(60, e)
+
+
+def test_triangles_per_vertex_sums_to_3x_total():
+    g = g_two_cliques()
+    edges = canonical_edges(from_numpy_edges(g.edges, num_blocks=4))
+    pv = triangles_per_vertex(edges).to_pandas()
+    assert pv["triangles"].sum() == 3 * 112
+    # every clique vertex touches C(7,2) = 21 triangles
+    assert (pv["triangles"] == 21).all()
