@@ -1,0 +1,91 @@
+"""Text-analysis pipelines over the documents table.
+
+All vectorized pandas/numpy inside map_batches; the language-id stage is
+an actor pool (regex compilation + stopword tables once per actor)."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from ray.data import Dataset
+
+from ..functions.textstats import (
+    _STOPWORDS,
+    fingerprint64_series,
+    quality_metrics,
+    token_counts_series,
+)
+
+
+def doc_stats(docs: Dataset) -> Dataset:
+    """(doc_id, n_chars, n_tokens) -- ANSI-SQL-mirrorable semantics."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["text"].fillna("")
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+                "n_chars": t.str.len().astype("int64"),
+                "n_tokens": token_counts_series(t),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+
+
+def doc_quality(docs: Dataset) -> Dataset:
+    """doc_id + full quality-metric block (heuristic C4/Gopher-style)."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        q = quality_metrics(batch["text"])
+        q.insert(0, "doc_id", batch["doc_id"].to_numpy(dtype=np.int64))
+        return q
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+
+
+class LangIdStage:
+    """Actor-pool language id: stopword tables + compiled regex held as
+    actor state (once per actor, not per batch)."""
+
+    def __init__(self):
+        self.word_re = re.compile(r"[^\W\d_]+", re.U)
+        self.tables = {c: frozenset(ws) for c, ws in _STOPWORDS.items()}
+        self.codes = sorted(self.tables)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        preds = []
+        for text in batch["text"].fillna(""):
+            words = set(self.word_re.findall(text.lower()))
+            best, best_n = "und", 0
+            for code in self.codes:
+                n = len(words & self.tables[code])
+                if n > best_n:
+                    best, best_n = code, n
+            preds.append(best)
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(dtype=np.int64), "lang_pred": preds}
+        )
+
+
+def lang_id_stage(docs: Dataset, concurrency: int = 2) -> Dataset:
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        LangIdStage, batch_format="pandas", concurrency=concurrency
+    )
+
+
+def doc_fingerprints(docs: Dataset) -> Dataset:
+    """(doc_id, fp) stable 63-bit content fingerprint per document."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+                "fp": fingerprint64_series(batch["text"]),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(fn, batch_format="pandas")

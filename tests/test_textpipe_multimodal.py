@@ -1,0 +1,135 @@
+"""Text analysis + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from pds_hw2_mpi_connected_components_ray.functions.textstats import (
+    fingerprint64_series,
+    lang_id,
+    token_count,
+)
+from pds_hw2_mpi_connected_components_ray.pipelines.multimodal import (
+    MediaDecodeStage,
+    decode_media,
+    encode_fake_image,
+    media_from_documents,
+    synth_media_table,
+)
+from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import (
+    doc_fingerprints,
+    doc_quality,
+    doc_stats,
+    lang_id_stage,
+)
+
+
+def _docs_ds():
+    tab = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "the cat and the dog sat on a mat for it is that",
+                    "der hund ist nicht mit der katze und das ist gut",
+                    "και το σπίτι είναι για την θάλασσα με του ανέμου",
+                    "",
+                ],
+                pa.string(),
+            ),
+            "lang": pa.array(["en", "de", "el", "en"], pa.string()),
+            "source": pa.array(["a", "b", "c", "d"], pa.string()),
+            "n_chars": pa.array([0, 0, 0, 0], pa.int64()),
+        }
+    )
+    return tab, rd.from_arrow(tab).repartition(2)
+
+
+def test_token_count_semantics():
+    assert token_count("") == 0
+    assert token_count("   ") == 0
+    assert token_count("a") == 1
+    assert token_count("  a   b\tc\nd ") == 4
+
+
+def test_doc_stats():
+    tab, ds = _docs_ds()
+    out = doc_stats(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    texts = tab["text"].to_pylist()
+    assert out["n_chars"].tolist() == [len(t) for t in texts]
+    assert out["n_tokens"].tolist() == [token_count(t) for t in texts]
+
+
+def test_lang_id_heuristic_and_stage():
+    tab, ds = _docs_ds()
+    assert lang_id("the cat and the dog is that") == "en"
+    assert lang_id("der hund und die katze") == "de"
+    assert lang_id("") == "und"
+    out = lang_id_stage(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["lang_pred"].tolist() == ["en", "de", "el", "und"]
+
+
+def test_quality_metrics_ranges():
+    _, ds = _docs_ds()
+    out = doc_quality(ds).to_pandas()
+    for col in ["punct_ratio", "stopword_ratio", "upper_ratio"]:
+        assert ((out[col] >= 0) & (out[col] <= 1)).all()
+    assert (out["n_tokens"] >= 0).all()
+
+
+def test_fingerprints_stable_and_distinct():
+    tab, ds = _docs_ds()
+    out1 = doc_fingerprints(ds).to_pandas().sort_values("doc_id")
+    out2 = doc_fingerprints(ds.repartition(4)).to_pandas().sort_values("doc_id")
+    assert out1["fp"].tolist() == out2["fp"].tolist()
+    assert len(set(out1["fp"])) == 4  # all distinct texts -> distinct fps
+    want = fingerprint64_series(pd.Series(tab["text"].to_pylist()))
+    assert out1["fp"].tolist() == want.tolist()
+
+
+def test_media_decode_roundtrip():
+    tab = synth_media_table(50)
+    ds = rd.from_arrow(tab).repartition(4)
+    out = decode_media(ds, batch_size=16).to_pandas().sort_values("media_id")
+    assert len(out) == 50
+    assert (out["width"] >= 8).all() and (out["width"] < 128).all()
+    assert (out["n_bytes"] > 11).all()
+    # deterministic across parallelism
+    out2 = decode_media(ds.repartition(2), batch_size=8).to_pandas().sort_values("media_id")
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), out2.reset_index(drop=True))
+
+
+def test_media_decode_bad_magic():
+    stage = MediaDecodeStage()
+    bad = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "media": pa.array([b"NOTMAGIC123"], pa.binary()),
+        }
+    )
+    out = stage(bad)
+    assert out["width"][0].as_py() == -1
+
+
+def test_real_decoder_stubbed():
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL unexpectedly present")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        MediaDecodeStage(decoder="real")
+
+
+def test_media_from_documents_plumbing():
+    _, ds = _docs_ds()
+    media = media_from_documents(ds)
+    out = decode_media(media, batch_size=2).to_pandas().sort_values("media_id")
+    assert len(out) == 4
+    assert (out["width"] >= 8).all()
