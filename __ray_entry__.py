@@ -1,44 +1,519 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data link-graph engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``queries()`` exposes every implemented operator/pipeline (SURVEY.md
+section 2 + the training-data extensions); ``oracle_sql()`` mirrors each
+SQL-expressible one with ANSI SQL DuckDB runs on the same parquet views.
+The planted-graph derivation over ``lineitem`` (see
+pds_hw2_mpi_connected_components_ray/sources/edges.py) keeps the graph
+queries oracle-checkable: the SQL strings below MUST stay in lockstep
+with that module's arithmetic.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the caller (driver / bench / tests); nothing here
+calls ray.init/shutdown.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import pandas as pd
+
+
+def _configure():
+    from pds_hw2_mpi_connected_components_ray.context import configure_ray_data
+
+    configure_ray_data(quiet=True)
+
+
+# --------------------------------------------------------------------------
+# shared SQL fragments (lockstep with sources/edges.py and sources/pages.py)
+# --------------------------------------------------------------------------
+
+# NOTE: inside a WITH RECURSIVE list DuckDB 1.0 does NOT apply set
+# semantics to a bare UNION in a non-self-referencing CTE, so dedup is
+# an explicit SELECT DISTINCT over UNION ALL. MATERIALIZED stops the
+# unrolled iterative oracles from re-opening the parquet file per
+# CTE reference (fd exhaustion).
+_EDGES_CTES = """
+par AS MATERIALIZED (SELECT greatest(64, count(*) // 128) AS ng FROM lineitem),
+raw AS MATERIALIZED (
+  SELECT ((l_orderkey % ng) * 8 + (l_partkey % 8))::BIGINT AS src,
+         ((l_orderkey % ng) * 8 + (l_suppkey % 8))::BIGINT AS dst
+  FROM lineitem, par
+  UNION ALL
+  SELECT ((l_orderkey % ng) * 8)::BIGINT AS src,
+         (((l_orderkey % ng) + 1) * 8)::BIGINT AS dst
+  FROM lineitem, par
+  WHERE l_linenumber = 1 AND (l_orderkey % ng) % 32 <> 31
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM raw UNION ALL SELECT dst AS src, src AS dst FROM raw)),
+verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM edges)
+"""
+
+_CC_SQL = f"""
+WITH RECURSIVE {_EDGES_CTES},
+walk AS (
+  SELECT v, v AS l FROM verts
+  UNION
+  SELECT e.dst AS v, w.l AS l FROM walk w JOIN edges e ON e.src = w.v
+  WHERE w.l < e.dst
+)
+SELECT v AS vertex, min(l) AS label FROM walk GROUP BY v
+"""
+
+
+def _pagerank_sql(iters: int = 20) -> str:
+    # plain WITH (not RECURSIVE): DuckDB honors MATERIALIZED here, so the
+    # 20-iteration chain evaluates each r{k} exactly once instead of
+    # exponentially inlining the CTE chain.
+    parts = [
+        f"WITH {_EDGES_CTES},",
+        "deg AS MATERIALIZED (SELECT src AS v, count(*)::DOUBLE AS d FROM edges GROUP BY src),",
+        "nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM verts),",
+        "r0 AS MATERIALIZED (SELECT v, 1.0/nn.n AS r FROM verts, nn)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+d{k} AS MATERIALIZED (SELECT coalesce(sum(r.r), 0.0) AS m
+         FROM r{k-1} r LEFT JOIN deg ON deg.v = r.v WHERE deg.v IS NULL),
+r{k} AS MATERIALIZED (
+  SELECT verts.v AS v,
+         (1 - 0.85)/nn.n + 0.85 * (coalesce(inc.s, 0.0) + d{k}.m/nn.n) AS r
+  FROM verts CROSS JOIN nn CROSS JOIN d{k}
+  LEFT JOIN (
+    SELECT e.dst AS v, sum(r.r / deg.d) AS s
+    FROM r{k-1} r JOIN deg ON deg.v = r.v JOIN edges e ON e.src = r.v
+    GROUP BY e.dst
+  ) inc ON inc.v = verts.v
+)"""
+        )
+    parts.append(f"\nSELECT v AS vertex, round(r, 6) AS pr FROM r{iters}")
+    return "".join(parts)
+
+
+def _labelprop_sql(iters: int = 4) -> str:
+    parts = [
+        f"WITH {_EDGES_CTES},",
+        "l0 AS MATERIALIZED (SELECT v, v AS lab FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+c{k} AS MATERIALIZED (SELECT e.dst AS v, l.lab AS nl, count(*) AS c
+         FROM l{k-1} l JOIN edges e ON e.src = l.v GROUP BY e.dst, l.lab),
+w{k} AS MATERIALIZED (SELECT v, nl FROM (
+           SELECT v, nl, row_number() OVER (PARTITION BY v ORDER BY c DESC, nl ASC) AS rn
+           FROM c{k}) WHERE rn = 1),
+l{k} AS MATERIALIZED (SELECT p.v, coalesce(w.nl, p.lab) AS lab
+         FROM l{k-1} p LEFT JOIN w{k} w ON w.v = p.v)"""
+        )
+    parts.append(f"\nSELECT v AS vertex, lab AS label FROM l{iters}")
+    return "".join(parts)
+
+
+_TRI_CTES = f"""
+{_EDGES_CTES},
+simp AS (SELECT src, dst FROM edges WHERE src <> dst),
+o AS (SELECT src AS a, dst AS b FROM simp WHERE src < dst),
+tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        FROM o e1 JOIN o e2 ON e2.a = e1.b JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b)
+"""
+
+
+# --------------------------------------------------------------------------
+# Ray-side helpers
+# --------------------------------------------------------------------------
+
+
+def _canon_edges(sf_dir: str):
+    from pds_hw2_mpi_connected_components_ray.sources.edges import derive_raw_edges
+    from pds_hw2_mpi_connected_components_ray.stages.graph import canonical_edges
+
+    return canonical_edges(derive_raw_edges(sf_dir))
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _query_vectors(sf_dir: str, nq: int = 8):
+    import pyarrow.parquet as pq
+
+    tab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = tab.to_pandas().sort_values("vec_id").head(nq)
+    qids = df["vec_id"].to_numpy(dtype=np.int64)
+    qmat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    return qids, qmat
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+
+def _q_edges_build(sf_dir: str):
+    _configure()
+    return _canon_edges(sf_dir)
+
+
+def _q_degree(sf_dir: str):
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.stages.graph import degrees
+
+    return degrees(_canon_edges(sf_dir))
+
+
+def _q_cc_labels(sf_dir: str, **kw):
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.cc import connected_components
+
+    return connected_components(_canon_edges(sf_dir), **kw).labels
+
+
+def _q_cc_count(sf_dir: str):
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.cc import connected_components
+
+    res = connected_components(_canon_edges(sf_dir))
+    return pd.DataFrame({"n_components": np.array([res.n_components], dtype=np.int64)})
+
+
+def _q_pagerank(sf_dir: str):
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.pagerank import pagerank
+
+    res = pagerank(_canon_edges(sf_dir), max_iters=20, tol=None)
+    df = res.ranks.to_pandas()
+    return pd.DataFrame({"vertex": df["vertex"], "pr": np.round(df["rank"].to_numpy(), 6)})
+
+
+def _q_labelprop(sf_dir: str):
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.labelprop import labelprop
+
+    return labelprop(_canon_edges(sf_dir), iterations=4).labels
+
+
+def _q_triangle_total(sf_dir: str):
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.triangles import triangle_count
+
+    n = triangle_count(_canon_edges(sf_dir))
+    return pd.DataFrame({"n_triangles": np.array([n], dtype=np.int64)})
+
+
+def _q_triangles_by_vertex(sf_dir: str):
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.triangles import (
+        triangles_per_vertex,
+    )
+
+    return triangles_per_vertex(_canon_edges(sf_dir))
+
+
+def _q_extract_text(sf_dir: str):
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.extract_pipeline import (
+        extract_text_stage,
+    )
+    from pds_hw2_mpi_connected_components_ray.sources.pages import pages_from_documents
+
+    return extract_text_stage(pages_from_documents(sf_dir))
+
+
+def _q_extract_links(sf_dir: str):
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.extract_pipeline import (
+        doc_id_edges,
+    )
+    from pds_hw2_mpi_connected_components_ray.sources.pages import pages_from_documents
+
+    return doc_id_edges(pages_from_documents(sf_dir))
+
+
+def _q_doc_stats(sf_dir: str):
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import doc_stats
+
+    return doc_stats(_docs(sf_dir))
+
+
+def _q_exact_dedup(sf_dir: str):
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir))
+
+
+def _q_knn(sf_dir: str):
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.similarity import knn_brute
+
+    qids, qmat = _query_vectors(sf_dir)
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = knn_brute(emb, qids, qmat, k=5)
+    return pd.DataFrame(
+        {
+            "query_id": out["query_id"],
+            "neighbor_id": out["neighbor_id"],
+            "rnk": out["rank"].astype(np.int64),
+            "cosine": np.round(out["cosine"].to_numpy(), 6),
+        }
+    )
+
+
+def _q_events_windowed(sf_dir: str):
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import windowed_counts
+
+    return windowed_counts(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_events_sessionize(sf_dir: str):
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import sessionize
+
+    return sessionize(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+# ---- rows-only (non-SQL-expressible) ----
+
+
+def _q_minhash_pairs(sf_dir: str):
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(sf_dir), hamming_threshold=3)
+
+
+def _q_ngram_pairs(sf_dir: str):
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir), threshold=0.6)
+
+
+def _q_embedding_pairs(sf_dir: str):
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.dedup import (
+        embedding_cosine_pairs,
+    )
+
+    return embedding_cosine_pairs(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.95
+    )
+
+
+def _q_lang_id(sf_dir: str):
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import lang_id_stage
+
+    return lang_id_stage(_docs(sf_dir))
+
+
+def _q_fingerprints(sf_dir: str):
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import doc_fingerprints
+
+    return doc_fingerprints(_docs(sf_dir))
+
+
+def _q_doc_quality(sf_dir: str):
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import doc_quality
+
+    return doc_quality(_docs(sf_dir))
+
+
+def _q_knn_ivf(sf_dir: str):
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.similarity import knn_ivf
+
+    qids, qmat = _query_vectors(sf_dir)
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_ivf(emb, qids, qmat, k=5, nlist=16, nprobe=4)
+
+
+def _q_media_decode(sf_dir: str):
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.multimodal import (
+        decode_media,
+        media_from_documents,
+    )
+
+    return decode_media(media_from_documents(_docs(sf_dir)), batch_size=64)
+
+
+def _q_cc_checkpointed(sf_dir: str):
+    """CC with per-superstep checkpointing + resume exercised in one call
+    (run 2 supersteps, 'die', resume to convergence)."""
+    _configure()
+    import tempfile
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.cc import connected_components
+
+    edges = _canon_edges(sf_dir)
+    with tempfile.TemporaryDirectory(prefix="cc_ck_") as ck:
+        connected_components(edges, max_supersteps=2, checkpoint_dir=ck)
+        res = connected_components(edges, checkpoint_dir=ck, resume=True)
+        return res.labels
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: pages -> link extraction -> canonical
+    edge table -> connected components -> labels with component sizes."""
+    _configure()
+    sf_dir = "/root/testdata/sf0.001"
+    from pds_hw2_mpi_connected_components_ray.pipelines.cc import connected_components
+    from pds_hw2_mpi_connected_components_ray.pipelines.extract_pipeline import (
+        doc_id_edges,
+    )
+    from pds_hw2_mpi_connected_components_ray.sources.pages import pages_from_documents
+    from pds_hw2_mpi_connected_components_ray.stages.graph import canonical_edges
+
+    pages = pages_from_documents(sf_dir)
+    raw = doc_id_edges(pages).map_batches(
+        lambda df: df.rename(columns={"src_doc": "src", "dst_doc": "dst"}),
+        batch_format="pandas",
+    )
+    edges = canonical_edges(raw)
+    res = connected_components(edges)
+    labels = res.labels.to_pandas()
+    sizes = labels.groupby("label", as_index=False).size().rename(columns={"size": "component_size"})
+    return labels.merge(sizes, on="label").sort_values("vertex").reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # graph engine (SURVEY.md section 2) -- planted lineitem graph
+        "edges_build": _q_edges_build,
+        "degree": _q_degree,
+        "cc_labels": _q_cc_labels,
+        "cc_labels_shuffle": lambda sf: _q_cc_labels(sf, mode="shuffle"),
+        "cc_labels_unionfind": lambda sf: _q_cc_labels(sf, method="unionfind"),
+        "cc_checkpoint_resume": _q_cc_checkpointed,
+        "cc_count": _q_cc_count,
+        "pagerank20": _q_pagerank,
+        "labelprop4": _q_labelprop,
+        "triangle_total": _q_triangle_total,
+        "triangles_by_vertex": _q_triangles_by_vertex,
+        # extraction front-end
+        "extract_text_roundtrip": _q_extract_text,
+        "extract_links_planted": _q_extract_links,
+        # text analysis
+        "doc_stats": _q_doc_stats,
+        "doc_quality": _q_doc_quality,
+        "lang_id": _q_lang_id,
+        "doc_fingerprints": _q_fingerprints,
+        # dedup families
+        "exact_dedup": _q_exact_dedup,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "ngram_jaccard_pairs": _q_ngram_pairs,
+        "embedding_dup_pairs": _q_embedding_pairs,
+        # similarity search
+        "knn_cosine": _q_knn,
+        "knn_ivf": _q_knn_ivf,
+        # events (streaming-shaped)
+        "events_windowed": _q_events_windowed,
+        "events_sessionize": _q_events_sessionize,
+        # multimodal plumbing
+        "media_decode": _q_media_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cc_sql = _CC_SQL
+    return {
+        "edges_build": f"WITH {_EDGES_CTES} SELECT src, dst FROM edges",
+        "degree": (
+            f"WITH {_EDGES_CTES} "
+            "SELECT src AS vertex, count(*)::BIGINT AS degree FROM edges GROUP BY src"
+        ),
+        "cc_labels": cc_sql,
+        "cc_labels_shuffle": cc_sql,
+        "cc_labels_unionfind": cc_sql,
+        "cc_checkpoint_resume": cc_sql,
+        "cc_count": f"SELECT count(DISTINCT label)::BIGINT AS n_components FROM ({cc_sql})",
+        "pagerank20": _pagerank_sql(20),
+        "labelprop4": _labelprop_sql(4),
+        "triangle_total": (
+            f"WITH {_TRI_CTES} SELECT count(*)::BIGINT AS n_triangles FROM tri"
+        ),
+        "triangles_by_vertex": (
+            f"WITH {_TRI_CTES}, corners AS ("
+            "  SELECT a AS vertex FROM tri UNION ALL SELECT b FROM tri"
+            "  UNION ALL SELECT c FROM tri) "
+            "SELECT vertex, count(*)::BIGINT AS triangles FROM corners GROUP BY vertex"
+        ),
+        "extract_text_roundtrip": (
+            "SELECT 'https://docs.example/' || doc_id::VARCHAR AS url, "
+            "coalesce(text, '') AS text FROM documents"
+        ),
+        "extract_links_planted": (
+            "WITH nn AS (SELECT count(*) AS n FROM documents), "
+            "j AS (SELECT unnest([1, 2, 3]) AS jj) "
+            "SELECT d.doc_id AS src_doc, ((d.doc_id * 31 + j.jj) % nn.n)::BIGINT AS dst_doc "
+            "FROM documents d CROSS JOIN j CROSS JOIN nn"
+        ),
+        "doc_stats": (
+            "SELECT doc_id, length(coalesce(text, ''))::BIGINT AS n_chars, "
+            "length(regexp_extract_all(coalesce(text, ''), '\\S+'))::BIGINT AS n_tokens "
+            "FROM documents"
+        ),
+        "exact_dedup": (
+            "SELECT min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups "
+            "FROM documents GROUP BY text"
+        ),
+        "knn_cosine": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+            "           ORDER BY vec_id LIMIT 8), "
+            "sims AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "         list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS cs "
+            "         FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id), "
+            "r AS (SELECT query_id, neighbor_id, cs, row_number() OVER ("
+            "      PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS rnk FROM sims) "
+            "SELECT query_id, neighbor_id, rnk::BIGINT AS rnk, round(cs, 6) AS cosine "
+            "FROM r WHERE rnk <= 5"
+        ),
+        "events_windowed": (
+            "SELECT event_type, (epoch_us(ts) // 3600000000)::BIGINT AS win, "
+            "count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value "
+            "FROM events GROUP BY event_type, win"
+        ),
+        "events_sessionize": (
+            "WITH o AS (SELECT user_id, epoch_us(ts) AS t, "
+            "  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pt "
+            "  FROM events) "
+            "SELECT user_id, sum(CASE WHEN pt IS NULL OR t - pt > 1800000000 "
+            "THEN 1 ELSE 0 END)::BIGINT AS n_sessions FROM o GROUP BY user_id"
+        ),
+    }

@@ -1,0 +1,71 @@
+"""Streaming-shaped operators over the ordered events log.
+
+Ray Data has no event-time windowing; the batch formulation treats the
+events table as a partitioned log: windows are pure column derivations
+(tumbling = integer-divide the microsecond epoch), sessions are
+per-user gap-islands inside groupby(user).map_groups over ts-sorted
+groups (ordering assumption: within one user, (ts, event_id) is a total
+order -- stated tiebreak makes results deterministic)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+from ray.data.aggregate import Count, Sum
+
+US_PER_HOUR = 3_600_000_000
+US_30_MIN = 1_800_000_000
+
+
+def windowed_counts(events: Dataset, window_us: int = US_PER_HOUR) -> Dataset:
+    """Tumbling-window counts+sums per event_type:
+    (event_type, win, n, sum_value)."""
+
+    def add_win(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "win": ts // window_us,
+                "value": batch["value"],
+            }
+        )
+
+    winds = events.select_columns(["event_type", "ts", "value"]).map_batches(
+        add_win, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = winds.groupby(["event_type", "win"]).aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value")
+    )
+
+    # np.round matches DuckDB's round() bit-for-bit; pyarrow's pc.round
+    # multiplies by an inexact 1e-6 and lands one ulp off.
+    def round6(t: pa.Table) -> pa.Table:
+        vals = np.round(t["sum_value"].to_numpy(zero_copy_only=False), 6)
+        return t.set_column(
+            t.schema.get_field_index("sum_value"), "sum_value", pa.array(vals)
+        )
+
+    return agg.map_batches(round6, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sessionize(events: Dataset, gap_us: int = US_30_MIN) -> Dataset:
+    """(user_id, n_sessions): a new session starts when the gap to the
+    previous event of that user exceeds `gap_us`. Events within a user
+    are ordered by (ts, event_id) -- the deterministic tiebreak."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        t = g["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        gaps = np.diff(t)
+        n_sessions = 1 + int((gaps > gap_us).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions]})
+
+    return (
+        events.select_columns(["user_id", "ts", "event_id"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
