@@ -1,0 +1,315 @@
+"""Benchmark harness.
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS, default
+32) and prints ONE JSON line:
+
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+     "headline": {...cc throughput detail...}}
+
+Headline job (the BASELINE.json metric): connected components to
+exact-label convergence on the lineitem-derived graph scaled
+deterministically by BENCH_SCALE_REP (default 48: ~65M undirected edges
+at sf0.1), reporting edges/s and supersteps/s with reference-style
+repeated trials over a pinned actor pool.
+
+`python bench.py --scaling` runs the FULL pipeline job (pages -> link
+extraction -> id mint -> undirected closure -> CC) in two FRESH
+processes at num_cpus=N and 4N (default 4 and 16) on the same input and
+reports both throughputs plus scaling efficiency (the sandbox stand-in
+for the N-vs-4N-node cluster criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SCALE_REP = int(os.environ.get("BENCH_SCALE_REP", "48"))
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from pds_hw2_mpi_connected_components_ray.context import configure_ray_data
+
+    configure_ray_data(quiet=True)
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return time.perf_counter() - t0, out
+
+
+def bench_headline(trials: int = 3) -> dict:
+    """CC to exact-label convergence on the scaled derived graph,
+    reference benchmark shape (/root/reference/src/benchmark.c:242-288):
+    load the graph into the pinned actor pool ONCE (load time reported
+    separately, like the reference's partitioned pread), then time
+    `trials` barrier-bracketed solves and check trial-to-trial
+    consistency of the component count."""
+    import statistics
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.cc import PinnedCCSolver
+    from pds_hw2_mpi_connected_components_ray.sources.edges import derive_raw_edges
+    from pds_hw2_mpi_connected_components_ray.stages.graph import symmetrize
+
+    # undirected closure, duplicates kept (reference keeps dups too and
+    # counts them in nnz: /root/reference/src/converter/mtx_to_bin.c:303-317)
+    # so n_edges is deterministic across batch splits / cpu counts.
+    # Build is the ETL phase, outside the timed solve.
+    edges = symmetrize(
+        derive_raw_edges(SF_DIR, scale_rep=SCALE_REP), dedup_local=False
+    ).materialize()
+    n_edges = edges.count()
+
+    t_load, solver = _timed(lambda: PinnedCCSolver(edges))
+    times = []
+    counts = []
+    supersteps = 0
+    for _ in range(trials):
+        t, res = _timed(solver.solve)
+        times.append(t)
+        counts.append(res.n_components)
+        supersteps = res.supersteps
+    solver.shutdown()
+    if len(set(counts)) != 1:  # reference returns code 2 on inconsistency
+        raise RuntimeError(f"trial-inconsistent component counts: {counts}")
+    mean_t = statistics.mean(times)
+    return {
+        "cc_sec": mean_t,
+        "cc_sec_min": min(times),
+        "cc_sec_max": max(times),
+        "cc_trials": trials,
+        "load_sec": t_load,
+        "n_edges": n_edges,
+        "n_components": counts[0],
+        "supersteps": supersteps,
+        "edges_per_sec": n_edges / mean_t,
+        "supersteps_per_sec": supersteps / mean_t,
+        "mode": "pinned",
+        "scale_rep": SCALE_REP,
+    }
+
+
+def bench_suite() -> dict:
+    """Per-pipeline wall times over the sf tables (unscaled graph)."""
+    import ray.data as rd
+
+    import __ray_entry__ as em
+    from pds_hw2_mpi_connected_components_ray.pipelines.cc import connected_components
+    from pds_hw2_mpi_connected_components_ray.sources.edges import derive_raw_edges
+    from pds_hw2_mpi_connected_components_ray.stages.graph import canonical_edges
+
+    qtimes: dict[str, float] = {}
+
+    t, edges = _timed(
+        lambda: canonical_edges(derive_raw_edges(SF_DIR)).materialize()
+    )
+    qtimes["edges_build"] = t
+
+    qtimes["cc_hashmin"], _ = _timed(
+        lambda: connected_components(edges, method="hashmin")
+    )
+    qtimes["cc_unionfind"], _ = _timed(
+        lambda: connected_components(edges, method="unionfind")
+    )
+
+    def run(name):
+        fn = em.queries()[name]
+        t, out = _timed(lambda: fn(SF_DIR))
+        # consume lazy datasets so we time the full pipeline
+        if hasattr(out, "to_pandas"):
+            out.to_pandas()
+        return t
+
+    for name in [
+        "pagerank20",
+        "labelprop4",
+        "triangle_total",
+        "extract_text_roundtrip",
+        "doc_stats",
+        "exact_dedup",
+        "minhash_pairs",
+        "simhash_pairs",
+        "knn_cosine",
+        "events_windowed",
+        "events_sessionize",
+        "media_decode",
+    ]:
+        qtimes[name] = run(name)
+    return qtimes
+
+
+PAGES_REP = int(os.environ.get("BENCH_PAGES_REP", "128"))
+PIPE_BLOCKS = int(os.environ.get("BENCH_PIPE_BLOCKS", "256"))
+
+
+def bench_pipeline() -> dict:
+    """The full link-graph pipeline, end to end (north_rule's job):
+    pages (with html) -> link extraction -> url normalize -> id mint ->
+    undirected closure -> pinned-shard CC to exact-label convergence.
+
+    The pages table is synthesized once (untimed fixture build: the
+    driver's documents replicated PAGES_REP times with planted links and
+    real html); the timed job is everything a production run does with
+    pages as input. Block count and shard count are FIXED so the 8- and
+    32-cpu runs execute the identical plan on identical input.
+    """
+    import pandas as pd
+
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.functions.extract import build_html
+    from pds_hw2_mpi_connected_components_ray.pipelines.cc import PinnedCCSolver
+    from pds_hw2_mpi_connected_components_ray.pipelines.extract_pipeline import (
+        extract_link_rows,
+        mint_edge_ids,
+    )
+    from pds_hw2_mpi_connected_components_ray.stages.graph import symmetrize
+
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    n = docs.count()
+    total = n * PAGES_REP
+
+    def to_pages(b: pd.DataFrame) -> pd.DataFrame:
+        rows_url, rows_html = [], []
+        for r in range(PAGES_REP):
+            for did, text in zip(b["doc_id"], b["text"]):
+                gid = int(did) + r * n
+                url = f"https://docs.example/{gid}"
+                links = [
+                    f"https://docs.example/{(gid * 31 + j) % total}" for j in range(1, 4)
+                ]
+                rows_url.append(url)
+                rows_html.append(build_html(url, text or "", links))
+        return pd.DataFrame({"url": rows_url, "html": rows_html})
+
+    pages = (
+        docs.map_batches(to_pages, batch_format="pandas")
+        .repartition(PIPE_BLOCKS)
+        .materialize()
+    )
+    n_pages = pages.count()
+
+    def job():
+        edges = mint_edge_ids(extract_link_rows(pages))
+        sym = symmetrize(edges).materialize()
+        solver = PinnedCCSolver(sym, nshards=4)
+        try:
+            return solver.solve()
+        finally:
+            solver.shutdown()
+
+    job()  # untimed warm pass (worker processes, page cache)
+    best = float("inf")
+    res = None
+    for _ in range(2):  # best-of-2: single-box noise suppression
+        t, res = _timed(job)
+        best = min(best, t)
+    return {
+        "pipeline_sec": best,
+        "n_pages": n_pages,
+        "pages_per_sec": n_pages / best,
+        "n_components": res.n_components,
+        "supersteps": res.supersteps,
+        "pages_rep": PAGES_REP,
+    }
+
+
+def run_scaling() -> dict:
+    """Fresh-process full-pipeline job at N and 4N CPUs, same input --
+    the sandbox stand-in for the N-vs-4N-node cluster criterion.
+
+    Default levels 4 and 16 (not 8/32): at 32 workers the 32-core box is
+    saturated by worker + raylet + driver threads and measurements get
+    contention-noisy; 4 vs 16 keeps the 4x resource ratio with headroom.
+    Override with BENCH_SCALING_LEVELS="8,32".
+    """
+    lo, hi = (
+        int(x) for x in os.environ.get("BENCH_SCALING_LEVELS", "4,16").split(",")
+    )
+    results = {}
+    for ncpu in (lo, hi):
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SF_DIR=SF_DIR,
+            BENCH_SCALE_REP=str(SCALE_REP),
+            BENCH_PAGES_REP=str(PAGES_REP),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--pipeline-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    thr_lo = results[lo]["pipeline"]["pages_per_sec"]
+    thr_hi = results[hi]["pipeline"]["pages_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "metric": f"full-pipeline (pages->edges->cc) scaling {lo}->{hi} cpus (N vs 4N stand-in)",
+        "sf": SF_DIR,
+        f"pages_per_sec_{lo}": round(thr_lo, 1),
+        f"pages_per_sec_{hi}": round(thr_hi, 1),
+        f"sec_{lo}": round(results[lo]["pipeline"]["pipeline_sec"], 3),
+        f"sec_{hi}": round(results[hi]["pipeline"]["pipeline_sec"], 3),
+        "speedup": round(thr_hi / thr_lo, 3),
+        "scaling_efficiency": round(eff, 3),
+        "n_pages": results[hi]["pipeline"]["n_pages"],
+    }
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+        return
+
+    _init_ray()
+    if "--pipeline-only" in sys.argv:
+        import ray
+
+        record = {"pipeline": bench_pipeline(), "num_cpus": NUM_CPUS, "sf": SF_DIR}
+        ray.shutdown()
+        print(json.dumps(record))
+        return
+    headline = bench_headline()
+    queries = {} if "--headline-only" in sys.argv else bench_suite()
+    record = {
+        "metric": "cc supersteps/sec and edges/sec to exact-label convergence",
+        "value": round(headline["cc_sec"], 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "headline": {
+            k: (round(v, 3) if isinstance(v, float) else v) for k, v in headline.items()
+        },
+    }
+    import ray
+
+    ray.shutdown()
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()

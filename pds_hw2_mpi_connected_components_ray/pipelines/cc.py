@@ -106,6 +106,13 @@ def connected_components(
     if mode == "auto":
         n = vertices(edges).count()
         mode = "local" if n <= broadcast_threshold else "shuffle"
+    if mode == "pinned":
+        return _cc_hashmin_pinned(
+            edges,
+            max_supersteps=max_supersteps,
+            checkpoint_dir=checkpoint_dir,
+            resume=resume,
+        )
     if mode == "local":
         return _cc_hashmin_local(
             edges,
@@ -125,6 +132,23 @@ def connected_components(
 
 
 # ---------------------------------------------------------------- local
+
+
+def _scatter_min(target: np.ndarray, idx: np.ndarray, vals: np.ndarray) -> None:
+    """target[idx] = min(target[idx], vals) with duplicate idx allowed.
+
+    Sort + reduceat + fancy-index min: fully vectorized, ~20x faster than
+    np.minimum.at on large scatters.
+    """
+    if len(idx) == 0:
+        return
+    order = np.argsort(idx, kind="stable")
+    si = idx[order]
+    sv = vals[order]
+    bounds = np.flatnonzero(np.r_[True, si[1:] != si[:-1]])
+    mins = np.minimum.reduceat(sv, bounds)
+    ui = si[bounds]
+    target[ui] = np.minimum(target[ui], mins)
 
 
 def _collect_vertices(edges: Dataset) -> np.ndarray:
@@ -217,7 +241,7 @@ def _cc_hashmin_local(
                 continue
             lab = b["label"].to_numpy(zero_copy_only=False)
             pos = np.searchsorted(verts, v)
-            np.minimum.at(cand, pos, lab)
+            _scatter_min(cand, pos, lab)
         new = np.minimum(labels, cand)
         # full pointer-jump compression on the driver (cheap at this n):
         # the reference does one jump per superstep inline
@@ -262,6 +286,258 @@ def _cc_hashmin_local(
         changed_history=history,
         resumed_from=resumed_from,
     )
+
+
+# --------------------------------------------------------------- pinned
+
+
+@ray.remote
+def _split_block_by_dst(table: pa.Table, nshards: int):
+    """Bucket one edge block by hash(dst) into nshards sub-tables (one
+    object per shard via num_returns) -- the load-time exchange that
+    replaces a full shuffle."""
+    dst = table["dst"].to_numpy(zero_copy_only=False)
+    bucket = dst % nshards
+    out = []
+    for s in range(nshards):
+        idx = np.nonzero(bucket == s)[0]
+        out.append(table.take(idx) if len(idx) else table.slice(0, 0))
+    return tuple(out) if nshards > 1 else out[0]
+
+
+@ray.remote
+class CCShardActor:
+    """Pinned CSC shard actor (reference ST2: graph loaded once per rank,
+    /root/reference/src/matrix.c:94-271, reused across trials
+    /root/reference/src/benchmark.c:247-252).
+
+    The shard owns all edges whose dst hashes to it (the reference's
+    column partitioning, /root/reference/src/matrix.c:127-135), sorted by
+    dst with a dense local index for src -- so a superstep's label
+    lookup is an O(1) dense-array gather exactly like the reference's
+    label_global[neighbor] (/root/reference/src/connected_components.c:120),
+    but over the shard's local src universe instead of a replicated O(n)
+    snapshot. Outputs are dst-disjoint across shards, so the driver
+    merge is O(n) total per superstep.
+    """
+
+    def __init__(self, block_refs: list):
+        tables = [t for t in ray.get(list(block_refs)) if t.num_rows]
+        if tables:
+            src = np.concatenate([t["src"].to_numpy(zero_copy_only=False) for t in tables])
+            dst = np.concatenate([t["dst"].to_numpy(zero_copy_only=False) for t in tables])
+        else:
+            src = np.array([], dtype=np.int64)
+            dst = np.array([], dtype=np.int64)
+        order = np.argsort(dst, kind="stable")
+        src = src[order]
+        dst = dst[order]
+        self.usrc, src_local = np.unique(src, return_inverse=True)
+        self.src_local = src_local.astype(np.int64)
+        self.udst, starts = np.unique(dst, return_index=True)
+        self.offsets = np.concatenate([starts, [len(dst)]]).astype(np.int64)
+        # dense global-id -> local-src-index map for O(f) frontier
+        # ingestion (vs O(f log u) binary search); only when the id space
+        # is compact -- sparse (hashed) id spaces fall back to search.
+        self.vmax_local = int(self.usrc[-1]) if len(self.usrc) else -1
+        if len(self.usrc) and self.vmax_local < 8 * len(self.usrc) + 1024:
+            self.gid2local = np.full(self.vmax_local + 1, -1, dtype=np.int64)
+            self.gid2local[self.usrc] = np.arange(len(self.usrc), dtype=np.int64)
+        else:
+            self.gid2local = None
+
+    def local_vertices(self) -> np.ndarray:
+        return np.unique(np.concatenate([self.usrc, self.udst]))
+
+    def relax(self, frontier) -> tuple[np.ndarray, np.ndarray]:
+        """frontier = (fv sorted, fl). Returns (dst, min_label) for every
+        shard dst with at least one frontier neighbor."""
+        fv, fl = frontier
+        empty = (np.array([], dtype=np.int64), np.array([], dtype=np.int64))
+        if len(fv) == 0 or len(self.usrc) == 0:
+            return empty
+        # dense local label map: O(f) (or O(f log u) fallback) to build,
+        # O(m) to gather
+        labmap = np.full(len(self.usrc), _I64MAX, dtype=np.int64)
+        if self.gid2local is not None:
+            inrange = fv <= self.vmax_local
+            loc = self.gid2local[fv[inrange]]
+            valid = loc >= 0
+            if not valid.any():
+                return empty
+            labmap[loc[valid]] = fl[inrange][valid]
+        else:
+            pos = np.searchsorted(self.usrc, fv)
+            posc = np.minimum(pos, len(self.usrc) - 1)
+            present = self.usrc[posc] == fv
+            if not present.any():
+                return empty
+            labmap[posc[present]] = fl[present]
+        per_edge = labmap[self.src_local]
+        mins = np.minimum.reduceat(per_edge, self.offsets[:-1])
+        hit = mins != _I64MAX
+        return self.udst[hit], mins[hit]
+
+
+class PinnedCCSolver:
+    """Two-phase pinned solver mirroring the reference's benchmark shape:
+    the graph is loaded/indexed ONCE into an actor pool (the reference's
+    per-rank load, /root/reference/src/matrix.c:94-271, reused across
+    trials /root/reference/src/benchmark.c:247-252) and solve() can run
+    repeatedly over the pinned shards."""
+
+    def __init__(self, edges: Dataset, nshards: int | None = None):
+        ncpus = int(ray.cluster_resources().get("CPU", 8))
+        nshards = nshards or max(2, ncpus)
+        block_refs = [
+            ref
+            for bundle in edges.iter_internal_ref_bundles()
+            for ref in bundle.block_refs
+        ]
+        if not block_refs:
+            raise ValueError("empty edge dataset")
+        # load-time exchange: bucket every block by hash(dst) so each
+        # actor owns a dst-disjoint shard (reference column partitioning)
+        if nshards > 1:
+            splits = [
+                _split_block_by_dst.options(num_returns=nshards).remote(ref, nshards)
+                for ref in block_refs
+            ]
+            groups = [[s[i] for s in splits] for i in range(nshards)]
+        else:
+            groups = [list(block_refs)]
+        self.actors = [CCShardActor.remote(g) for g in groups]
+        self.verts = np.unique(
+            np.concatenate(ray.get([a.local_vertices.remote() for a in self.actors]))
+        )
+        # dense id -> position map when the id space is compact: turns the
+        # per-superstep merges and pointer jumps into O(n) gathers (the
+        # reference's dense-array indexing); falls back to binary search
+        # for sparse (e.g. hashed-url) id spaces.
+        n = len(self.verts)
+        vmax = int(self.verts[-1]) if n else 0
+        if n and vmax < 4 * n + 1024:
+            self.idmap = np.full(vmax + 1, -1, dtype=np.int64)
+            self.idmap[self.verts] = np.arange(n, dtype=np.int64)
+        else:
+            self.idmap = None
+
+    def _pos(self, ids: np.ndarray) -> np.ndarray:
+        if self.idmap is not None:
+            return self.idmap[ids]
+        return np.searchsorted(self.verts, ids)
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
+    def solve(
+        self,
+        max_supersteps: int = MAX_SUPERSTEPS,
+        checkpoint_dir: str | None = None,
+        resume: bool = False,
+    ) -> CCResult:
+        import ray.data as rd
+
+        verts = self.verts
+        n = len(verts)
+        labels = verts.copy()
+        mask = np.ones(n, dtype=bool)
+        k0 = 0
+        resumed_from = None
+        if resume and checkpoint_dir is not None:
+            last = ckpt.latest_superstep(checkpoint_dir)
+            if last is not None:
+                lt, ft, _ = ckpt.load_superstep(checkpoint_dir, last)
+                lv = lt["vertex"].to_numpy(zero_copy_only=False)
+                ll = lt["label"].to_numpy(zero_copy_only=False)
+                labels[self._pos(lv)] = ll
+                mask = np.zeros(n, dtype=bool)
+                fv = ft["vertex"].to_numpy(zero_copy_only=False)
+                if len(fv):
+                    mask[self._pos(fv)] = True
+                k0 = last + 1
+                resumed_from = last
+
+        history: list[int] = []
+        k = k0
+        while k < max_supersteps:
+            t0 = time.perf_counter()
+            fv = verts[mask]
+            fl = labels[mask]
+            if len(fv) == 0 and k > k0:
+                break
+            front_ref = ray.put((fv, fl))
+            cand = np.full(n, _I64MAX, dtype=np.int64)
+            # shards are dst-disjoint and each result has unique dsts, so
+            # a direct fancy-index min merge is safe: O(n) total
+            for dv, dmin in ray.get([a.relax.remote(front_ref) for a in self.actors]):
+                if len(dv):
+                    pos = self._pos(dv)
+                    cand[pos] = np.minimum(cand[pos], dmin)
+            new = np.minimum(labels, cand)
+            # pointer-jump to closure with a shrinking active set: total
+            # cost ~ O(n + total chain length), not O(n * rounds)
+            act = np.arange(n, dtype=np.int64)
+            while len(act):
+                cur = new[act]
+                jumped = new[self._pos(cur)]
+                upd = jumped < cur
+                if not upd.any():
+                    break
+                act = act[upd]
+                new[act] = jumped[upd]
+            mask = new < labels
+            changed = int(mask.sum())
+            labels = new
+            history.append(changed)
+            if checkpoint_dir is not None:
+                ckpt.save_superstep(
+                    checkpoint_dir,
+                    k,
+                    pa.table({"vertex": verts, "label": labels}),
+                    pa.table({"vertex": verts[mask], "label": labels[mask]}),
+                    {
+                        "changed": changed,
+                        "wall_s": time.perf_counter() - t0,
+                        "mode": "pinned",
+                        "n_vertices": n,
+                        "n_shards": len(self.actors),
+                    },
+                )
+            k += 1
+            if changed == 0:
+                break
+
+        labels_ds = rd.from_arrow(pa.table({"vertex": verts, "label": labels}))
+        return CCResult(
+            labels=labels_ds,
+            supersteps=k - k0,
+            n_components=int(np.sum(labels == verts)),
+            mode="pinned",
+            changed_history=history,
+            resumed_from=resumed_from,
+        )
+
+
+def _cc_hashmin_pinned(
+    edges: Dataset,
+    *,
+    max_supersteps: int,
+    checkpoint_dir: str | None,
+    resume: bool,
+) -> CCResult:
+    """One-shot pinned solve (load + solve + teardown)."""
+    solver = PinnedCCSolver(edges)
+    try:
+        return solver.solve(
+            max_supersteps=max_supersteps,
+            checkpoint_dir=checkpoint_dir,
+            resume=resume,
+        )
+    finally:
+        solver.shutdown()
 
 
 # -------------------------------------------------------------- shuffle

@@ -35,9 +35,15 @@ def ngroups_for(nrows: int) -> int:
     return max(64, nrows // 128)
 
 
-def derive_raw_edges(sf_dir: str) -> Dataset:
+def derive_raw_edges(sf_dir: str, scale_rep: int = 1) -> Dataset:
     """Directed raw edges (src, dst) planted over lineitem (see module
-    docstring). Column-pruned read; fully vectorized derivation."""
+    docstring). Column-pruned read; fully vectorized derivation.
+
+    ``scale_rep=R`` replicates the graph R times with disjoint group-id
+    offsets (grp + r*ngroups): a deterministic R-fold scale-up of the
+    same topology, used by bench.py to make the headline job
+    compute-bound. R=1 (default) is the oracle-checked graph.
+    """
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
@@ -49,17 +55,17 @@ def derive_raw_edges(sf_dir: str) -> Dataset:
         pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
-        grp = ok % ng
-        src = grp * GROUP_SIZE + (pk % GROUP_SIZE)
-        dst = grp * GROUP_SIZE + (sk % GROUP_SIZE)
-        bmask = (ln == 1) & (grp % CHAIN != CHAIN - 1)
-        bsrc = grp[bmask] * GROUP_SIZE
-        bdst = (grp[bmask] + 1) * GROUP_SIZE
+        grp0 = ok % ng
+        srcs, dsts = [], []
+        for r in range(scale_rep):
+            grp = grp0 + r * ng
+            src = grp * GROUP_SIZE + (pk % GROUP_SIZE)
+            dst = grp * GROUP_SIZE + (sk % GROUP_SIZE)
+            bmask = (ln == 1) & (grp0 % CHAIN != CHAIN - 1)
+            srcs.extend([src, grp[bmask] * GROUP_SIZE])
+            dsts.extend([dst, (grp[bmask] + 1) * GROUP_SIZE])
         return pa.table(
-            {
-                "src": np.concatenate([src, bsrc]),
-                "dst": np.concatenate([dst, bdst]),
-            }
+            {"src": np.concatenate(srcs), "dst": np.concatenate(dsts)}
         )
 
     return ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)

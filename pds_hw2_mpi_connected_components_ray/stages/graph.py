@@ -29,9 +29,22 @@ def _sym_batch(batch: pa.Table) -> pa.Table:
     return pa.table({"src": pairs[:, 0], "dst": pairs[:, 1]})
 
 
-def symmetrize(edges: Dataset) -> Dataset:
+def _sym_batch_raw(batch: pa.Table) -> pa.Table:
+    """Both directions, duplicates kept: output size is exactly 2x input
+    regardless of batch boundaries (deterministic nnz, matching the
+    reference's duplicate-keeping converter,
+    /root/reference/src/converter/mtx_to_bin.c:303-317)."""
+    src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    dst = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    return pa.table(
+        {"src": np.concatenate([src, dst]), "dst": np.concatenate([dst, src])}
+    )
+
+
+def symmetrize(edges: Dataset, dedup_local: bool = True) -> Dataset:
     """Undirected closure (both directions), NOT yet globally deduped."""
-    return edges.map_batches(_sym_batch, batch_format="pyarrow", zero_copy_batch=True)
+    fn = _sym_batch if dedup_local else _sym_batch_raw
+    return edges.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def dedup_edges(edges: Dataset) -> Dataset:

@@ -28,7 +28,10 @@ def _edge_vertices(edges: np.ndarray) -> np.ndarray:
 
 
 @pytest.mark.parametrize("gname", ["g_two_cliques", "g_ring_of_cliques", "g_random_forest"])
-@pytest.mark.parametrize("strategy", [("hashmin", "local"), ("hashmin", "shuffle"), ("unionfind", None)])
+@pytest.mark.parametrize(
+    "strategy",
+    [("hashmin", "local"), ("hashmin", "shuffle"), ("hashmin", "pinned"), ("unionfind", None)],
+)
 def test_cc_matches_oracles(gname, strategy):
     g = ALL_GRAPHS[gname]()
     oracle = cc_union_find(g.n, g.edges)

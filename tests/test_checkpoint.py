@@ -22,7 +22,7 @@ def _labels(res):
     return df["vertex"].to_numpy(), df["label"].to_numpy()
 
 
-@pytest.mark.parametrize("mode", ["local", "shuffle"])
+@pytest.mark.parametrize("mode", ["local", "shuffle", "pinned"])
 def test_resume_equals_fresh(tmp_path, mode):
     g = g_path(300)
     edges = canonical_edges(from_numpy_edges(g.edges, num_blocks=4))
