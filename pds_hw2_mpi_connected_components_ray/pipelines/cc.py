@@ -291,94 +291,6 @@ def _cc_hashmin_local(
 # --------------------------------------------------------------- pinned
 
 
-@ray.remote
-def _split_block_by_dst(table: pa.Table, nshards: int):
-    """Bucket one edge block by hash(dst) into nshards sub-tables (one
-    object per shard via num_returns) -- the load-time exchange that
-    replaces a full shuffle."""
-    dst = table["dst"].to_numpy(zero_copy_only=False)
-    bucket = dst % nshards
-    out = []
-    for s in range(nshards):
-        idx = np.nonzero(bucket == s)[0]
-        out.append(table.take(idx) if len(idx) else table.slice(0, 0))
-    return tuple(out) if nshards > 1 else out[0]
-
-
-@ray.remote
-class CCShardActor:
-    """Pinned CSC shard actor (reference ST2: graph loaded once per rank,
-    /root/reference/src/matrix.c:94-271, reused across trials
-    /root/reference/src/benchmark.c:247-252).
-
-    The shard owns all edges whose dst hashes to it (the reference's
-    column partitioning, /root/reference/src/matrix.c:127-135), sorted by
-    dst with a dense local index for src -- so a superstep's label
-    lookup is an O(1) dense-array gather exactly like the reference's
-    label_global[neighbor] (/root/reference/src/connected_components.c:120),
-    but over the shard's local src universe instead of a replicated O(n)
-    snapshot. Outputs are dst-disjoint across shards, so the driver
-    merge is O(n) total per superstep.
-    """
-
-    def __init__(self, block_refs: list):
-        tables = [t for t in ray.get(list(block_refs)) if t.num_rows]
-        if tables:
-            src = np.concatenate([t["src"].to_numpy(zero_copy_only=False) for t in tables])
-            dst = np.concatenate([t["dst"].to_numpy(zero_copy_only=False) for t in tables])
-        else:
-            src = np.array([], dtype=np.int64)
-            dst = np.array([], dtype=np.int64)
-        order = np.argsort(dst, kind="stable")
-        src = src[order]
-        dst = dst[order]
-        self.usrc, src_local = np.unique(src, return_inverse=True)
-        self.src_local = src_local.astype(np.int64)
-        self.udst, starts = np.unique(dst, return_index=True)
-        self.offsets = np.concatenate([starts, [len(dst)]]).astype(np.int64)
-        # dense global-id -> local-src-index map for O(f) frontier
-        # ingestion (vs O(f log u) binary search); only when the id space
-        # is compact -- sparse (hashed) id spaces fall back to search.
-        self.vmax_local = int(self.usrc[-1]) if len(self.usrc) else -1
-        if len(self.usrc) and self.vmax_local < 8 * len(self.usrc) + 1024:
-            self.gid2local = np.full(self.vmax_local + 1, -1, dtype=np.int64)
-            self.gid2local[self.usrc] = np.arange(len(self.usrc), dtype=np.int64)
-        else:
-            self.gid2local = None
-
-    def local_vertices(self) -> np.ndarray:
-        return np.unique(np.concatenate([self.usrc, self.udst]))
-
-    def relax(self, frontier) -> tuple[np.ndarray, np.ndarray]:
-        """frontier = (fv sorted, fl). Returns (dst, min_label) for every
-        shard dst with at least one frontier neighbor."""
-        fv, fl = frontier
-        empty = (np.array([], dtype=np.int64), np.array([], dtype=np.int64))
-        if len(fv) == 0 or len(self.usrc) == 0:
-            return empty
-        # dense local label map: O(f) (or O(f log u) fallback) to build,
-        # O(m) to gather
-        labmap = np.full(len(self.usrc), _I64MAX, dtype=np.int64)
-        if self.gid2local is not None:
-            inrange = fv <= self.vmax_local
-            loc = self.gid2local[fv[inrange]]
-            valid = loc >= 0
-            if not valid.any():
-                return empty
-            labmap[loc[valid]] = fl[inrange][valid]
-        else:
-            pos = np.searchsorted(self.usrc, fv)
-            posc = np.minimum(pos, len(self.usrc) - 1)
-            present = self.usrc[posc] == fv
-            if not present.any():
-                return empty
-            labmap[posc[present]] = fl[present]
-        per_edge = labmap[self.src_local]
-        mins = np.minimum.reduceat(per_edge, self.offsets[:-1])
-        hit = mins != _I64MAX
-        return self.udst[hit], mins[hit]
-
-
 class PinnedCCSolver:
     """Two-phase pinned solver mirroring the reference's benchmark shape:
     the graph is loaded/indexed ONCE into an actor pool (the reference's
@@ -389,24 +301,9 @@ class PinnedCCSolver:
     def __init__(self, edges: Dataset, nshards: int | None = None):
         ncpus = int(ray.cluster_resources().get("CPU", 8))
         nshards = nshards or max(2, ncpus)
-        block_refs = [
-            ref
-            for bundle in edges.iter_internal_ref_bundles()
-            for ref in bundle.block_refs
-        ]
-        if not block_refs:
-            raise ValueError("empty edge dataset")
-        # load-time exchange: bucket every block by hash(dst) so each
-        # actor owns a dst-disjoint shard (reference column partitioning)
-        if nshards > 1:
-            splits = [
-                _split_block_by_dst.options(num_returns=nshards).remote(ref, nshards)
-                for ref in block_refs
-            ]
-            groups = [[s[i] for s in splits] for i in range(nshards)]
-        else:
-            groups = [list(block_refs)]
-        self.actors = [CCShardActor.remote(g) for g in groups]
+        from ..state.shards import build_shard_pool
+
+        self.actors = build_shard_pool(edges, nshards)
         self.verts = np.unique(
             np.concatenate(ray.get([a.local_vertices.remote() for a in self.actors]))
         )
@@ -472,7 +369,7 @@ class PinnedCCSolver:
             cand = np.full(n, _I64MAX, dtype=np.int64)
             # shards are dst-disjoint and each result has unique dsts, so
             # a direct fancy-index min merge is safe: O(n) total
-            for dv, dmin in ray.get([a.relax.remote(front_ref) for a in self.actors]):
+            for dv, dmin in ray.get([a.relax_min.remote(front_ref) for a in self.actors]):
                 if len(dv):
                     pos = self._pos(dv)
                     cand[pos] = np.minimum(cand[pos], dmin)
@@ -543,6 +440,24 @@ def _cc_hashmin_pinned(
 # -------------------------------------------------------------- shuffle
 
 
+class _MembershipFilter:
+    """Keep rows whose vertex is in the broadcast sorted id array."""
+
+    def __init__(self, ref):
+        self._ref = ref
+        self._ids = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self._ids is None:
+            self._ids = ray.get(self._ref)
+        ids = self._ids
+        if len(ids) == 0 or len(t) == 0:
+            return t.slice(0, 0)
+        v = t["vertex"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(ids, v), len(ids) - 1)
+        return t.take(np.nonzero(ids[pos] == v)[0])
+
+
 def _cc_hashmin_shuffle(
     edges: Dataset,
     *,
@@ -555,6 +470,11 @@ def _cc_hashmin_shuffle(
 
     npart = num_partitions or default_parallelism()
     labels = init_labels(edges).materialize()
+    # clamp partition count so no hash partition of the (small) labels
+    # side is empty -- Ray 2.49's hash-shuffle join loses the schema of
+    # empty left partitions and crashes in acero
+    nv = labels.count()
+    npart = max(2, min(npart, nv // 500 + 1))
     frontier = labels
     k0 = 0
     resumed_from = None
@@ -579,12 +499,18 @@ def _cc_hashmin_shuffle(
         )
         cand = hash_join(edges, fr, on=("src",), num_partitions=npart)
         cand = cand.map_batches(
-            lambda t: pa.table(
-                {
-                    "vertex": t["dst"],
-                    "label": t["flabel"],
-                    "old": pa.array(np.full(len(t), -1, dtype=np.int64)),
-                }
+            lambda t: pa.table({"vertex": t["dst"], "label": t["flabel"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        # per-batch combiner bounds hot-vertex fan-in (see stages.skew):
+        # a hub's reducer input is O(blocks), not O(in-degree)
+        from ..stages.skew import combine_per_batch
+
+        cand = combine_per_batch(cand, "vertex", "label", how="min")
+        cand = cand.map_batches(
+            lambda t: t.append_column(
+                "old", pa.array(np.full(len(t), -1, dtype=np.int64))
             ),
             batch_format="pyarrow",
             zero_copy_batch=True,
@@ -601,24 +527,69 @@ def _cc_hashmin_shuffle(
         agg = tagged.groupby("vertex").aggregate(
             Min("label", alias_name="label"), Max("old", alias_name="old")
         )
-        # 3. one pointer-jump round: label <- label(label)  (self-join)
-        jl = labels.map_batches(
-            lambda t: t.rename_columns(["jv", "jlabel"]),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        jumped = hash_join(agg, jl, on=("label",), right_on=("jv",), num_partitions=npart)
-        new_labels = jumped.map_batches(
-            lambda t: pa.table(
-                {
-                    "vertex": t["vertex"],
-                    "label": pc.min_element_wise(t["label"], t["jlabel"]),
-                    "old": t["old"],
-                }
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        ).materialize()
+        # 3. one pointer-jump round: label <- label(label), via a
+        #    broadcast root-map (SURVEY.md T7: "broadcast the (small)
+        #    root-map per round"). The distinct-label set collapses
+        #    toward one value per component within a couple of rounds,
+        #    so the map is tiny; a hash JOIN on `label` would be
+        #    hot-key-skewed and trips Ray 2.49's empty-partition crash.
+        #    Round 0 is skipped: labels are the identity there.
+        agg = agg.materialize()
+        roots = None
+        if not (k == k0 and resumed_from is None):  # round 0: labels are identity
+            dist_parts = [
+                b["label"].to_numpy(zero_copy_only=False)
+                for b in agg.map_batches(
+                    lambda t: pa.table({"label": pc.unique(t["label"])}),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                ).iter_batches(batch_format="pyarrow", batch_size=None)
+            ]
+            roots = (
+                np.unique(np.concatenate(dist_parts))
+                if dist_parts
+                else np.array([], np.int64)
+            )
+            if len(roots) > 5_000_000:
+                # root-map too large to broadcast this round (long-chain
+                # topologies early on): skip the jump -- plain hash-min
+                # still converges and later rounds shrink the map
+                roots = None
+        if roots is None:
+            new_labels = agg
+        else:
+            rref = ray.put(roots)
+            sub_parts = [
+                (
+                    b["vertex"].to_numpy(zero_copy_only=False),
+                    b["label"].to_numpy(zero_copy_only=False),
+                )
+                for b in labels.map_batches(
+                    _MembershipFilter(rref),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                ).iter_batches(batch_format="pyarrow", batch_size=None)
+            ]
+            rv = np.concatenate([p[0] for p in sub_parts]) if sub_parts else np.array([], np.int64)
+            rl = np.concatenate([p[1] for p in sub_parts]) if sub_parts else np.array([], np.int64)
+            order = np.argsort(rv, kind="stable")
+            jmap_ref = ray.put((rv[order], rl[order]))
+
+            def apply_jump(t: pa.Table) -> pa.Table:
+                jv, jl = ray.get(jmap_ref)
+                lab = t["label"].to_numpy(zero_copy_only=False)
+                if len(jv):
+                    pos = np.minimum(np.searchsorted(jv, lab), len(jv) - 1)
+                    hit = jv[pos] == lab
+                    jumped = np.where(hit, jl[pos], lab)
+                    lab = np.minimum(lab, jumped)
+                return pa.table(
+                    {"vertex": t["vertex"], "label": pa.array(lab), "old": t["old"]}
+                )
+
+            new_labels = agg.map_batches(
+                apply_jump, batch_format="pyarrow", zero_copy_batch=True
+            ).materialize()
 
         frontier = new_labels.map_batches(
             lambda t: t.filter(pc.less(t["label"], t["old"])).select(

@@ -286,6 +286,36 @@ def ngram_jaccard_pairs(
     return blocked.groupby("block").map_groups(block_pairs, batch_format="pandas")
 
 
+def duplicate_groups(pairs: Dataset, *, a_col: str = "a", b_col: str = "b") -> Dataset:
+    """Collapse near-duplicate PAIRS into duplicate GROUPS via the
+    engine's own connected components (pairs are edges; the canonical
+    min-doc-id label is the group representative). Output:
+    (doc_id, group_id) for every doc that appears in at least one pair.
+
+    The standard MinHash-LSH dedup tail: pairs -> clusters -> keep one
+    per cluster (keep = the doc where doc_id == group_id).
+    """
+    from ..stages.graph import canonical_edges
+    from .cc import connected_components
+
+    edges = pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "src": pa.compute.cast(t[a_col], pa.int64()),
+                "dst": pa.compute.cast(t[b_col], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    res = connected_components(canonical_edges(edges))
+    return res.labels.map_batches(
+        lambda t: t.rename_columns(["doc_id", "group_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def embedding_cosine_pairs(
     embeddings: Dataset,
     *,

@@ -55,9 +55,47 @@ def labelprop(
     if mode == "auto":
         n = vertices(edges).count()
         mode = "local" if n <= broadcast_threshold else "shuffle"
+    if mode == "pinned":
+        return _lp_pinned(edges, iterations)
     if mode == "local":
         return _lp_local(edges, iterations)
     return _lp_shuffle(edges, iterations, num_partitions)
+
+
+def _lp_pinned(edges: Dataset, iterations: int) -> LabelPropResult:
+    """Actor-pool sync LPA over pinned dst-hash CSC shards: each shard
+    computes COMPLETE per-dst neighbor-label modes locally (shards are
+    dst-disjoint), same deterministic (count desc, label asc) tie-break."""
+    from ..state.shards import build_shard_pool
+
+    ncpus = int(ray.cluster_resources().get("CPU", 8))
+    actors = build_shard_pool(edges, max(2, ncpus))
+    try:
+        verts = np.unique(
+            np.concatenate(ray.get([a.local_vertices.remote() for a in actors]))
+        )
+        n = len(verts)
+        labels = verts.copy()
+        for _ in range(iterations):
+            ref = ray.put((verts, labels))
+            new = labels.copy()
+            for dv, win in ray.get([a.mode_label.remote(ref) for a in actors]):
+                if len(dv):
+                    new[np.searchsorted(verts, dv)] = win
+            if np.array_equal(new, labels):
+                break
+            labels = new
+    finally:
+        for a in actors:
+            ray.kill(a)
+
+    import ray.data as rd
+
+    return LabelPropResult(
+        labels=rd.from_arrow(pa.table({"vertex": verts, "label": labels})),
+        iterations=iterations,
+        mode="pinned",
+    )
 
 
 def _mode_per_vertex(d: np.ndarray, lab: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

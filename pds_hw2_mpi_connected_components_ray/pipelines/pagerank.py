@@ -68,9 +68,59 @@ def pagerank(
     if mode == "auto":
         n = _all_vertices(edges).count()
         mode = "local" if n <= broadcast_threshold else "shuffle"
+    if mode == "pinned":
+        return _pagerank_pinned(edges, damping, max_iters, tol)
     if mode == "local":
         return _pagerank_local(edges, damping, max_iters, tol)
     return _pagerank_shuffle(edges, damping, max_iters, tol, num_partitions)
+
+
+def _pagerank_pinned(
+    edges: Dataset, damping: float, max_iters: int, tol: float | None
+) -> PageRankResult:
+    """Actor-pool power iteration over pinned dst-hash CSC shards (see
+    state.shards): per iteration one ray.put of the per-src weight
+    vector and one O(local m) push_sum per shard; shard outputs are
+    dst-disjoint so the driver merge is O(n)."""
+    from ..state.shards import build_shard_pool
+
+    ncpus = int(ray.cluster_resources().get("CPU", 8))
+    actors = build_shard_pool(edges, max(2, ncpus))
+    try:
+        verts = np.unique(
+            np.concatenate(ray.get([a.local_vertices.remote() for a in actors]))
+        )
+        n = len(verts)
+        deg = np.zeros(n, dtype=np.int64)
+        for uv, cnt in ray.get([a.local_out_counts.remote() for a in actors]):
+            if len(uv):
+                np.add.at(deg, np.searchsorted(verts, uv), cnt)
+        dangling_mask = deg == 0
+        r = np.full(n, 1.0 / n)
+        it = 0
+        l1 = float("inf")
+        for it in range(1, max_iters + 1):
+            w = np.where(dangling_mask, 0.0, r / np.maximum(deg, 1))
+            ref = ray.put((verts, w))
+            contrib = np.zeros(n)
+            for dv, s in ray.get([a.push_sum.remote(ref) for a in actors]):
+                if len(dv):
+                    pos = np.searchsorted(verts, dv)
+                    contrib[pos] += s
+            dangling = float(r[dangling_mask].sum())
+            r_new = (1 - damping) / n + damping * (contrib + dangling / n)
+            l1 = float(np.abs(r_new - r).sum())
+            r = r_new
+            if tol is not None and l1 < tol:
+                break
+    finally:
+        for a in actors:
+            ray.kill(a)
+
+    import ray.data as rd
+
+    ranks = rd.from_arrow(pa.table({"vertex": verts, "rank": r}))
+    return PageRankResult(ranks=ranks, iterations=it, mode="pinned", l1_delta=l1)
 
 
 # ---------------------------------------------------------------- local

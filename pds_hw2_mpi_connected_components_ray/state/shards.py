@@ -1,0 +1,179 @@
+"""Pinned graph-shard actors: the engine's ST2 state
+(/root/reference/src/matrix.c:94-271 loaded-once per-rank CSC, reused
+across trials /root/reference/src/benchmark.c:247-252).
+
+One actor owns all edges whose dst hashes to it (the reference's column
+partitioning, /root/reference/src/matrix.c:127-135), stored as a
+dst-sorted CSC view with dense local src indices. Because shards are
+dst-disjoint, per-dst aggregates (min for CC, sum for PageRank, mode
+for label propagation) are COMPLETE within one shard -- no cross-shard
+combine is needed and driver merges are O(n) total.
+
+Per-iteration input is a compact (ids, values) broadcast via one
+ray.put; at web scale this is the frontier (CC) or the rank vector
+partition -- never a replicated O(n)-per-worker snapshot rebuilt
+collectively like the reference's MPI_Allgatherv
+(/root/reference/src/connected_components.c:98-101).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+_I64MAX = np.iinfo(np.int64).max
+
+
+@ray.remote
+def split_block_by_dst(table: pa.Table, nshards: int):
+    """Bucket one edge block by hash(dst) into nshards sub-tables (one
+    object per shard via num_returns) -- the load-time exchange that
+    replaces a full shuffle."""
+    dst = table["dst"].to_numpy(zero_copy_only=False)
+    bucket = dst % nshards
+    out = []
+    for s in range(nshards):
+        idx = np.nonzero(bucket == s)[0]
+        out.append(table.take(idx) if len(idx) else table.slice(0, 0))
+    return tuple(out) if nshards > 1 else out[0]
+
+
+@ray.remote
+class GraphShardActor:
+    def __init__(self, block_refs: list):
+        tables = [t for t in ray.get(list(block_refs)) if t.num_rows]
+        if tables:
+            src = np.concatenate([t["src"].to_numpy(zero_copy_only=False) for t in tables])
+            dst = np.concatenate([t["dst"].to_numpy(zero_copy_only=False) for t in tables])
+        else:
+            src = np.array([], dtype=np.int64)
+            dst = np.array([], dtype=np.int64)
+        order = np.argsort(dst, kind="stable")
+        src = src[order]
+        dst = dst[order]
+        self.usrc, src_local = np.unique(src, return_inverse=True)
+        self.src_local = src_local.astype(np.int64)
+        self.udst, starts = np.unique(dst, return_index=True)
+        self.offsets = np.concatenate([starts, [len(dst)]]).astype(np.int64)
+        # per-edge dst column index (for grouped ops beyond reduceat)
+        self.edge_col = np.repeat(
+            np.arange(len(self.udst), dtype=np.int64), np.diff(self.offsets)
+        )
+        # dense global-id -> local-src-index map for O(f) value ingestion
+        # (vs O(f log u) binary search); only for compact id spaces --
+        # sparse (hashed-url) spaces fall back to search.
+        self.vmax_local = int(self.usrc[-1]) if len(self.usrc) else -1
+        if len(self.usrc) and self.vmax_local < 8 * len(self.usrc) + 1024:
+            self.gid2local = np.full(self.vmax_local + 1, -1, dtype=np.int64)
+            self.gid2local[self.usrc] = np.arange(len(self.usrc), dtype=np.int64)
+        else:
+            self.gid2local = None
+
+    # ---------------------------------------------------------- loading
+
+    def local_vertices(self) -> np.ndarray:
+        return np.unique(np.concatenate([self.usrc, self.udst]))
+
+    def local_out_counts(self) -> tuple[np.ndarray, np.ndarray]:
+        """(usrc, out_edge_count) of this shard -- summed across shards
+        by the driver to obtain global out-degrees."""
+        counts = np.bincount(self.src_local, minlength=len(self.usrc)).astype(np.int64)
+        return self.usrc, counts
+
+    def _ingest(self, ids: np.ndarray, vals: np.ndarray, fill) -> np.ndarray:
+        """Map (ids, vals) onto the local src universe; absent -> fill."""
+        out = np.full(len(self.usrc), fill, dtype=vals.dtype)
+        if self.gid2local is not None:
+            inrange = ids <= self.vmax_local
+            loc = self.gid2local[ids[inrange]]
+            valid = loc >= 0
+            out[loc[valid]] = vals[inrange][valid]
+        else:
+            pos = np.searchsorted(self.usrc, ids)
+            posc = np.minimum(pos, max(len(self.usrc) - 1, 0))
+            present = (
+                self.usrc[posc] == ids if len(self.usrc) else np.zeros(len(ids), bool)
+            )
+            out[posc[present]] = vals[present]
+        return out
+
+    # --------------------------------------------------------------- CC
+
+    def relax_min(self, frontier) -> tuple[np.ndarray, np.ndarray]:
+        """(fv sorted, fl) -> (dst, min frontier label) per shard dst."""
+        fv, fl = frontier
+        empty = (np.array([], dtype=np.int64), np.array([], dtype=np.int64))
+        if len(fv) == 0 or len(self.usrc) == 0:
+            return empty
+        labmap = self._ingest(fv, fl, _I64MAX)
+        per_edge = labmap[self.src_local]
+        mins = np.minimum.reduceat(per_edge, self.offsets[:-1])
+        hit = mins != _I64MAX
+        return self.udst[hit], mins[hit]
+
+    # --------------------------------------------------------- PageRank
+
+    def push_sum(self, weights) -> tuple[np.ndarray, np.ndarray]:
+        """(wv sorted, w) -> (dst, sum of w over in-edges) per shard dst.
+        w is typically rank/outdeg of each src."""
+        wv, w = weights
+        empty = (np.array([], dtype=np.int64), np.array([], dtype=np.float64))
+        if len(wv) == 0 or len(self.usrc) == 0:
+            return empty
+        wmap = self._ingest(wv, w, 0.0)
+        per_edge = wmap[self.src_local]
+        sums = np.add.reduceat(per_edge, self.offsets[:-1])
+        return self.udst, sums
+
+    # ------------------------------------------------- label propagation
+
+    def mode_label(self, labels) -> tuple[np.ndarray, np.ndarray]:
+        """(lv sorted, lab) -> (dst, mode of neighbor labels) per shard
+        dst; ties -> smallest label. Complete within the shard because
+        shards are dst-disjoint."""
+        lv, lab = labels
+        empty = (np.array([], dtype=np.int64), np.array([], dtype=np.int64))
+        if len(lv) == 0 or len(self.usrc) == 0:
+            return empty
+        labmap = self._ingest(lv, lab, _I64MAX)
+        per_edge = labmap[self.src_local]
+        # sort edges by (column, label); runs = (col,label) count groups
+        order = np.lexsort((per_edge, self.edge_col))
+        col_s = self.edge_col[order]
+        lab_s = per_edge[order]
+        run_start = np.flatnonzero(
+            np.r_[True, (col_s[1:] != col_s[:-1]) | (lab_s[1:] != lab_s[:-1])]
+        )
+        run_col = col_s[run_start]
+        run_lab = lab_s[run_start]
+        run_cnt = np.diff(np.r_[run_start, len(col_s)])
+        keep = run_lab != _I64MAX  # srcs absent from the label map
+        run_col, run_lab, run_cnt = run_col[keep], run_lab[keep], run_cnt[keep]
+        if len(run_col) == 0:
+            return empty
+        # per column: max count, tie -> min label
+        pick = np.lexsort((run_lab, -run_cnt, run_col))
+        pc, pl = run_col[pick], run_lab[pick]
+        first = np.r_[True, pc[1:] != pc[:-1]]
+        return self.udst[pc[first]], pl[first]
+
+
+def build_shard_pool(edges, nshards: int) -> list:
+    """Split a materialized edge Dataset into dst-hash shards and spawn
+    one pinned GraphShardActor per shard."""
+    block_refs = [
+        ref for bundle in edges.iter_internal_ref_bundles() for ref in bundle.block_refs
+    ]
+    if not block_refs:
+        raise ValueError("empty edge dataset")
+    if nshards > 1:
+        splits = [
+            split_block_by_dst.options(num_returns=nshards).remote(ref, nshards)
+            for ref in block_refs
+        ]
+        groups = [[s[i] for s in splits] for i in range(nshards)]
+    else:
+        groups = [list(block_refs)]
+    return [GraphShardActor.remote(g) for g in groups]

@@ -16,7 +16,7 @@ from pds_hw2_mpi_connected_components_ray.stages.graph import canonical_edges
 from tests.oracles import labelprop_sync_oracle, triangles_oracle
 
 
-@pytest.mark.parametrize("mode", ["local", "shuffle"])
+@pytest.mark.parametrize("mode", ["local", "shuffle", "pinned"])
 def test_labelprop_matches_oracle(mode):
     g = g_ring_of_cliques()
     edges = canonical_edges(from_numpy_edges(g.edges, num_blocks=4))

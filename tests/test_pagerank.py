@@ -19,7 +19,7 @@ def _ranks_np(res, verts):
     return df["rank"].to_numpy()
 
 
-@pytest.mark.parametrize("mode", ["local", "shuffle"])
+@pytest.mark.parametrize("mode", ["local", "shuffle", "pinned"])
 @pytest.mark.parametrize("gname", ["g_two_cliques", "g_ring_of_cliques"])
 def test_pagerank_matches_oracle(gname, mode):
     g = ALL_GRAPHS[gname]()
