@@ -193,7 +193,7 @@ def _q_pagerank(sf_dir: str):
     _configure()
     from pds_hw2_mpi_connected_components_ray.pipelines.pagerank import pagerank
 
-    res = pagerank(_canon_edges(sf_dir), max_iters=20, tol=None)
+    res = pagerank(_canon_edges(sf_dir), max_iters=20, tol=None, mode="pinned")
     df = res.ranks.to_pandas()
     return pd.DataFrame({"vertex": df["vertex"], "pr": np.round(df["rank"].to_numpy(), 6)})
 
@@ -202,7 +202,7 @@ def _q_labelprop(sf_dir: str):
     _configure()
     from pds_hw2_mpi_connected_components_ray.pipelines.labelprop import labelprop
 
-    return labelprop(_canon_edges(sf_dir), iterations=4).labels
+    return labelprop(_canon_edges(sf_dir), iterations=4, mode="pinned").labels
 
 
 def _q_triangle_total(sf_dir: str):
@@ -330,6 +330,22 @@ def _q_embedding_pairs(sf_dir: str):
     )
 
 
+def _q_dup_groups(sf_dir: str):
+    """MinHash near-dup pairs clustered into groups via the engine's own
+    connected components (rows-only: hashing is not SQL-expressible)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.dedup import (
+        duplicate_groups,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
+    if pairs.count() == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "group_id": pd.Series([], dtype="int64")})
+    return duplicate_groups(pairs)
+
+
 def _q_lang_id(sf_dir: str):
     _configure()
     from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import lang_id_stage
@@ -439,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_pairs,
         "embedding_dup_pairs": _q_embedding_pairs,
+        "dup_groups": _q_dup_groups,
         # similarity search
         "knn_cosine": _q_knn,
         "knn_ivf": _q_knn_ivf,

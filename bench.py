@@ -97,6 +97,8 @@ def bench_headline(trials: int = 3) -> dict:
         "cc_sec": mean_t,
         "cc_sec_min": min(times),
         "cc_sec_max": max(times),
+        "cc_sec_median": statistics.median(times),
+        "cc_sec_stddev": statistics.stdev(times) if len(times) > 1 else 0.0,
         "cc_trials": trials,
         "load_sec": t_load,
         "n_edges": n_edges,

@@ -65,8 +65,11 @@ def triangle_count(
     ray.put -- 16 bytes/vertex; for vertex sets beyond worker memory,
     swap the broadcast for two hash joins, same semantics).
     """
-    npart = num_partitions or default_parallelism()
     simple = drop_self_loops(edges).materialize()
+    # clamp partitions to the data size: tiny partitions only add task
+    # overhead and risk Ray's empty-partition join crash
+    npart = num_partitions or default_parallelism()
+    npart = max(2, min(npart, simple.count() // 100_000 + 2))
     deg_tab = pa.concat_tables(
         list(degrees(simple).iter_batches(batch_format="pyarrow", batch_size=None))
     )
@@ -112,8 +115,9 @@ def triangles_per_vertex(
     """
     from ray.data.aggregate import Sum
 
-    npart = num_partitions or default_parallelism()
     simple = drop_self_loops(edges).materialize()
+    npart = num_partitions or default_parallelism()
+    npart = max(2, min(npart, simple.count() // 100_000 + 2))
     deg_tab = pa.concat_tables(
         list(degrees(simple).iter_batches(batch_format="pyarrow", batch_size=None))
     )

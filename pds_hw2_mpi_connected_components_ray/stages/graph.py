@@ -99,6 +99,18 @@ def init_labels(edges: Dataset) -> Dataset:
     )
 
 
+def binarize(edges: Dataset, weight_col: str = "weight") -> Dataset:
+    """Weighted edge list -> binary adjacency: keep rows with weight != 0,
+    drop the weight (reference T2: value != 0.0 gate then discard,
+    /root/reference/src/converter/mtx_to_bin.c:198, src/matrix.c:8-9)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.not_equal(t[weight_col], 0.0))
+        return kept.drop_columns([weight_col])
+
+    return edges.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def drop_self_loops(edges: Dataset) -> Dataset:
     return edges.map_batches(
         lambda t: t.filter(pc.not_equal(t["src"], t["dst"])),

@@ -1,0 +1,88 @@
+"""Hypothesis property tests for the pure functions: the determinism
+backbone (byte-identical extraction, stable hashing, oracle-agreeing
+CC on random graphs)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pds_hw2_mpi_connected_components_ray.functions.extract import (
+    build_html,
+    extract_links,
+    extract_text,
+)
+from pds_hw2_mpi_connected_components_ray.functions.hashing import (
+    char_shingles,
+    exact_jaccard,
+    minhash_params,
+    minhash_signature,
+)
+from pds_hw2_mpi_connected_components_ray.functions.textstats import token_count
+from pds_hw2_mpi_connected_components_ray.functions.urls import mint_id
+from tests.oracles import cc_bfs, cc_hashmin_seq, cc_union_find
+
+text_strategy = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400
+)
+url_strategy = st.from_regex(r"https://[a-z0-9]{1,10}\.example/[a-zA-Z0-9/_-]{0,30}", fullmatch=True)
+
+
+@settings(max_examples=200, deadline=None)
+@given(text=text_strategy, urls=st.lists(url_strategy, max_size=5))
+def test_extract_roundtrip_any_text(text, urls):
+    html = build_html("https://u.example/p", text, urls)
+    assert extract_text(html) == text  # byte-identical per-row invariant
+    assert extract_links(html) == urls
+
+
+@settings(max_examples=100, deadline=None)
+@given(s=st.text(max_size=100))
+def test_mint_id_stable_and_in_range(s):
+    a = mint_id(s)
+    assert a == mint_id(s)
+    assert 0 <= a < 2**63
+
+
+@settings(max_examples=100, deadline=None)
+@given(s=st.text(max_size=200))
+def test_token_count_nonnegative_and_split_consistent(s):
+    n = token_count(s)
+    assert n == len(s.split())
+
+
+@settings(max_examples=50, deadline=None)
+@given(a=st.text(min_size=0, max_size=300), b=st.text(min_size=0, max_size=300))
+def test_minhash_estimates_jaccard(a, b):
+    pa_, pb_ = minhash_params(128)
+    sa = minhash_signature(char_shingles(a), pa_, pb_)
+    sb = minhash_signature(char_shingles(b), pa_, pb_)
+    est = float(np.mean(sa == sb))
+    true = exact_jaccard(char_shingles(a), char_shingles(b))
+    # identical inputs estimate exactly; otherwise within a loose bound
+    if a == b:
+        assert est == 1.0
+    else:
+        assert abs(est - true) <= 0.35
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(min_value=2, max_value=40),
+    data=st.data(),
+)
+def test_cc_oracles_agree_on_random_graphs(n, data):
+    m = data.draw(st.integers(min_value=0, max_value=3 * n))
+    edges = np.array(
+        [
+            [data.draw(st.integers(0, n - 1)), data.draw(st.integers(0, n - 1))]
+            for _ in range(m)
+        ],
+        dtype=np.int64,
+    ).reshape(-1, 2)
+    a = cc_union_find(n, edges)
+    b = cc_bfs(n, edges)
+    c = cc_hashmin_seq(n, edges)
+    assert np.array_equal(a, b)
+    assert np.array_equal(a, c)
