@@ -181,6 +181,28 @@ def _q_cc_labels(sf_dir: str, **kw):
     return connected_components(_canon_edges(sf_dir), **kw).labels
 
 
+def _q_degree_histogram(sf_dir: str):
+    _configure()
+    from ray.data.aggregate import Count
+
+    from pds_hw2_mpi_connected_components_ray.stages.graph import degrees
+
+    agg = degrees(_canon_edges(sf_dir)).groupby("degree").aggregate(
+        Count(alias_name="n_vertices")
+    )
+    return agg
+
+
+def _q_component_sizes(sf_dir: str):
+    _configure()
+    from ray.data.aggregate import Count
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.cc import connected_components
+
+    labels = connected_components(_canon_edges(sf_dir)).labels
+    return labels.groupby("label").aggregate(Count(alias_name="csize"))
+
+
 def _q_cc_count(sf_dir: str):
     _configure()
     from pds_hw2_mpi_connected_components_ray.pipelines.cc import connected_components
@@ -437,6 +459,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_labels_unionfind": lambda sf: _q_cc_labels(sf, method="unionfind"),
         "cc_checkpoint_resume": _q_cc_checkpointed,
         "cc_count": _q_cc_count,
+        "component_sizes": _q_component_sizes,
+        "degree_histogram": _q_degree_histogram,
         "pagerank20": _q_pagerank,
         "labelprop4": _q_labelprop,
         "triangle_total": _q_triangle_total,
@@ -480,6 +504,14 @@ def oracle_sql() -> dict[str, str]:
         "cc_labels_unionfind": cc_sql,
         "cc_checkpoint_resume": cc_sql,
         "cc_count": f"SELECT count(DISTINCT label)::BIGINT AS n_components FROM ({cc_sql})",
+        "component_sizes": (
+            f"SELECT label, count(*)::BIGINT AS csize FROM ({cc_sql}) GROUP BY label"
+        ),
+        "degree_histogram": (
+            f"WITH {_EDGES_CTES}, "
+            "deg AS (SELECT src, count(*)::BIGINT AS degree FROM edges GROUP BY src) "
+            "SELECT degree, count(*)::BIGINT AS n_vertices FROM deg GROUP BY degree"
+        ),
         "pagerank20": _pagerank_sql(20),
         "labelprop4": _labelprop_sql(4),
         "triangle_total": (
