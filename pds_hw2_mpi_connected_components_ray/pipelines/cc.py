@@ -591,6 +591,9 @@ def _cc_hashmin_shuffle(
                 apply_jump, batch_format="pyarrow", zero_copy_batch=True
             ).materialize()
 
+        # new_labels is materialized in both branches above; labels is a
+        # cheap lazy projection over it -- saves one object-store
+        # materialization per superstep
         frontier = new_labels.map_batches(
             lambda t: t.filter(pc.less(t["label"], t["old"])).select(
                 ["vertex", "label"]
@@ -598,7 +601,7 @@ def _cc_hashmin_shuffle(
             batch_format="pyarrow",
             zero_copy_batch=True,
         ).materialize()
-        labels = new_labels.select_columns(["vertex", "label"]).materialize()
+        labels = new_labels.select_columns(["vertex", "label"])
         changed = frontier.count()
         history.append(changed)
         if checkpoint_dir is not None:

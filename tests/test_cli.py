@@ -1,0 +1,54 @@
+"""End-to-end CLI: pages parquet in -> partitioned labels out, with
+checkpointing. Runs main() in-process (Ray session already owned by the
+test fixture; the CLI's init is guarded)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from fixtures.synth_pages import g_ring_of_cliques, pages_table, page_url
+from pds_hw2_mpi_connected_components_ray.cli import main
+from pds_hw2_mpi_connected_components_ray.functions.urls import mint_id
+from pds_hw2_mpi_connected_components_ray.sources.sinks import read_partitioned
+from tests.oracles import cc_union_find
+
+
+def test_cli_end_to_end(tmp_path, capsys):
+    g = g_ring_of_cliques()
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages_table(g), pages_path)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    rc = main(
+        [
+            "--pages", pages_path,
+            "--out", out,
+            "--checkpoint-dir", ck,
+            "--analytics", "cc,triangles",
+            "--out-partitions", "8",
+        ]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["outputs"]["cc"]["n_components"] == 1
+    assert report["outputs"]["triangles"]["total"] == 20 * 120  # 20 * C(10,3)
+    # labels on disk match the oracle through the url->id mint
+    labels = read_partitioned(f"{out}/cc_labels").to_pandas()
+    oracle = cc_union_find(g.n, g.edges)
+    id2vertex = {mint_id(page_url(v)): v for v in range(g.n)}
+    min_id = min(mint_id(page_url(v)) for v in range(g.n))  # noqa: F841
+    got = dict(zip(labels["vertex"], labels["label"]))
+    # every page's component representative maps back to one oracle component
+    comp_of_label: dict[int, int] = {}
+    for vid, lab in got.items():
+        v = id2vertex[vid]
+        c = oracle[v]
+        comp_of_label.setdefault(lab, c)
+        assert comp_of_label[lab] == c
+    # checkpoints were written
+    assert any(d.startswith("superstep_") for d in os.listdir(ck))
