@@ -220,6 +220,25 @@ def _q_pagerank(sf_dir: str):
     return pd.DataFrame({"vertex": df["vertex"], "pr": np.round(df["rank"].to_numpy(), 6)})
 
 
+def _q_pagerank_top10(sf_dir: str):
+    """Top-10 vertices by PageRank -- exercises sort + limit with a
+    deterministic (pr desc, vertex asc) tie-break."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.pagerank import pagerank
+
+    res = pagerank(_canon_edges(sf_dir), max_iters=20, tol=None, mode="pinned")
+    import ray.data as rd
+
+    ranks = res.ranks.map_batches(
+        lambda df: pd.DataFrame(
+            {"vertex": df["vertex"], "pr": np.round(df["rank"].to_numpy(), 6)}
+        ),
+        batch_format="pandas",
+    )
+    top = ranks.sort(["pr", "vertex"], descending=[True, False]).limit(10)
+    return top
+
+
 def _q_labelprop(sf_dir: str):
     _configure()
     from pds_hw2_mpi_connected_components_ray.pipelines.labelprop import labelprop
@@ -462,6 +481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "component_sizes": _q_component_sizes,
         "degree_histogram": _q_degree_histogram,
         "pagerank20": _q_pagerank,
+        "pagerank_top10": _q_pagerank_top10,
         "labelprop4": _q_labelprop,
         "triangle_total": _q_triangle_total,
         "triangles_by_vertex": _q_triangles_by_vertex,
@@ -513,6 +533,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT degree, count(*)::BIGINT AS n_vertices FROM deg GROUP BY degree"
         ),
         "pagerank20": _pagerank_sql(20),
+        "pagerank_top10": (
+            f"SELECT vertex, pr FROM ({_pagerank_sql(20)}) "
+            "ORDER BY pr DESC, vertex ASC LIMIT 10"
+        ),
         "labelprop4": _labelprop_sql(4),
         "triangle_total": (
             f"WITH {_TRI_CTES} SELECT count(*)::BIGINT AS n_triangles FROM tri"
