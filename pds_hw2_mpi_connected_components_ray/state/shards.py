@@ -26,11 +26,20 @@ import ray
 _I64MAX = np.iinfo(np.int64).max
 
 
+def _as_arrow(table) -> pa.Table:
+    """Coerce a block to Arrow (datasets that went through a pandas
+    map_groups stage carry pandas blocks)."""
+    if isinstance(table, pa.Table):
+        return table
+    return pa.Table.from_pandas(table, preserve_index=False)
+
+
 @ray.remote
-def split_block_by_dst(table: pa.Table, nshards: int):
+def split_block_by_dst(table, nshards: int):
     """Bucket one edge block by hash(dst) into nshards sub-tables (one
     object per shard via num_returns) -- the load-time exchange that
     replaces a full shuffle."""
+    table = _as_arrow(table)
     dst = table["dst"].to_numpy(zero_copy_only=False)
     bucket = dst % nshards
     out = []
@@ -43,7 +52,8 @@ def split_block_by_dst(table: pa.Table, nshards: int):
 @ray.remote
 class GraphShardActor:
     def __init__(self, block_refs: list):
-        tables = [t for t in ray.get(list(block_refs)) if t.num_rows]
+        tables = [_as_arrow(t) for t in ray.get(list(block_refs))]
+        tables = [t for t in tables if t.num_rows]
         if tables:
             src = np.concatenate([t["src"].to_numpy(zero_copy_only=False) for t in tables])
             dst = np.concatenate([t["dst"].to_numpy(zero_copy_only=False) for t in tables])
