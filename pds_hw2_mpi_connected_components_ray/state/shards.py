@@ -34,12 +34,20 @@ def _as_arrow(table) -> pa.Table:
     return pa.Table.from_pandas(table, preserve_index=False)
 
 
+_EMPTY_EDGES = pa.table(
+    {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+)
+
+
 @ray.remote
 def split_block_by_dst(table, nshards: int):
     """Bucket one edge block by hash(dst) into nshards sub-tables (one
     object per shard via num_returns) -- the load-time exchange that
     replaces a full shuffle."""
     table = _as_arrow(table)
+    if table.num_rows == 0 or "dst" not in table.column_names:
+        # groupby stages occasionally emit schema-less empty blocks
+        return tuple([_EMPTY_EDGES] * nshards) if nshards > 1 else _EMPTY_EDGES
     dst = table["dst"].to_numpy(zero_copy_only=False)
     bucket = dst % nshards
     out = []
