@@ -160,32 +160,18 @@ def bench_suite() -> dict:
     return qtimes
 
 
-PAGES_REP = int(os.environ.get("BENCH_PAGES_REP", "128"))
+PAGES_REP = int(os.environ.get("BENCH_PAGES_REP", "256"))
 PIPE_BLOCKS = int(os.environ.get("BENCH_PIPE_BLOCKS", "256"))
 
 
-def bench_pipeline() -> dict:
-    """The full link-graph pipeline, end to end (north_rule's job):
-    pages (with html) -> link extraction -> url normalize -> id mint ->
-    undirected closure -> pinned-shard CC to exact-label convergence.
-
-    The pages table is synthesized once (untimed fixture build: the
-    driver's documents replicated PAGES_REP times with planted links and
-    real html); the timed job is everything a production run does with
-    pages as input. Block count and shard count are FIXED so the 8- and
-    32-cpu runs execute the identical plan on identical input.
-    """
+def build_bench_pages():
+    """Synthesize the scaling fixture: the driver's documents replicated
+    PAGES_REP times with planted links and real html (untimed)."""
     import pandas as pd
 
     import ray.data as rd
 
     from pds_hw2_mpi_connected_components_ray.functions.extract import build_html
-    from pds_hw2_mpi_connected_components_ray.pipelines.cc import PinnedCCSolver
-    from pds_hw2_mpi_connected_components_ray.pipelines.extract_pipeline import (
-        extract_link_rows,
-        mint_edge_ids,
-    )
-    from pds_hw2_mpi_connected_components_ray.stages.graph import symmetrize
 
     docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
     n = docs.count()
@@ -204,11 +190,35 @@ def bench_pipeline() -> dict:
                 rows_html.append(build_html(url, text or "", links))
         return pd.DataFrame({"url": rows_url, "html": rows_html})
 
-    pages = (
-        docs.map_batches(to_pages, batch_format="pandas")
-        .repartition(PIPE_BLOCKS)
-        .materialize()
+    return docs.map_batches(to_pages, batch_format="pandas").repartition(PIPE_BLOCKS)
+
+
+def bench_pipeline() -> dict:
+    """The full link-graph pipeline, end to end (north_rule's job):
+    pages (with html) -> link extraction -> url normalize -> id mint ->
+    undirected closure -> pinned-shard CC to exact-label convergence.
+
+    The pages table is prebuilt (untimed; $BENCH_PAGES_DIR when the
+    scaling harness shares one across levels, else built in-process);
+    the timed job is everything a production run does with pages as
+    input. Block and shard counts are FIXED so all parallelism levels
+    execute the identical plan on identical input.
+    """
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.cc import PinnedCCSolver
+    from pds_hw2_mpi_connected_components_ray.pipelines.extract_pipeline import (
+        extract_link_rows,
+        mint_edge_ids,
     )
+    from pds_hw2_mpi_connected_components_ray.stages.graph import symmetrize
+
+    pages_dir = os.environ.get("BENCH_PAGES_DIR", "")
+    if pages_dir and os.path.isdir(pages_dir):
+        # lazy read: storage scan is part of the timed job (it scales)
+        pages = rd.read_parquet(pages_dir)
+    else:
+        pages = build_bench_pages().materialize()
     n_pages = pages.count()
 
     def job():
@@ -220,16 +230,12 @@ def bench_pipeline() -> dict:
         finally:
             solver.shutdown()
 
-    job()  # untimed warm pass (worker processes, page cache)
-    best = float("inf")
-    res = None
-    for _ in range(2):  # best-of-2: single-box noise suppression
-        t, res = _timed(job)
-        best = min(best, t)
+    job()  # untimed warm pass (worker processes, OS page cache)
+    t, res = _timed(job)
     return {
-        "pipeline_sec": best,
+        "pipeline_sec": t,
         "n_pages": n_pages,
-        "pages_per_sec": n_pages / best,
+        "pages_per_sec": n_pages / t,
         "n_components": res.n_components,
         "supersteps": res.supersteps,
         "pages_rep": PAGES_REP,
@@ -237,47 +243,71 @@ def bench_pipeline() -> dict:
 
 
 def run_scaling() -> dict:
-    """Fresh-process full-pipeline job at N and 4N CPUs, same input --
-    the sandbox stand-in for the N-vs-4N-node cluster criterion.
+    """Full-pipeline job at N and 4N CPUs (default 4 and 16) -- the
+    sandbox stand-in for the N-vs-4N-node cluster criterion.
 
-    Default levels 4 and 16 (not 8/32): at 32 workers the 32-core box is
-    saturated by worker + raylet + driver threads and measurements get
-    contention-noisy; 4 vs 16 keeps the 4x resource ratio with headroom.
-    Override with BENCH_SCALING_LEVELS="8,32".
+    Methodology for a noisy shared host: the pages fixture is built ONCE
+    and shared; then trials at the two levels run INTERLEAVED in fresh
+    processes and each level keeps its best throughput -- transient
+    noisy-neighbor contention (this box's effective core count swings
+    2x over minutes) hits both levels equally instead of biasing one.
+    Override levels with BENCH_SCALING_LEVELS="8,32", trials with
+    BENCH_SCALING_TRIALS.
     """
+    import shutil
+    import tempfile
+
     lo, hi = (
         int(x) for x in os.environ.get("BENCH_SCALING_LEVELS", "4,16").split(",")
     )
-    results = {}
-    for ncpu in (lo, hi):
-        env = dict(
-            os.environ,
-            RAY_GRAFT_CPUS=str(ncpu),
-            GRAFT_SF_DIR=SF_DIR,
-            BENCH_SCALE_REP=str(SCALE_REP),
-            BENCH_PAGES_REP=str(PAGES_REP),
-        )
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--pipeline-only"],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout
-        results[ncpu] = json.loads(out.strip().splitlines()[-1])
-    thr_lo = results[lo]["pipeline"]["pages_per_sec"]
-    thr_hi = results[hi]["pipeline"]["pages_per_sec"]
+    n_trials = int(os.environ.get("BENCH_SCALING_TRIALS", "2"))
+
+    pages_dir = tempfile.mkdtemp(prefix="bench_pages_")
+    try:
+        # build the shared fixture once (own short-lived Ray session)
+        _init_ray()
+        import ray
+
+        build_bench_pages().write_parquet(pages_dir)
+        ray.shutdown()
+
+        best: dict[int, dict] = {}
+        for _ in range(n_trials):
+            for ncpu in (lo, hi):
+                env = dict(
+                    os.environ,
+                    RAY_GRAFT_CPUS=str(ncpu),
+                    GRAFT_SF_DIR=SF_DIR,
+                    BENCH_PAGES_REP=str(PAGES_REP),
+                    BENCH_PAGES_DIR=pages_dir,
+                )
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--pipeline-only"],
+                    env=env,
+                    capture_output=True,
+                    text=True,
+                    check=True,
+                ).stdout
+                rec = json.loads(out.strip().splitlines()[-1])["pipeline"]
+                if ncpu not in best or rec["pipeline_sec"] < best[ncpu]["pipeline_sec"]:
+                    best[ncpu] = rec
+    finally:
+        shutil.rmtree(pages_dir, ignore_errors=True)
+
+    thr_lo = best[lo]["pages_per_sec"]
+    thr_hi = best[hi]["pages_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
     return {
         "metric": f"full-pipeline (pages->edges->cc) scaling {lo}->{hi} cpus (N vs 4N stand-in)",
         "sf": SF_DIR,
         f"pages_per_sec_{lo}": round(thr_lo, 1),
         f"pages_per_sec_{hi}": round(thr_hi, 1),
-        f"sec_{lo}": round(results[lo]["pipeline"]["pipeline_sec"], 3),
-        f"sec_{hi}": round(results[hi]["pipeline"]["pipeline_sec"], 3),
+        f"sec_{lo}": round(best[lo]["pipeline_sec"], 3),
+        f"sec_{hi}": round(best[hi]["pipeline_sec"], 3),
         "speedup": round(thr_hi / thr_lo, 3),
         "scaling_efficiency": round(eff, 3),
-        "n_pages": results[hi]["pipeline"]["n_pages"],
+        "n_pages": best[hi]["n_pages"],
+        "trials_per_level": n_trials,
     }
 
 
