@@ -221,8 +221,14 @@ def bench_pipeline() -> dict:
         pages = build_bench_pages().materialize()
     n_pages = pages.count()
 
+    job_kind = os.environ.get("BENCH_SCALING_JOB", "full")
+
     def job():
         edges = mint_edge_ids(extract_link_rows(pages))
+        if job_kind == "etl":
+            # streaming-ETL throughput only: pages -> minted edge rows,
+            # consumed without a sink (pure map chain)
+            return edges.count()
         sym = symmetrize(edges).materialize()
         solver = PinnedCCSolver(sym, nshards=4)
         try:
@@ -232,14 +238,17 @@ def bench_pipeline() -> dict:
 
     job()  # untimed warm pass (worker processes, OS page cache)
     t, res = _timed(job)
-    return {
+    out = {
         "pipeline_sec": t,
         "n_pages": n_pages,
         "pages_per_sec": n_pages / t,
-        "n_components": res.n_components,
-        "supersteps": res.supersteps,
         "pages_rep": PAGES_REP,
+        "job": job_kind,
     }
+    if job_kind != "etl":
+        out["n_components"] = res.n_components
+        out["supersteps"] = res.supersteps
+    return out
 
 
 def run_scaling() -> dict:
@@ -297,8 +306,9 @@ def run_scaling() -> dict:
     thr_lo = best[lo]["pages_per_sec"]
     thr_hi = best[hi]["pages_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
+    job_kind = best[hi].get("job", "full")
     return {
-        "metric": f"full-pipeline (pages->edges->cc) scaling {lo}->{hi} cpus (N vs 4N stand-in)",
+        "metric": f"pipeline job={job_kind} (pages->edges{'' if job_kind == 'etl' else '->cc'}) scaling {lo}->{hi} cpus (N vs 4N stand-in)",
         "sf": SF_DIR,
         f"pages_per_sec_{lo}": round(thr_lo, 1),
         f"pages_per_sec_{hi}": round(thr_hi, 1),
