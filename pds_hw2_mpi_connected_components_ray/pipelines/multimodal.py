@@ -91,9 +91,13 @@ class MediaDecodeStage:
 
 
 def decode_media(
-    media: Dataset, *, decoder: str = "fake", concurrency: int = 2, batch_size: int = 64
+    media: Dataset, *, decoder: str = "fake", concurrency=None, batch_size: int = 64
 ) -> Dataset:
     """media table -> per-item feature table via an actor-pool stage."""
+    if concurrency is None:
+        from ..context import default_parallelism
+
+        concurrency = (1, max(2, default_parallelism()))
     return media.map_batches(
         MediaDecodeStage,
         fn_constructor_kwargs={"decoder": decoder},

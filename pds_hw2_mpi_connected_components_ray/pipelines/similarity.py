@@ -163,8 +163,10 @@ def knn_ivf(
                 }
             )
 
+    from ..context import default_parallelism
+
     partials = embeddings.select_columns([id_col, vec_col]).map_batches(
-        _IVFScore, batch_format="pandas", concurrency=2
+        _IVFScore, batch_format="pandas", concurrency=(1, max(2, default_parallelism()))
     )
     allp = partials.to_pandas()
     if exclude_self:

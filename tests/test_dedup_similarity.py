@@ -67,12 +67,12 @@ def test_minhash_lsh_finds_planted_dups(corpus):
     exact, near = _planted_pairs(tab)
     pairs = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
     got = set(zip(pairs["a"], pairs["b"]))
-    # every exact pair is found with est jaccard 1.0
+    # every exact pair is found with exact (verified) jaccard 1.0
     for p in exact:
         assert p in got
-    est = dict(zip(zip(pairs["a"], pairs["b"]), pairs["est_jaccard"]))
+    jac = dict(zip(zip(pairs["a"], pairs["b"]), pairs["jaccard"]))
     for p in exact:
-        assert est[p] == 1.0
+        assert jac[p] == 1.0
     # most near pairs found (minhash is probabilistic but deterministic here)
     found_near = sum(1 for p in near if p in got)
     assert found_near >= len(near) * 0.7
