@@ -136,10 +136,17 @@ def bench_suite() -> dict:
 
     def run(name):
         fn = em.queries()[name]
-        t, out = _timed(lambda: fn(SF_DIR))
-        # consume lazy datasets so we time the full pipeline
-        if hasattr(out, "to_pandas"):
-            out.to_pandas()
+
+        def full():
+            out = fn(SF_DIR)
+            # consume lazy datasets INSIDE the timed window (round 1
+            # consumed after _timed returned, so lazy-query walls read
+            # ~0.04s; BENCH_r02 numbers are honest and thus larger)
+            if hasattr(out, "to_pandas"):
+                out.to_pandas()
+            return out
+
+        t, _ = _timed(full)
         return t
 
     for name in [
@@ -224,13 +231,19 @@ def bench_pipeline() -> dict:
     job_kind = os.environ.get("BENCH_SCALING_JOB", "full")
 
     def job():
+        from pds_hw2_mpi_connected_components_ray.state.shards import spawn_shard_pool
+
+        # pre-spawn the solver pool FIRST: actor worker processes start
+        # while the extraction chain streams, hiding the fixed spawn
+        # cost that capped round-1 full-job scaling at 0.52-0.69
+        actors = None if job_kind == "etl" else spawn_shard_pool(4)
         edges = mint_edge_ids(extract_link_rows(pages))
         if job_kind == "etl":
             # streaming-ETL throughput only: pages -> minted edge rows,
             # consumed without a sink (pure map chain)
             return edges.count()
         sym = symmetrize(edges).materialize()
-        solver = PinnedCCSolver(sym, nshards=4)
+        solver = PinnedCCSolver(sym, actors=actors)
         try:
             return solver.solve()
         finally:

@@ -52,20 +52,26 @@ def extract_link_rows(pages: Dataset, normalize: bool = True) -> Dataset:
     return pages.map_batches(fn, batch_format="pandas")
 
 
+def _mint_unique(urls: np.ndarray) -> np.ndarray:
+    """Mint ids for a url array, hashing each DISTINCT url once: link
+    rows repeat urls heavily (every src appears per out-link, popular
+    dsts appear per in-link), so unique-then-hash cuts blake2b calls by
+    the batch's duplication factor."""
+    uniq, inv = np.unique(urls, return_inverse=True)
+    ids = np.fromiter((mint_id(u) for u in uniq), dtype=np.int64, count=len(uniq))
+    return ids[inv]
+
+
 def mint_edge_ids(link_rows: Dataset) -> Dataset:
     """(src_url, dst_url) -> directed (src, dst) int64 via stable hashing."""
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "src": np.fromiter(
-                    (mint_id(u) for u in batch["src_url"]), dtype=np.int64, count=len(batch)
-                ),
-                "dst": np.fromiter(
-                    (mint_id(u) for u in batch["dst_url"]), dtype=np.int64, count=len(batch)
-                ),
-            }
+        n = len(batch)
+        both = np.concatenate(
+            [batch["src_url"].to_numpy(), batch["dst_url"].to_numpy()]
         )
+        minted = _mint_unique(both)
+        return pd.DataFrame({"src": minted[:n], "dst": minted[n:]})
 
     return link_rows.map_batches(fn, batch_format="pandas")
 
@@ -74,14 +80,8 @@ def url_id_table(pages: Dataset) -> Dataset:
     """(url, vertex) dimension table for joining results back to urls."""
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "url": batch["url"].tolist(),
-                "vertex": np.fromiter(
-                    (mint_id(u) for u in batch["url"]), dtype=np.int64, count=len(batch)
-                ),
-            }
-        )
+        urls = batch["url"].to_numpy()
+        return pd.DataFrame({"url": urls, "vertex": _mint_unique(urls)})
 
     return pages.map_batches(fn, batch_format="pandas")
 

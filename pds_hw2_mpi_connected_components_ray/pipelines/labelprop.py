@@ -63,39 +63,33 @@ def labelprop(
 
 
 def _lp_pinned(edges: Dataset, iterations: int) -> LabelPropResult:
-    """Actor-pool sync LPA over pinned dst-hash CSC shards: each shard
-    computes COMPLETE per-dst neighbor-label modes locally (shards are
-    dst-disjoint), same deterministic (count desc, label asc) tie-break."""
-    from ..state.shards import build_shard_pool
+    """DECENTRALIZED actor-pool sync LPA over pinned dst-hash CSC
+    shards: each shard owns its vertex partition's labels, computes
+    COMPLETE per-dst neighbor-label modes locally (shards are
+    dst-disjoint, same deterministic count-desc/label-asc tie-break),
+    and peers exchange label slices through the object store. The
+    driver reduces only the changed-count scalar per iteration."""
+    from ..state.shards import build_shard_pool, init_vertex_ownership
 
     ncpus = int(ray.cluster_resources().get("CPU", 8))
     actors = build_shard_pool(edges, max(2, ncpus))
     try:
-        verts = np.unique(
-            np.concatenate(ray.get([a.local_vertices.remote() for a in actors]))
-        )
-        n = len(verts)
-        labels = verts.copy()
+        init_vertex_ownership(actors)
+        ray.get([a.lp_start.remote() for a in actors])
         for _ in range(iterations):
-            ref = ray.put((verts, labels))
-            new = labels.copy()
-            for dv, win in ray.get([a.mode_label.remote(ref) for a in actors]):
-                if len(dv):
-                    new[np.searchsorted(verts, dv)] = win
-            if np.array_equal(new, labels):
+            lrefs = [a.lp_emit.remote() for a in actors]  # refs only
+            changed = sum(ray.get([a.lp_step.remote(lrefs) for a in actors]))
+            if changed == 0:
                 break
-            labels = new
+        import ray.data as rd
+
+        labels = rd.from_arrow_refs([a.lp_table.remote() for a in actors])
+        labels = labels.materialize()
     finally:
         for a in actors:
             ray.kill(a)
 
-    import ray.data as rd
-
-    return LabelPropResult(
-        labels=rd.from_arrow(pa.table({"vertex": verts, "label": labels})),
-        iterations=iterations,
-        mode="pinned",
-    )
+    return LabelPropResult(labels=labels, iterations=iterations, mode="pinned")
 
 
 def _mode_per_vertex(d: np.ndarray, lab: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

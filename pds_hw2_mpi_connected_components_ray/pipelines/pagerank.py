@@ -78,48 +78,41 @@ def pagerank(
 def _pagerank_pinned(
     edges: Dataset, damping: float, max_iters: int, tol: float | None
 ) -> PageRankResult:
-    """Actor-pool power iteration over pinned dst-hash CSC shards (see
-    state.shards): per iteration one ray.put of the per-src weight
-    vector and one O(local m) push_sum per shard; shard outputs are
-    dst-disjoint so the driver merge is O(n)."""
-    from ..state.shards import build_shard_pool
+    """DECENTRALIZED actor-pool power iteration over pinned dst-hash CSC
+    shards: each shard owns the ranks of its vertex partition, peers
+    pull each other's (vertex, rank/outdeg) slices through the object
+    store, and the driver reduces only two scalars per iteration
+    (dangling mass, L1 delta) -- no O(n) driver vector (round 1 merged
+    contributions and ranks on the driver every iteration)."""
+    from ..state.shards import build_shard_pool, init_vertex_ownership
 
     ncpus = int(ray.cluster_resources().get("CPU", 8))
     actors = build_shard_pool(edges, max(2, ncpus))
     try:
-        verts = np.unique(
-            np.concatenate(ray.get([a.local_vertices.remote() for a in actors]))
-        )
-        n = len(verts)
-        deg = np.zeros(n, dtype=np.int64)
-        for uv, cnt in ray.get([a.local_out_counts.remote() for a in actors]):
-            if len(uv):
-                np.add.at(deg, np.searchsorted(verts, uv), cnt)
-        dangling_mask = deg == 0
-        r = np.full(n, 1.0 / n)
+        n = init_vertex_ownership(actors)
+        ray.get([a.pr_start.remote(n) for a in actors])
         it = 0
         l1 = float("inf")
         for it in range(1, max_iters + 1):
-            w = np.where(dangling_mask, 0.0, r / np.maximum(deg, 1))
-            ref = ray.put((verts, w))
-            contrib = np.zeros(n)
-            for dv, s in ray.get([a.push_sum.remote(ref) for a in actors]):
-                if len(dv):
-                    pos = np.searchsorted(verts, dv)
-                    contrib[pos] += s
-            dangling = float(r[dangling_mask].sum())
-            r_new = (1 - damping) / n + damping * (contrib + dangling / n)
-            l1 = float(np.abs(r_new - r).sum())
-            r = r_new
+            wrefs = [a.pr_emit.remote() for a in actors]  # refs only
+            dangling = float(sum(ray.get([a.pr_dangling.remote() for a in actors])))
+            l1 = float(
+                sum(
+                    ray.get(
+                        [a.pr_step.remote(wrefs, dangling, damping) for a in actors]
+                    )
+                )
+            )
             if tol is not None and l1 < tol:
                 break
+        import ray.data as rd
+
+        ranks = rd.from_arrow_refs([a.pr_table.remote() for a in actors])
+        ranks = ranks.materialize()
     finally:
         for a in actors:
             ray.kill(a)
 
-    import ray.data as rd
-
-    ranks = rd.from_arrow(pa.table({"vertex": verts, "rank": r}))
     return PageRankResult(ranks=ranks, iterations=it, mode="pinned", l1_delta=l1)
 
 

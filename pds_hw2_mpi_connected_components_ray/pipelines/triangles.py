@@ -30,6 +30,9 @@ from ..stages.graph import degrees, drop_self_loops
 from ..stages.joins import hash_join, put_lookup
 
 
+BROADCAST_DEGREE_THRESHOLD = 5_000_000  # vertices; ~80 MB of (id, deg) pairs
+
+
 def _orient(edges: Dataset, deg_ref) -> Dataset:
     """Attach degrees (broadcast lookup) and keep only low->high edges,
     carrying the destination's degree for the wedge tie-break."""
@@ -54,27 +57,71 @@ def _orient(edges: Dataset, deg_ref) -> Dataset:
     return edges.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _orient_join(edges: Dataset, degs: Dataset, npart: int) -> Dataset:
+    """Degree attach via two hash joins -- the scale path when the
+    vertex set exceeds the broadcast threshold (an O(n) (id, degree)
+    lookup per worker dies at web scale; a hash join ships each edge
+    once per attach instead)."""
+    d_src = degs.map_batches(
+        lambda t: t.rename_columns(["src", "_ds"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    d_dst = degs.map_batches(
+        lambda t: t.rename_columns(["dst", "_dd"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    j = hash_join(
+        hash_join(edges, d_src, on=("src",), num_partitions=npart),
+        d_dst,
+        on=("dst",),
+        num_partitions=npart,
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        ds_ = t["_ds"].to_numpy(zero_copy_only=False)
+        dd_ = t["_dd"].to_numpy(zero_copy_only=False)
+        keep = (ds_ < dd_) | ((ds_ == dd_) & (src < dst))
+        return pa.table({"a": src[keep], "b": dst[keep], "db": dd_[keep]})
+
+    return j.map_batches(orient, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _oriented_edges(
+    simple: Dataset, npart: int, broadcast_threshold: int
+) -> Dataset:
+    """Degree-oriented edge table (a, b, db): broadcast attach for small
+    vertex sets, two-hash-join attach beyond the threshold."""
+    degs = degrees(simple).materialize()
+    if degs.count() <= broadcast_threshold:
+        deg_tab = pa.concat_tables(
+            list(degs.iter_batches(batch_format="pyarrow", batch_size=None))
+        )
+        deg_ref = put_lookup(deg_tab, "vertex", "degree")
+        return _orient(simple, deg_ref).materialize()
+    return _orient_join(simple, degs, npart).materialize()
+
+
 def triangle_count(
     edges: Dataset,
     *,
     num_partitions: int | None = None,
+    broadcast_threshold: int = BROADCAST_DEGREE_THRESHOLD,
 ) -> int:
     """Total triangles in the canonical symmetric deduped edge table.
 
-    Degrees are broadcast (one (vertex,degree) int64 pair per vertex via
-    ray.put -- 16 bytes/vertex; for vertex sets beyond worker memory,
-    swap the broadcast for two hash joins, same semantics).
-    """
+    Degree attach is broadcast below `broadcast_threshold` vertices
+    (16 B/vertex via ray.put) and a two-hash-join beyond it (the scale
+    path; semantics identical, tested through both)."""
     simple = drop_self_loops(edges).materialize()
     # clamp partitions to the data size: tiny partitions only add task
     # overhead and risk Ray's empty-partition join crash
     npart = num_partitions or default_parallelism()
     npart = max(2, min(npart, simple.count() // 100_000 + 2))
-    deg_tab = pa.concat_tables(
-        list(degrees(simple).iter_batches(batch_format="pyarrow", batch_size=None))
-    )
-    deg_ref = put_lookup(deg_tab, "vertex", "degree")
-    oriented = _orient(simple, deg_ref).materialize()
+    oriented = _oriented_edges(simple, npart, broadcast_threshold)
 
     right = oriented.map_batches(
         lambda t: pa.table({"a2": t["a"], "c": t["b"], "dc": t["db"]}),
@@ -106,7 +153,10 @@ def triangle_count(
 
 
 def triangles_per_vertex(
-    edges: Dataset, *, num_partitions: int | None = None
+    edges: Dataset,
+    *,
+    num_partitions: int | None = None,
+    broadcast_threshold: int = BROADCAST_DEGREE_THRESHOLD,
 ) -> Dataset:
     """(vertex, triangles) -- number of triangles incident to each vertex.
 
@@ -118,11 +168,7 @@ def triangles_per_vertex(
     simple = drop_self_loops(edges).materialize()
     npart = num_partitions or default_parallelism()
     npart = max(2, min(npart, simple.count() // 100_000 + 2))
-    deg_tab = pa.concat_tables(
-        list(degrees(simple).iter_batches(batch_format="pyarrow", batch_size=None))
-    )
-    deg_ref = put_lookup(deg_tab, "vertex", "degree")
-    oriented = _orient(simple, deg_ref).materialize()
+    oriented = _oriented_edges(simple, npart, broadcast_threshold)
     right = oriented.map_batches(
         lambda t: pa.table({"a2": t["a"], "c": t["b"], "dc": t["db"]}),
         batch_format="pyarrow",

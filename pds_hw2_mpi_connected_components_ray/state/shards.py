@@ -344,6 +344,149 @@ class GraphShardActor:
         self.fr_l = fl[fmine].copy()
 
 
+    # --------------------------------------- decentralized vertex state
+    # Generic ownership for iterative kernels beyond CC (PageRank, label
+    # propagation): vertex v is owned by shard v % nshards. Unlike the
+    # CC path (which only needs dst labels), ownership here covers the
+    # FULL local vertex set (src-only vertices of directed graphs too),
+    # established by a one-time peer exchange. Per iteration the driver
+    # again moves only ObjectRefs and scalars.
+
+    def own_candidates(self, sid: int, nshards: int):
+        """Local vertices grouped by owner shard (one object per shard)."""
+        self.sid = sid
+        self.vx_nshards = nshards
+        lv = self.local_vertices()
+        groups = tuple(lv[lv % nshards == s] for s in range(nshards))
+        return groups if nshards > 1 else groups[0]
+
+    def set_own_vertices(self, refs: list) -> int:
+        """Union the peers' candidate slices for my modulo class."""
+        parts = [ray.get(r) for r in refs]
+        parts = [p for p in parts if len(p)]
+        self.vx_own = (
+            np.unique(np.concatenate(parts)) if parts else np.array([], np.int64)
+        )
+        # positions of my udst inside my owned set (contrib scatter map)
+        self.vx_dst_pos = np.searchsorted(self.vx_own, self.udst)
+        return len(self.vx_own)
+
+    def outdeg_parts(self):
+        """Local (src, out_count) pairs grouped by owner shard."""
+        ns = self.vx_nshards
+        ids, cnt = self.local_out_counts()
+        groups = tuple(
+            (ids[ids % ns == s], cnt[ids % ns == s]) for s in range(ns)
+        )
+        return groups if ns > 1 else groups[0]
+
+    def set_outdeg(self, refs: list) -> None:
+        """Sum the peers' out-count slices onto my owned vertices."""
+        deg = np.zeros(len(self.vx_own), dtype=np.int64)
+        for r in refs:
+            ids, cnt = ray.get(r)
+            if len(ids):
+                np.add.at(deg, np.searchsorted(self.vx_own, ids), cnt)
+        self.vx_deg = deg
+
+    # --------------------------------------------- decentralized PageRank
+
+    def pr_start(self, n_global: int) -> None:
+        self.pr_n = n_global
+        self.pr_r = np.full(len(self.vx_own), 1.0 / n_global, dtype=np.float64)
+
+    def pr_emit(self):
+        """(own vertices, rank/outdeg weights) -- pulled by peers."""
+        w = np.where(
+            self.vx_deg == 0, 0.0, self.pr_r / np.maximum(self.vx_deg, 1)
+        )
+        return self.vx_own, w
+
+    def pr_dangling(self) -> float:
+        return float(self.pr_r[self.vx_deg == 0].sum())
+
+    def pr_step(self, weight_refs: list, dangling_total: float, damping: float) -> float:
+        """One power-iteration step for my owned vertices; returns the
+        local L1 delta (a scalar)."""
+        contrib = np.zeros(len(self.vx_own), dtype=np.float64)
+        parts = [ray.get(r) for r in weight_refs]
+        wvs = [p[0] for p in parts if len(p[0])]
+        if wvs and len(self.usrc):
+            wv = np.concatenate(wvs)
+            w = np.concatenate([p[1] for p in parts if len(p[0])])
+            sums_v, sums = self.push_sum((wv, w))
+            if len(sums_v):
+                contrib[self.vx_dst_pos] += sums
+        n = self.pr_n
+        r_new = (1 - damping) / n + damping * (contrib + dangling_total / n)
+        l1 = float(np.abs(r_new - self.pr_r).sum())
+        self.pr_r = r_new
+        return l1
+
+    def pr_table(self) -> pa.Table:
+        return pa.table({"vertex": self.vx_own, "rank": self.pr_r})
+
+    # --------------------------------------- decentralized label propagation
+
+    def lp_start(self) -> None:
+        self.lp_labels = self.vx_own.copy()
+
+    def lp_emit(self):
+        return self.vx_own, self.lp_labels
+
+    def lp_step(self, label_refs: list) -> int:
+        """One synchronous LPA step for my owned vertices (dst-disjoint
+        shards make the local neighbor-mode complete); returns the local
+        changed count (a scalar) for the convergence check."""
+        parts = [ray.get(r) for r in label_refs]
+        lvs = [p[0] for p in parts if len(p[0])]
+        if not lvs or not len(self.usrc):
+            return 0
+        lv = np.concatenate(lvs)
+        lab = np.concatenate([p[1] for p in parts if len(p[0])])
+        win_v, win_l = self.mode_label((lv, lab))
+        if not len(win_v):
+            return 0
+        pos = np.searchsorted(self.vx_own, win_v)
+        changed = int(np.count_nonzero(self.lp_labels[pos] != win_l))
+        self.lp_labels[pos] = win_l
+        return changed
+
+    def lp_table(self) -> pa.Table:
+        return pa.table({"vertex": self.vx_own, "label": self.lp_labels})
+
+
+def init_vertex_ownership(actors: list) -> int:
+    """One-time peer exchange establishing full vertex ownership and
+    global out-degrees on a shard pool (driver moves only refs and the
+    per-shard owned counts). Returns the GLOBAL vertex count."""
+    ns = len(actors)
+    if ns > 1:
+        cands = [
+            a.own_candidates.options(num_returns=ns).remote(i, ns)
+            for i, a in enumerate(actors)
+        ]
+        counts = ray.get(
+            [
+                actors[s].set_own_vertices.remote([cands[i][s] for i in range(ns)])
+                for s in range(ns)
+            ]
+        )
+        degp = [a.outdeg_parts.options(num_returns=ns).remote() for a in actors]
+        ray.get(
+            [
+                actors[s].set_outdeg.remote([degp[i][s] for i in range(ns)])
+                for s in range(ns)
+            ]
+        )
+    else:
+        c = [a.own_candidates.remote(0, 1) for a in actors]
+        counts = ray.get([actors[0].set_own_vertices.remote(c)])
+        d = [a.outdeg_parts.remote() for a in actors]
+        ray.get([actors[0].set_outdeg.remote(d)])
+    return int(sum(counts))
+
+
 def spawn_shard_pool(nshards: int) -> list:
     """Spawn empty shard actors (worker processes start immediately);
     feed them later with load_shard_pool -- lets actor startup overlap

@@ -86,3 +86,21 @@ def test_lineage_metrics_recorded(tmp_path):
     assert "changed" in lineage and "wall_s" in lineage and lineage["mode"] == "local"
     # final superstep converged
     assert lineage["changed"] == 0
+
+
+@pytest.mark.parametrize("mode", ["shuffle", "pinned"])
+def test_checkpoint_writes_are_distributed(tmp_path, mode):
+    """Shuffle-mode checkpoints are written by workers via
+    Dataset.write_parquet and pinned-mode ones by the shard actors --
+    labels must land as parquet PART files (one per block/shard), never
+    a single driver-concatenated table (round-1 regression)."""
+    g = g_ring_of_cliques(k=8, size=6)
+    edges = canonical_edges(from_numpy_edges(g.edges, num_blocks=4))
+    ckdir = str(tmp_path / f"ckd_{mode}")
+    connected_components(edges, mode=mode, max_supersteps=2, checkpoint_dir=ckdir)
+    step = ckpt.step_dir(ckdir, ckpt.latest_superstep(ckdir))
+    parts = [f for f in os.listdir(os.path.join(step, "labels")) if f.endswith(".parquet")]
+    assert len(parts) >= 2, parts  # distributed parts, not one driver file
+    # and the parts reassemble to a complete label table
+    lt, _, _ = ckpt.load_superstep(ckdir, ckpt.latest_superstep(ckdir))
+    assert len(lt) == len(np.unique(g.edges.reshape(-1)))

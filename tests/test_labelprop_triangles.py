@@ -73,3 +73,23 @@ def test_triangles_per_vertex_sums_to_3x_total():
     assert pv["triangles"].sum() == 3 * 112
     # every clique vertex touches C(7,2) = 21 triangles
     assert (pv["triangles"] == 21).all()
+
+
+def test_triangles_join_degree_attach_matches_broadcast():
+    """broadcast_threshold=0 forces the two-hash-join degree attach (the
+    web-scale path); results must be identical to the broadcast path."""
+    g = g_ring_of_cliques(k=6, size=8)
+    edges = canonical_edges(from_numpy_edges(g.edges, num_blocks=4))
+    total_b = triangle_count(edges)
+    total_j = triangle_count(edges, broadcast_threshold=0)
+    assert total_j == total_b
+    pv_b = (
+        triangles_per_vertex(edges).to_pandas().sort_values("vertex").reset_index(drop=True)
+    )
+    pv_j = (
+        triangles_per_vertex(edges, broadcast_threshold=0)
+        .to_pandas()
+        .sort_values("vertex")
+        .reset_index(drop=True)
+    )
+    assert pv_b.equals(pv_j)
