@@ -541,6 +541,39 @@ def _q_knn_ivf(sf_dir: str):
     )
 
 
+def _q_knn_ivf_indexed(sf_dir: str):
+    """Persisted-partitioned IVF (build index -> probe from disk) in its
+    full-probe configuration (nprobe == nlist -> provably exact; the
+    partition-pruned partial-probe path is pytest-covered)."""
+    _configure()
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.similarity import (
+        ivf_build,
+        knn_ivf_indexed,
+    )
+
+    qids, qmat = _query_vectors(sf_dir)
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    tmp = tempfile.mkdtemp(prefix="ivf_idx_")
+    try:
+        idx = ivf_build(emb, tmp, nlist=16)
+        out = knn_ivf_indexed(idx, qids, qmat, k=5, nprobe=16)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return pd.DataFrame(
+        {
+            "query_id": out["query_id"],
+            "neighbor_id": out["neighbor_id"],
+            "rnk": out["rank"].astype(np.int64),
+            "cosine": np.round(out["cosine"].to_numpy(), 6),
+        }
+    )
+
+
 def _q_media_decode(sf_dir: str):
     """Decode plumbing over the deterministic fake-image format; the
     oracle mirrors the header arithmetic (width/height/n_bytes are pure
@@ -665,6 +698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_cosine": _q_knn,
         "knn_ivf": _q_knn_ivf,
+        "knn_ivf_indexed": _q_knn_ivf_indexed,
         # events (streaming-shaped)
         "events_windowed": _q_events_windowed,
         "events_sessionize": _q_events_sessionize,
@@ -809,6 +843,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "knn_cosine": _KNN_SQL,
         "knn_ivf": _KNN_SQL,
+        "knn_ivf_indexed": _KNN_SQL,
         "events_windowed": (
             "SELECT event_type, (epoch_us(ts) // 3600000000)::BIGINT AS win, "
             "count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value "

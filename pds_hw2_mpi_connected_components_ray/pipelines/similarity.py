@@ -110,6 +110,137 @@ def kmeans_fit(
     return cent
 
 
+class IVFIndex:
+    """Persisted IVF layout: embeddings partitioned on disk by inverted
+    list (one parquet directory per list id) + the centroid matrix.
+
+    This is the SCALE path the in-memory knn_ivf sketches: assignment
+    happens once at build time and is materialized as a partitioned
+    parquet layout, so a probe reads ONLY the nprobe/nlist fraction of
+    the corpus from storage (partition pruning at the read, no full
+    scan per query batch)."""
+
+    def __init__(self, path: str, centroids: np.ndarray):
+        self.path = path
+        self.centroids = centroids
+
+
+def ivf_build(
+    embeddings: Dataset,
+    path: str,
+    *,
+    nlist: int = 16,
+    sample_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IVFIndex:
+    """Train centroids on a sample, assign every vector to its nearest
+    list (one streaming pass, centroids broadcast), write the corpus as
+    list-partitioned parquet, persist the centroids alongside."""
+    import os
+
+    sample = embeddings.select_columns([vec_col]).limit(sample_size).to_pandas()
+    cent = kmeans_fit(np.stack(sample[vec_col].to_numpy()), nlist)
+    cref = ray.put(cent)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        cen = ray.get(cref)
+        vecs = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        lid = (vecs @ cen.T).argmax(axis=1).astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(dtype=np.int64),
+                vec_col: batch[vec_col],
+                "list_id": lid,  # hive partition key (stripped from files)
+                "lid": lid,  # same value as an in-file column for scoring
+            }
+        )
+
+    os.makedirs(path, exist_ok=True)
+    # data lives under <path>/lists so the centroid sidecar file does
+    # not pollute the parquet dataset directory
+    embeddings.select_columns([id_col, vec_col]).map_batches(
+        assign, batch_format="pandas"
+    ).write_parquet(os.path.join(path, "lists"), partition_cols=["list_id"])
+    np.save(os.path.join(path, "centroids.npy"), cent)
+    return IVFIndex(path, cent)
+
+
+def ivf_load(path: str) -> IVFIndex:
+    import os
+
+    return IVFIndex(path, np.load(os.path.join(path, "centroids.npy")))
+
+
+def knn_ivf_indexed(
+    index: IVFIndex,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    *,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """Probe a persisted IVF index: read ONLY the union of the queries'
+    nprobe nearest lists (partition pruning by explicit directory
+    selection -- a probe touches nprobe/nlist of the stored bytes),
+    score each batch against the queries that probe its list."""
+    import os
+
+    import ray.data as rd
+
+    qmat = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    probes = np.argsort(-(qmat @ index.centroids.T), axis=1)[:, :nprobe]  # (q, nprobe)
+    needed = np.unique(probes.ravel())
+    files = []
+    for x in needed:
+        d = os.path.join(index.path, "lists", f"list_id={int(x)}")
+        if os.path.isdir(d):
+            files.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+            )
+    lists = rd.read_parquet(files)
+    ref = ray.put((qids, qmat, probes))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        _qids, _qmat, _probes = ray.get(ref)
+        ids = batch[id_col].to_numpy(dtype=np.int64)
+        lid = batch["lid"].to_numpy(dtype=np.int64)
+        vecs = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        rows_q, rows_n, rows_s = [], [], []
+        for qi in range(len(_qids)):
+            mask = np.isin(lid, _probes[qi])
+            if not mask.any():
+                continue
+            sims = _qmat[qi] @ vecs[mask].T
+            sel = ids[mask]
+            kk = min(k + 1, len(sel))
+            idx = np.argpartition(-sims, kth=kk - 1)[:kk]
+            rows_q.extend([_qids[qi]] * len(idx))
+            rows_n.extend(sel[idx].tolist())
+            rows_s.extend(sims[idx].tolist())
+        return pd.DataFrame(
+            {
+                "query_id": np.array(rows_q, dtype=np.int64),
+                "neighbor_id": np.array(rows_n, dtype=np.int64),
+                "cosine": rows_s,
+            }
+        )
+
+    allp = lists.map_batches(score, batch_format="pandas").to_pandas()
+    if exclude_self:
+        allp = allp[allp["query_id"] != allp["neighbor_id"]]
+    allp = allp.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    allp = allp.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    allp["rank"] = allp.groupby("query_id").cumcount() + 1
+    return allp
+
+
 def knn_ivf(
     embeddings: Dataset,
     query_ids: np.ndarray,

@@ -182,3 +182,32 @@ def test_kmeans_deterministic():
     c1 = kmeans_fit(x, 4)
     c2 = kmeans_fit(x, 4)
     assert np.array_equal(c1, c2)
+
+
+def test_ivf_persisted_index(tmp_path):
+    """Build a list-partitioned on-disk IVF index; full probe == brute;
+    partial probe reads only the probed partitions and keeps recall."""
+    from pds_hw2_mpi_connected_components_ray.pipelines.similarity import (
+        ivf_build,
+        ivf_load,
+        knn_ivf_indexed,
+    )
+
+    base, ds = _toy_embeddings(n=128, d=16)
+    qids = np.arange(6)
+    idx = ivf_build(ds, str(tmp_path / "ivf"), nlist=8)
+    # reload round-trip
+    idx = ivf_load(str(tmp_path / "ivf"))
+    full = knn_ivf_indexed(idx, qids, base[qids], k=3, nprobe=8)
+    brute = knn_brute(ds, qids, base[qids], k=3)
+    pd.testing.assert_frame_equal(
+        full.reset_index(drop=True), brute.reset_index(drop=True)
+    )
+    part = knn_ivf_indexed(idx, qids, base[qids], k=3, nprobe=4)
+    hits = total = 0
+    for q in qids:
+        want = set(brute[brute["query_id"] == q]["neighbor_id"])
+        got = set(part[part["query_id"] == q]["neighbor_id"])
+        hits += len(want & got)
+        total += len(want)
+    assert hits / total >= 0.6
