@@ -764,7 +764,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_stats": (
             "SELECT doc_id, length(coalesce(text, ''))::BIGINT AS n_chars, "
-            "length(regexp_extract_all(coalesce(text, ''), '\\S+'))::BIGINT AS n_tokens "
+            "length(regexp_extract_all(coalesce(text, ''), '\\S+'))::BIGINT AS n_tokens, "
+            "length(regexp_extract_all(coalesce(text, ''), "
+            "'[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]'))::BIGINT AS n_bpeish "
             "FROM documents"
         ),
         "exact_dedup": (

@@ -235,17 +235,33 @@ def bench_pipeline() -> dict:
 
         # pre-spawn the solver pool FIRST: actor worker processes start
         # while the extraction chain streams, hiding the fixed spawn
-        # cost that capped round-1 full-job scaling at 0.52-0.69
-        actors = None if job_kind == "etl" else spawn_shard_pool(4)
+        # cost that capped round-1 full-job scaling at 0.52-0.69.
+        # Shard count is FIXED across parallelism levels (identical
+        # plan) but set to the HIGH level's cpu count -- with 4 shards
+        # the solve leg used <= 4 cpus at every level (structural
+        # speedup 1.0); with 16, the low level timeshares and the high
+        # level actually parallelizes.
+        nsh = int(os.environ.get("BENCH_SHARDS", "16"))
+        actors = None if job_kind == "etl" else spawn_shard_pool(nsh)
         edges = mint_edge_ids(extract_link_rows(pages))
         if job_kind == "etl":
             # streaming-ETL throughput only: pages -> minted edge rows,
             # consumed without a sink (pure map chain)
             return edges.count()
+        t0 = time.perf_counter()
         sym = symmetrize(edges).materialize()
+        t1 = time.perf_counter()
         solver = PinnedCCSolver(sym, actors=actors)
+        t2 = time.perf_counter()
         try:
-            return solver.solve()
+            res = solver.solve()
+            t3 = time.perf_counter()
+            job.legs = {  # noqa: B010 -- attached for the caller's report
+                "etl_sym_sec": round(t1 - t0, 3),
+                "load_sec": round(t2 - t1, 3),
+                "solve_sec": round(t3 - t2, 3),
+            }
+            return res
         finally:
             solver.shutdown()
 
@@ -261,6 +277,7 @@ def bench_pipeline() -> dict:
     if job_kind != "etl":
         out["n_components"] = res.n_components
         out["supersteps"] = res.supersteps
+        out["legs"] = getattr(job, "legs", {})
     return out
 
 

@@ -328,21 +328,25 @@ class PinnedCCSolver:
             ray.kill(a)
         self.actors = []
 
-    def _jump_round(self) -> bool:
-        """One peer-to-peer pointer-jump round. Query/lookup/apply all
-        travel as ObjectRefs; the driver sees only booleans."""
+    def _jump_lookup_refs(self) -> list:
+        """Submit the peer-to-peer query/lookup chain for one jump round
+        and return the lookup-map refs (nothing is pulled to the driver)."""
         acts = self.actors
         ns = len(acts)
         if ns > 1:
             q = [a.cc_jump_queries.options(num_returns=ns).remote() for a in acts]
-            lrefs = [
+            return [
                 acts[s].cc_lookup.remote([q[i][s] for i in range(ns)])
                 for s in range(ns)
             ]
-        else:
-            q0 = [a.cc_jump_queries.remote() for a in acts]
-            lrefs = [acts[0].cc_lookup.remote(q0)]
-        improved = ray.get([a.cc_apply_jump.remote(lrefs) for a in acts])
+        q0 = [a.cc_jump_queries.remote() for a in acts]
+        return [acts[0].cc_lookup.remote(q0)]
+
+    def _jump_round(self) -> bool:
+        """One peer-to-peer pointer-jump round. Query/lookup/apply all
+        travel as ObjectRefs; the driver sees only booleans."""
+        lrefs = self._jump_lookup_refs()
+        improved = ray.get([a.cc_apply_jump.remote(lrefs) for a in self.actors])
         return any(improved)
 
     def solve(
@@ -370,12 +374,14 @@ class PinnedCCSolver:
         k = k0
         while k < max_supersteps:
             t0 = time.perf_counter()
-            ray.get([a.cc_begin.remote() for a in acts])
             frefs = [a.cc_frontier.remote() for a in acts]  # refs only
-            ray.get([a.cc_relax.remote(frefs) for a in acts])
-            while self._jump_round():
-                pass
-            counts = ray.get([a.cc_finalize.remote() for a in acts])
+            ray.get([a.cc_relax.remote(frefs) for a in acts])  # opens step
+            # exactly ONE transitively-closed jump round per superstep,
+            # fused with finalize: 2 driver barriers per superstep total
+            lrefs = self._jump_lookup_refs()
+            counts = ray.get(
+                [a.cc_apply_jump_and_finalize.remote(lrefs) for a in acts]
+            )
             changed = int(sum(counts))
             history.append(changed)
             if checkpoint_dir is not None:

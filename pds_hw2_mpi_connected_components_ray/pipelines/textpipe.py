@@ -21,7 +21,11 @@ from ..functions.textstats import (
 
 
 def doc_stats(docs: Dataset) -> Dataset:
-    """(doc_id, n_chars, n_tokens) -- ANSI-SQL-mirrorable semantics."""
+    """(doc_id, n_chars, n_tokens, n_bpeish) -- ANSI-SQL-mirrorable.
+    n_tokens = whitespace tokens; n_bpeish = BPE-ish pre-tokens (letter
+    runs / digit runs / single symbols, the GPT-2-style pre-tokenizer
+    shape -- functions.textstats._BPEISH)."""
+    from ..functions.textstats import _BPEISH
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         t = batch["text"].fillna("")
@@ -30,6 +34,7 @@ def doc_stats(docs: Dataset) -> Dataset:
                 "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
                 "n_chars": t.str.len().astype("int64"),
                 "n_tokens": token_counts_series(t),
+                "n_bpeish": t.str.count(_BPEISH.pattern).astype("int64"),
             }
         )
 

@@ -96,8 +96,50 @@ class GraphShardActor:
             self.gid2local[self.usrc] = np.arange(len(self.usrc), dtype=np.int64)
         else:
             self.gid2local = None
+        # one-time LOCAL component contraction (vectorized hash-min over
+        # this shard's edge set, both directions): labels initialized
+        # from it start whole local components pre-merged, so the
+        # cross-shard solve needs only ~shard-graph-diameter supersteps
+        # instead of ~graph-diameter (measured 11 -> ~4 on the bench
+        # pages graph). Valid initialization: the label assigned to v is
+        # the min vertex id of a set of vertices all connected to v.
+        self._local_contract()
         self._loaded = True
         return len(self.src_local)
+
+    def _local_contract(self) -> None:
+        if len(self.udst) == 0:
+            self.init_labels_own = self.udst.copy()
+            return
+        vs = np.unique(np.concatenate([self.usrc, self.udst]))
+        a = np.searchsorted(vs, self.usrc)[self.src_local]  # per-edge src
+        b = np.searchsorted(vs, self.udst)[self.edge_col]  # per-edge dst
+        lab = np.arange(len(vs), dtype=np.int64)
+        ea = np.concatenate([a, b])
+        eb = np.concatenate([b, a])
+        order = np.argsort(ea, kind="stable")
+        ea = ea[order]
+        eb = eb[order]
+        bounds = np.flatnonzero(np.r_[True, ea[1:] != ea[:-1]])
+        targets = ea[bounds]
+        # CAPPED iteration: even partial contraction removes most of the
+        # cross-shard supersteps; full local convergence is not required
+        # for correctness (any reachable-min label is a valid hash-min
+        # state), so stop when converged OR after a fixed budget.
+        for _ in range(24):
+            cand = np.minimum.reduceat(lab[eb], bounds)
+            new = lab.copy()
+            new[targets] = np.minimum(new[targets], cand)
+            for _j in range(4):  # bounded pointer-jump passes
+                nj = np.minimum(new, new[new])
+                if np.array_equal(nj, new):
+                    break
+                new = nj
+            if np.array_equal(new, lab):
+                break
+            lab = new
+        own_pos = np.searchsorted(vs, self.udst)
+        self.init_labels_own = vs[lab[own_pos]]
 
     # ---------------------------------------------------------- loading
 
@@ -202,7 +244,7 @@ class GraphShardActor:
         self.sid = sid
         self.cc_nshards = nshards
         self.own = self.udst  # sorted unique owned vertices
-        self.cc_labels = self.own.copy()
+        self.cc_labels = self.init_labels_own.copy()  # local pre-contraction
         self.cc_prev = self.own.copy()
         self.fr_v = self.own
         self.fr_l = self.cc_labels.copy()
@@ -236,7 +278,10 @@ class GraphShardActor:
 
     def cc_relax(self, frontier_refs: list) -> None:
         """Pull all shards' frontier slices, relax local edges, fold the
-        per-dst minima into the owned labels (aligned with udst)."""
+        per-dst minima into the owned labels (aligned with udst).
+        Also opens the superstep (prev snapshot) -- fused here to save
+        one driver barrier per superstep."""
+        self.cc_prev = self.cc_labels.copy()
         parts = [ray.get(r) for r in frontier_refs]
         fvs = [p[0] for p in parts if len(p[0])]
         if fvs and len(self.usrc):
@@ -281,6 +326,16 @@ class GraphShardActor:
         ml = np.concatenate([p[1] for p in parts])
         order = np.argsort(mv, kind="stable")
         mv, ml = mv[order], ml[order]
+        # transitively close the merged map first: entries chain
+        # (l1 -> l2, l2 -> l3), and closing the SMALL map collapses whole
+        # chains in one exchange round instead of one round per hop
+        while True:
+            p2 = np.minimum(np.searchsorted(mv, ml), len(mv) - 1)
+            h2 = mv[p2] == ml
+            nl = np.where(h2, np.minimum(ml, ml[p2]), ml)
+            if not (nl < ml).any():
+                break
+            ml = nl
         pos = np.minimum(np.searchsorted(mv, l), len(mv) - 1)
         hit = mv[pos] == l
         jumped = np.where(hit, ml[pos], l)
@@ -290,6 +345,15 @@ class GraphShardActor:
         l[imp] = jumped[imp]
         self._cc_local_close()
         return True
+
+    def cc_apply_jump_and_finalize(self, map_refs: list) -> int:
+        """Fused tail of a superstep: apply the (transitively closed)
+        jump map, then finalize -- one driver barrier instead of three.
+        One closed-map round per superstep is sufficient: jumping is an
+        accelerator, not a correctness requirement (hash-min converges
+        without it), and the closed map collapses whole chains."""
+        self.cc_apply_jump(map_refs)
+        return self.cc_finalize()
 
     def cc_finalize(self) -> int:
         """Close the superstep: record the changed slice as the next
