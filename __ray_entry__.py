@@ -391,6 +391,22 @@ def _q_events_windowed(sf_dir: str):
     return windowed_counts(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_events_hopping(sf_dir: str):
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import hopping_counts
+
+    return hopping_counts(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_top_tokens(sf_dir: str):
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import top_tokens
+
+    return top_tokens(_docs(sf_dir), k=50)
+
+
 def _q_events_sessionize(sf_dir: str):
     _configure()
     import ray.data as rd
@@ -701,7 +717,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_indexed": _q_knn_ivf_indexed,
         # events (streaming-shaped)
         "events_windowed": _q_events_windowed,
+        "events_hopping": _q_events_hopping,
         "events_sessionize": _q_events_sessionize,
+        "top_tokens": _q_top_tokens,
         # multimodal plumbing
         "media_decode": _q_media_decode,
     }
@@ -850,6 +868,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, (epoch_us(ts) // 3600000000)::BIGINT AS win, "
             "count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value "
             "FROM events GROUP BY event_type, win"
+        ),
+        "events_hopping": (
+            "WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS base, value "
+            "FROM events), "
+            "x AS (SELECT event_type, base - k.kk AS win_start, value "
+            "      FROM e CROSS JOIN (SELECT unnest([0, 1]) AS kk) k) "
+            "SELECT event_type, win_start::BIGINT AS win_start, count(*)::BIGINT AS n, "
+            "round(sum(value), 6) AS sum_value FROM x GROUP BY event_type, win_start"
+        ),
+        "top_tokens": (
+            "WITH toks AS (SELECT unnest(regexp_extract_all(coalesce(text,''), '\\S+')) "
+            "AS token FROM documents) "
+            "SELECT token, count(*)::BIGINT AS n FROM toks GROUP BY token "
+            "ORDER BY n DESC, token ASC LIMIT 50"
         ),
         "events_sessionize": (
             "WITH o AS (SELECT user_id, epoch_us(ts) AS t, "

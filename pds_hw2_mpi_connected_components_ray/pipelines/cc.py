@@ -342,13 +342,6 @@ class PinnedCCSolver:
         q0 = [a.cc_jump_queries.remote() for a in acts]
         return [acts[0].cc_lookup.remote(q0)]
 
-    def _jump_round(self) -> bool:
-        """One peer-to-peer pointer-jump round. Query/lookup/apply all
-        travel as ObjectRefs; the driver sees only booleans."""
-        lrefs = self._jump_lookup_refs()
-        improved = ray.get([a.cc_apply_jump.remote(lrefs) for a in self.actors])
-        return any(improved)
-
     def solve(
         self,
         max_supersteps: int = MAX_SUPERSTEPS,

@@ -52,6 +52,50 @@ def windowed_counts(events: Dataset, window_us: int = US_PER_HOUR) -> Dataset:
     return agg.map_batches(round6, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def hopping_counts(
+    events: Dataset, window_us: int = 2 * US_PER_HOUR, hop_us: int = US_PER_HOUR
+) -> Dataset:
+    """Hopping (sliding) window counts+sums per event_type: each event
+    belongs to window_us/hop_us overlapping windows. Windows are keyed
+    by their START hop index; an event at time t falls in windows
+    starting at hop indices (t//hop - k + 1) .. (t//hop) where
+    k = window_us // hop_us. Pure flat-map column derivation -- no
+    event-time machinery needed in a batch formulation.
+    Output: (event_type, win_start, n, sum_value)."""
+    k = window_us // hop_us
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        base = ts // hop_us
+        n = len(ts)
+        off = np.arange(k, dtype=np.int64)
+        win = (base[:, None] - off[None, :]).ravel()  # k windows per event
+        return pa.table(
+            {
+                "event_type": pa.compute.take(
+                    batch["event_type"], np.repeat(np.arange(n), k)
+                ),
+                "win_start": win,
+                "value": pa.compute.take(batch["value"], np.repeat(np.arange(n), k)),
+            }
+        )
+
+    winds = events.select_columns(["event_type", "ts", "value"]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = winds.groupby(["event_type", "win_start"]).aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value")
+    )
+
+    def round6(t: pa.Table) -> pa.Table:
+        vals = np.round(t["sum_value"].to_numpy(zero_copy_only=False), 6)
+        return t.set_column(
+            t.schema.get_field_index("sum_value"), "sum_value", pa.array(vals)
+        )
+
+    return agg.map_batches(round6, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def sessionize(events: Dataset, gap_us: int = US_30_MIN) -> Dataset:
     """(user_id, n_sessions): a new session starts when the gap to the
     previous event of that user exceeds `gap_us`. Events within a user

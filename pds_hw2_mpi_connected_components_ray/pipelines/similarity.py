@@ -7,7 +7,11 @@
 - knn_ivf: IVF-style bucketed ANN: deterministic k-means (seeded, fixed
   iterations) trains centroids on a sample, vectors are assigned to
   their nearest centroid (one pass), queries probe the nprobe nearest
-  lists. The scale path: probe cost ~ nprobe/nlist of brute force.
+  lists. In-memory sketch: assignment recomputed per batch.
+- ivf_build / ivf_load / knn_ivf_indexed: the PERSISTED scale path --
+  assignment happens once and is materialized as a list-partitioned
+  parquet layout; a probe reads only the nprobe/nlist fraction of
+  stored bytes (partition pruning at the read).
 """
 
 from __future__ import annotations

@@ -86,6 +86,29 @@ def lang_id_stage(docs: Dataset, concurrency=None) -> Dataset:
     )
 
 
+def top_tokens(docs: Dataset, k: int = 50) -> Dataset:
+    """Corpus-wide top-k tokens by frequency: per-batch token counts (a
+    combiner -- each batch ships at most its distinct tokens, not its
+    token stream) -> groupby-sum -> sort(count desc, token asc) -> limit.
+    Deterministic tie-break makes the result oracle-exact."""
+    from ray.data.aggregate import Sum
+
+    def explode_count(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.split().explode().dropna()
+        vc = toks.value_counts()
+        return pd.DataFrame(
+            {"token": vc.index.astype(str), "n": vc.to_numpy(dtype=np.int64)}
+        )
+
+    agg = (
+        docs.select_columns(["text"])
+        .map_batches(explode_count, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return agg.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
 def doc_fingerprints(docs: Dataset) -> Dataset:
     """(doc_id, fp) stable 63-bit content fingerprint per document."""
 

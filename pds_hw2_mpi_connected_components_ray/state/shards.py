@@ -126,11 +126,11 @@ class GraphShardActor:
         # cross-shard supersteps; full local convergence is not required
         # for correctness (any reachable-min label is a valid hash-min
         # state), so stop when converged OR after a fixed budget.
-        for _ in range(24):
+        for _ in range(12):
             cand = np.minimum.reduceat(lab[eb], bounds)
             new = lab.copy()
             new[targets] = np.minimum(new[targets], cand)
-            for _j in range(4):  # bounded pointer-jump passes
+            for _j in range(3):  # bounded pointer-jump passes
                 nj = np.minimum(new, new[new])
                 if np.array_equal(nj, new):
                     break
@@ -249,9 +249,6 @@ class GraphShardActor:
         self.fr_v = self.own
         self.fr_l = self.cc_labels.copy()
         return len(self.own)
-
-    def cc_begin(self) -> None:
-        self.cc_prev = self.cc_labels.copy()
 
     def cc_frontier(self):
         """Changed (vertex, label) slice of the previous superstep --

@@ -1,0 +1,92 @@
+"""Events windowing + corpus token stats vs in-memory brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from pds_hw2_mpi_connected_components_ray.pipelines.events import (
+    US_PER_HOUR,
+    hopping_counts,
+    windowed_counts,
+)
+from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import top_tokens
+
+
+def _events_table(n=500, seed=3):
+    rng = np.random.RandomState(seed)
+    base = np.datetime64("2025-06-01T00:00:00", "us")
+    ts = base + rng.randint(0, 48 * 3600, size=n).astype("timedelta64[s]").astype(
+        "timedelta64[us]"
+    )
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(rng.randint(0, 20, n).astype(np.int64)),
+            "event_type": pa.array(rng.choice(["a", "b", "c"], n)),
+            "ts": pa.array(ts),
+            "value": pa.array(rng.rand(n)),
+        }
+    )
+
+
+def test_hopping_counts_brute():
+    tab = _events_table()
+    ds = rd.from_arrow(tab).repartition(4)
+    out = hopping_counts(ds).to_pandas()
+    df = tab.to_pandas()
+    t = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+    base = t // US_PER_HOUR
+    rows = []
+    for k in (0, 1):
+        rows.append(
+            pd.DataFrame(
+                {"event_type": df["event_type"], "win_start": base - k, "value": df["value"]}
+            )
+        )
+    brute = (
+        pd.concat(rows)
+        .groupby(["event_type", "win_start"], as_index=False)
+        .agg(n=("value", "size"), sum_value=("value", "sum"))
+    )
+    brute["sum_value"] = np.round(brute["sum_value"], 6)
+    got = out.sort_values(["event_type", "win_start"]).reset_index(drop=True)
+    want = brute.sort_values(["event_type", "win_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["event_type", "win_start", "n", "sum_value"]],
+        want[["event_type", "win_start", "n", "sum_value"]],
+        check_dtype=False,
+    )
+    # every event is in exactly window_us/hop_us windows
+    assert out["n"].sum() == 2 * len(df)
+
+
+def test_hopping_vs_tumbling_consistency():
+    tab = _events_table()
+    ds = rd.from_arrow(tab).repartition(3)
+    hop = hopping_counts(ds, window_us=US_PER_HOUR, hop_us=US_PER_HOUR).to_pandas()
+    tum = windowed_counts(ds, window_us=US_PER_HOUR).to_pandas()
+    # window == hop -> hopping degenerates to tumbling
+    hop = hop.rename(columns={"win_start": "win"}).sort_values(
+        ["event_type", "win"]
+    ).reset_index(drop=True)
+    tum = tum.sort_values(["event_type", "win"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(hop, tum, check_dtype=False)
+
+
+def test_top_tokens_brute():
+    texts = ["b a a", "c b a", "", "d d d d b", None, "a"]
+    tab = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ds = rd.from_arrow(tab).repartition(3)
+    out = top_tokens(ds, k=3).to_pandas()
+    # counts: a=4, b=3, d=4, c=1 -> top3 by (n desc, token asc): a(4), d(4), b(3)
+    assert list(out["token"]) == ["a", "d", "b"]
+    assert list(out["n"]) == [4, 4, 3]
