@@ -125,8 +125,12 @@ class GraphShardActor:
         # CAPPED iteration: even partial contraction removes most of the
         # cross-shard supersteps; full local convergence is not required
         # for correctness (any reachable-min label is a valid hash-min
-        # state), so stop when converged OR after a fixed budget.
-        for _ in range(12):
+        # state), so stop when converged OR after a fixed budget. The
+        # budget shrinks for big shards: each pass streams the whole
+        # local edge set, and on dense shards a couple of passes already
+        # collapse most of the structure (cliques contract in one).
+        budget = 12 if len(ea) < 2_000_000 else 4
+        for _ in range(budget):
             cand = np.minimum.reduceat(lab[eb], bounds)
             new = lab.copy()
             new[targets] = np.minimum(new[targets], cand)
@@ -155,6 +159,11 @@ class GraphShardActor:
     def _ingest(self, ids: np.ndarray, vals: np.ndarray, fill) -> np.ndarray:
         """Map (ids, vals) onto the local src universe; absent -> fill."""
         out = np.full(len(self.usrc), fill, dtype=vals.dtype)
+        self._ingest_into(out, ids, vals)
+        return out
+
+    def _ingest_into(self, out: np.ndarray, ids: np.ndarray, vals: np.ndarray) -> None:
+        """Scatter (ids, vals) into a pre-allocated local-src array."""
         if self.gid2local is not None:
             inrange = ids <= self.vmax_local
             loc = self.gid2local[ids[inrange]]
@@ -167,7 +176,6 @@ class GraphShardActor:
                 self.usrc[posc] == ids if len(self.usrc) else np.zeros(len(ids), bool)
             )
             out[posc[present]] = vals[present]
-        return out
 
     # --------------------------------------------------------------- CC
 
@@ -277,14 +285,22 @@ class GraphShardActor:
         """Pull all shards' frontier slices, relax local edges, fold the
         per-dst minima into the owned labels (aligned with udst).
         Also opens the superstep (prev snapshot) -- fused here to save
-        one driver barrier per superstep."""
+        one driver barrier per superstep. Slices are ingested one at a
+        time straight from their (zero-copy) plasma buffers -- no
+        concatenation copy of the full frontier per actor."""
         self.cc_prev = self.cc_labels.copy()
-        parts = [ray.get(r) for r in frontier_refs]
-        fvs = [p[0] for p in parts if len(p[0])]
-        if fvs and len(self.usrc):
-            fv = np.concatenate(fvs)
-            fl = np.concatenate([p[1] for p in parts if len(p[0])])
-            labmap = self._ingest(fv, fl, _I64MAX)
+        if len(self.usrc) == 0:
+            self._cc_local_close()
+            return
+        labmap = np.full(len(self.usrc), _I64MAX, dtype=np.int64)
+        any_seen = False
+        for r in frontier_refs:
+            fv, fl = ray.get(r)
+            if len(fv) == 0:
+                continue
+            any_seen = True
+            self._ingest_into(labmap, fv, fl)
+        if any_seen:
             per_edge = labmap[self.src_local]
             mins = np.minimum.reduceat(per_edge, self.offsets[:-1])
             np.minimum(self.cc_labels, mins, out=self.cc_labels)
