@@ -154,12 +154,22 @@ def bench_suite() -> dict:
         "labelprop4",
         "triangle_total",
         "extract_text_roundtrip",
+        "pages_to_edges_planted",
         "doc_stats",
+        "doc_quality",
+        "lang_id",
+        "doc_fingerprints",
+        "top_tokens",
         "exact_dedup",
         "minhash_pairs",
         "simhash_pairs",
+        "ngram_jaccard_pairs",
+        "embedding_dup_pairs",
+        "dup_groups",
         "knn_cosine",
+        "knn_ivf_indexed",
         "events_windowed",
+        "events_hopping",
         "events_sessionize",
         "media_decode",
     ]:
