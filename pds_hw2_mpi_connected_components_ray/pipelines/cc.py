@@ -50,7 +50,7 @@ from ray.data import Dataset
 from ray.data.aggregate import Max, Min
 
 from ..context import default_parallelism
-from ..stages.graph import init_labels, vertices
+from ..stages.graph import vertices
 from ..stages.joins import hash_join
 from ..state import checkpoint as ckpt
 
@@ -458,7 +458,25 @@ def _cc_hashmin_shuffle(
     import ray.data as rd
 
     npart = num_partitions or default_parallelism()
-    labels = init_labels(edges).materialize()
+    # seed labels with BLOCK-LOCAL contraction instead of the identity:
+    # each block's components start pre-merged (one vectorized pass per
+    # block + the same groupby the identity init needed), cutting the
+    # number of supersteps -- the all-to-all multiplier -- several-fold.
+    from ..stages.graph import local_min_labels as _lml
+
+    def _contract_block(t: pa.Table) -> pa.Table:
+        vs, lab = _lml(
+            t["src"].to_numpy(zero_copy_only=False),
+            t["dst"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table({"vertex": vs, "label": lab})
+
+    labels = (
+        edges.map_batches(_contract_block, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("vertex")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
     # clamp partition count so no hash partition of the (small) labels
     # side is empty -- Ray 2.49's hash-shuffle join loses the schema of
     # empty left partitions and crashes in acero
@@ -480,6 +498,11 @@ def _cc_hashmin_shuffle(
     k = k0
     while k < max_supersteps:
         t0 = time.perf_counter()
+        if frontier.count() == 0:
+            # resumed from a converged checkpoint: nothing to propagate
+            # (an empty frontier dataset also loses its schema and would
+            # crash the join below)
+            break
         # 1. propagate frontier labels across edges (hash-shuffle join on src)
         fr = frontier.map_batches(
             lambda t: t.rename_columns(["src", "flabel"]),
@@ -524,26 +547,25 @@ def _cc_hashmin_shuffle(
         #    hot-key-skewed and trips Ray 2.49's empty-partition crash.
         #    Round 0 is skipped: labels are the identity there.
         agg = agg.materialize()
-        roots = None
-        if not (k == k0 and resumed_from is None):  # round 0: labels are identity
-            dist_parts = [
-                b["label"].to_numpy(zero_copy_only=False)
-                for b in agg.map_batches(
-                    lambda t: pa.table({"label": pc.unique(t["label"])}),
-                    batch_format="pyarrow",
-                    zero_copy_batch=True,
-                ).iter_batches(batch_format="pyarrow", batch_size=None)
-            ]
-            roots = (
-                np.unique(np.concatenate(dist_parts))
-                if dist_parts
-                else np.array([], np.int64)
-            )
-            if len(roots) > 5_000_000:
-                # root-map too large to broadcast this round (long-chain
-                # topologies early on): skip the jump -- plain hash-min
-                # still converges and later rounds shrink the map
-                roots = None
+        # jump every round (labels are contraction-seeded, never identity)
+        dist_parts = [
+            b["label"].to_numpy(zero_copy_only=False)
+            for b in agg.map_batches(
+                lambda t: pa.table({"label": pc.unique(t["label"])}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+        ]
+        roots = (
+            np.unique(np.concatenate(dist_parts))
+            if dist_parts
+            else np.array([], np.int64)
+        )
+        if len(roots) > 5_000_000:
+            # root-map too large to broadcast this round (long-chain
+            # topologies early on): skip the jump -- plain hash-min
+            # still converges and later rounds shrink the map
+            roots = None
         if roots is None:
             new_labels = agg
         else:
@@ -562,7 +584,19 @@ def _cc_hashmin_shuffle(
             rv = np.concatenate([p[0] for p in sub_parts]) if sub_parts else np.array([], np.int64)
             rl = np.concatenate([p[1] for p in sub_parts]) if sub_parts else np.array([], np.int64)
             order = np.argsort(rv, kind="stable")
-            jmap_ref = ray.put((rv[order], rl[order]))
+            rv, rl = rv[order], rl[order]
+            # transitively close the (small) root map before broadcasting:
+            # one superstep then applies FULL pointer-jump closure, so the
+            # superstep count -- the all-to-all multiplier -- stays
+            # O(log diameter) instead of one hop per round
+            while len(rv):
+                pos = np.minimum(np.searchsorted(rv, rl), len(rv) - 1)
+                hit = rv[pos] == rl
+                nl = np.where(hit, np.minimum(rl, rl[pos]), rl)
+                if not (nl < rl).any():
+                    break
+                rl = nl
+            jmap_ref = ray.put((rv, rl))
 
             def apply_jump(t: pa.Table) -> pa.Table:
                 jv, jl = ray.get(jmap_ref)

@@ -110,6 +110,44 @@ def vertices(edges: Dataset) -> Dataset:
     return agg.drop_columns(["_n"])
 
 
+def local_min_labels(
+    src: np.ndarray, dst: np.ndarray, budget: int = 12
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized LOCAL hash-min contraction over one edge set (treated
+    undirected): returns (vertices, labels) where each label is the min
+    vertex id reachable within this edge set (possibly partial under
+    the iteration budget -- still a VALID hash-min state, since any
+    assigned label is a connected smaller vertex). Used to pre-contract
+    shard/block-local components so the distributed solve starts with
+    whole local components merged."""
+    vs = np.unique(np.concatenate([src, dst]))
+    if len(vs) == 0:
+        return vs, vs
+    a = np.searchsorted(vs, src)
+    b = np.searchsorted(vs, dst)
+    ea = np.concatenate([a, b])
+    eb = np.concatenate([b, a])
+    order = np.argsort(ea, kind="stable")
+    ea = ea[order]
+    eb = eb[order]
+    bounds = np.flatnonzero(np.r_[True, ea[1:] != ea[:-1]])
+    targets = ea[bounds]
+    lab = np.arange(len(vs), dtype=np.int64)
+    for _ in range(budget):
+        cand = np.minimum.reduceat(lab[eb], bounds)
+        new = lab.copy()
+        new[targets] = np.minimum(new[targets], cand)
+        for _j in range(3):  # bounded pointer-jump passes
+            nj = np.minimum(new, new[new])
+            if np.array_equal(nj, new):
+                break
+            new = nj
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    return vs, vs[lab]
+
+
 def init_labels(edges: Dataset) -> Dataset:
     """labels_0: (vertex, label=vertex) -- T5 of the reference kernel
     (/root/reference/src/connected_components.c:94-96)."""
