@@ -22,7 +22,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-import ray
 from ray.data import Dataset
 
 from ..context import default_parallelism
