@@ -136,6 +136,30 @@ tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
 # empty docs contribute nothing). The dedup operators' LSH stage only
 # CHOOSES candidates -- their output filter is this exact Jaccard, which
 # is why an all-pairs SQL formulation reproduces them exactly.
+def _char5_pair_ctes(source: str = "documents") -> str:
+    """Char-5-shingle exact-Jaccard pair CTEs over an arbitrary source
+    relation (the corpus_prep oracle applies them to the gated/deduped
+    survivor set instead of raw documents)."""
+    return f"""
+sh AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(length(coalesce(text,'')) - 3, 2)),
+           i -> substr(coalesce(text,''), i, 5)))) AS g
+  FROM {source} WHERE length(coalesce(text,'')) > 0
+),
+cnt AS MATERIALIZED (SELECT doc_id, count(*)::DOUBLE AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::DOUBLE AS i
+  FROM sh x JOIN sh y USING (g) WHERE x.doc_id < y.doc_id GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT inter.a, inter.b, i / (ca.n + cb.n - i) AS j
+  FROM inter JOIN cnt ca ON ca.doc_id = inter.a
+             JOIN cnt cb ON cb.doc_id = inter.b
+)
+"""
+
+
 _CHAR5_PAIR_CTES = """
 sh AS MATERIALIZED (
   SELECT doc_id, unnest(list_distinct(list_transform(
@@ -605,6 +629,19 @@ def _q_media_decode(sf_dir: str):
     return out.select_columns(["media_id", "width", "height", "n_bytes"])
 
 
+def _q_corpus_prep(sf_dir: str):
+    """Flagship training-data prep chain: quality gate -> exact dedup ->
+    near-dup collapse (minhash + exact-Jaccard verify + CC) -> surviving
+    doc ids. Every stage is itself oracle-checked; the composition's SQL
+    mirror chains the same predicates and the recursive group walk."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.prep import corpus_prep
+
+    return corpus_prep(
+        _docs(sf_dir), min_tokens=5, max_punct_ratio=0.2, jaccard_threshold=0.5
+    )
+
+
 def _q_pages_to_edges(sf_dir: str):
     """The PRODUCTION front-end end to end: pages with messy hrefs ->
     extract -> normalize_url -> mint_id -> canonical undirected edge
@@ -711,6 +748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_pairs,
         "embedding_dup_pairs": _q_embedding_pairs,
         "dup_groups": _q_dup_groups,
+        "corpus_prep": _q_corpus_prep,
         # similarity search
         "knn_cosine": _q_knn,
         "knn_ivf": _q_knn_ivf,
@@ -853,6 +891,25 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT e.dst AS v, w.l AS l FROM walk w JOIN de e ON e.src = w.v "
             "  WHERE w.l < e.dst) "
             "SELECT v AS doc_id, min(l) AS group_id FROM walk GROUP BY v"
+        ),
+        "corpus_prep": (
+            "WITH RECURSIVE "
+            "q AS MATERIALIZED (SELECT doc_id, coalesce(text,'') AS text FROM documents "
+            "  WHERE len(regexp_extract_all(coalesce(text,''), '\\S+')) >= 5 "
+            "  AND len(regexp_extract_all(coalesce(text,''), '[^\\w\\s]'))::DOUBLE "
+            "      / greatest(length(coalesce(text,'')), 1) <= 0.2), "
+            "e AS MATERIALIZED (SELECT doc_id, text FROM q "
+            "  WHERE doc_id = (SELECT min(q2.doc_id) FROM q q2 WHERE q2.text = q.text)), "
+            f"{_char5_pair_ctes('e')}, "
+            "pr AS MATERIALIZED (SELECT a, b FROM jpairs WHERE j >= 0.5), "
+            "de AS (SELECT a AS src, b AS dst FROM pr UNION ALL SELECT b, a FROM pr), "
+            "dv AS (SELECT DISTINCT src AS v FROM de), "
+            "walk AS (SELECT v, v AS l FROM dv UNION "
+            "  SELECT de.dst AS v, w.l AS l FROM walk w JOIN de ON de.src = w.v "
+            "  WHERE w.l < de.dst), "
+            "grp AS (SELECT v, min(l) AS g FROM walk GROUP BY v) "
+            "SELECT e.doc_id FROM e LEFT JOIN grp ON grp.v = e.doc_id "
+            "WHERE grp.v IS NULL OR grp.g = e.doc_id"
         ),
         "media_decode": (
             "SELECT doc_id AS media_id, "

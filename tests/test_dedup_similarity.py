@@ -211,3 +211,25 @@ def test_ivf_persisted_index(tmp_path):
         hits += len(want & got)
         total += len(want)
     assert hits / total >= 0.6
+
+
+def test_corpus_prep_chain(corpus):
+    """quality gate -> exact dedup -> near-dup collapse: survivors are
+    the base docs (exact copies and near copies collapse into their
+    base's group; the group representative is the min doc_id = base)."""
+    from pds_hw2_mpi_connected_components_ray.pipelines.prep import corpus_prep
+
+    tab, ds = corpus
+    exact, near = _planted_pairs(tab)
+    out = corpus_prep(ds, min_tokens=5, max_punct_ratio=0.2).to_pandas()
+    kept = set(out["doc_id"])
+    df = tab.to_pandas()
+    # every base doc survives; every exact copy is gone
+    for a, b in exact:
+        assert a in kept and b not in kept
+    # near copies (>= 0.5 char-shingle jaccard to base) are collapsed too
+    dropped_near = sum(1 for _, b in near if b not in kept)
+    assert dropped_near >= len(near) * 0.9
+    # nothing outside planted dup families was dropped
+    dup_ids = {b for _, b in exact} | {b for _, b in near}
+    assert set(df["doc_id"]) - dup_ids - kept == set()
