@@ -100,6 +100,28 @@ r{k} AS MATERIALIZED (
     return "".join(parts)
 
 
+def _kcore_sql(k: int, rounds: int = 8) -> str:
+    """Unrolled k-core peel: N rounds of (degree filter -> induce).
+    Extra rounds beyond convergence are no-ops, so the unrolled result
+    equals the engine's fixpoint (convergence depth 4 at sf0.01)."""
+    parts = [
+        f"WITH {_EDGES_CTES},",
+        "e0 AS MATERIALIZED (SELECT src, dst FROM edges WHERE src <> dst)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+v{r} AS MATERIALIZED (SELECT src AS v, count(*) AS d FROM e{r-1}
+        GROUP BY src HAVING count(*) >= {k}),
+e{r} AS MATERIALIZED (SELECT e.src, e.dst FROM e{r-1} e
+        JOIN v{r} a ON a.v = e.src JOIN v{r} b ON b.v = e.dst)"""
+        )
+    parts.append(
+        f"\nSELECT v AS vertex, d::BIGINT AS degree FROM v{rounds}"
+    )
+    return "".join(parts)
+
+
 def _labelprop_sql(iters: int = 4) -> str:
     parts = [
         f"WITH {_EDGES_CTES},",
@@ -351,6 +373,50 @@ def _q_triangles_by_vertex(sf_dir: str):
     )
 
     return triangles_per_vertex(_canon_edges(sf_dir))
+
+
+def _q_kcore(sf_dir: str, k: int = 7):
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.kcore import kcore
+
+    return kcore(_canon_edges(sf_dir), k)
+
+
+def _q_clustering_coeff(sf_dir: str):
+    """Local clustering coefficient: 2*triangles / (d*(d-1)) per vertex
+    (0 when d < 2), composed from the oracle-checked triangle and degree
+    operators via a left-outer hash join."""
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.triangles import (
+        triangles_per_vertex,
+    )
+    from pds_hw2_mpi_connected_components_ray.stages.graph import (
+        degrees,
+        drop_self_loops,
+    )
+    from pds_hw2_mpi_connected_components_ray.stages.joins import hash_join
+
+    edges = _canon_edges(sf_dir).materialize()
+    deg = degrees(drop_self_loops(edges).materialize())
+    tri = triangles_per_vertex(edges).map_batches(
+        lambda t: t.rename_columns(["vertex", "tri"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    j = hash_join(deg, tri, on=("vertex",), join_type="left_outer")
+
+    def coeff(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["degree"].to_numpy(dtype=np.float64)
+        t = df["tri"].fillna(0).to_numpy(dtype=np.float64)
+        denom = d * (d - 1)
+        cc = np.where(denom > 0, 2.0 * t / np.maximum(denom, 1.0), 0.0)
+        return pd.DataFrame(
+            {"vertex": df["vertex"].to_numpy(dtype=np.int64), "coeff": np.round(cc, 6)}
+        )
+
+    return j.map_batches(coeff, batch_format="pandas")
 
 
 def _q_extract_text(sf_dir: str):
@@ -732,6 +798,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "labelprop4": _q_labelprop,
         "triangle_total": _q_triangle_total,
         "triangles_by_vertex": _q_triangles_by_vertex,
+        "kcore7": _q_kcore,
+        "clustering_coeff": _q_clustering_coeff,
         # extraction front-end
         "extract_text_roundtrip": _q_extract_text,
         "extract_links_planted": _q_extract_links,
@@ -798,6 +866,17 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT a AS vertex FROM tri UNION ALL SELECT b FROM tri"
             "  UNION ALL SELECT c FROM tri) "
             "SELECT vertex, count(*)::BIGINT AS triangles FROM corners GROUP BY vertex"
+        ),
+        "kcore7": _kcore_sql(7, rounds=8),
+        "clustering_coeff": (
+            f"WITH {_TRI_CTES}, corners AS ("
+            "  SELECT a AS vertex FROM tri UNION ALL SELECT b FROM tri"
+            "  UNION ALL SELECT c FROM tri), "
+            "tc AS (SELECT vertex, count(*)::DOUBLE AS t FROM corners GROUP BY vertex), "
+            "deg AS (SELECT src AS vertex, count(*)::DOUBLE AS d FROM simp GROUP BY src) "
+            "SELECT deg.vertex, round(CASE WHEN deg.d >= 2 "
+            "THEN 2.0 * coalesce(tc.t, 0.0) / (deg.d * (deg.d - 1)) ELSE 0.0 END, 6) "
+            "AS coeff FROM deg LEFT JOIN tc ON tc.vertex = deg.vertex"
         ),
         "extract_text_roundtrip": (
             "SELECT 'https://docs.example/' || doc_id::VARCHAR AS url, "

@@ -5,7 +5,7 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from fixtures.synth_pages import ALL_GRAPHS, g_ring_of_cliques, g_star, g_two_cliques
+from fixtures.synth_pages import ALL_GRAPHS, g_random_forest, g_ring_of_cliques, g_star, g_two_cliques
 from pds_hw2_mpi_connected_components_ray.pipelines.labelprop import labelprop
 from pds_hw2_mpi_connected_components_ray.pipelines.triangles import (
     triangle_count,
@@ -93,3 +93,54 @@ def test_triangles_join_degree_attach_matches_broadcast():
         .reset_index(drop=True)
     )
     assert pv_b.equals(pv_j)
+
+
+def test_kcore_peeling():
+    """k-core on a ring of 6-cliques with pendant chains: the cliques
+    form the 5-core; chain/pendant vertices peel away."""
+    from pds_hw2_mpi_connected_components_ray.pipelines.kcore import kcore
+
+    g = g_ring_of_cliques(k=5, size=6)
+    # add a pendant path hanging off vertex 0: 100-101-102
+    extra = np.array([[0, 100], [100, 101], [101, 102]], dtype=np.int64)
+    edges = canonical_edges(
+        from_numpy_edges(np.concatenate([g.edges, extra]), num_blocks=4)
+    )
+    core = kcore(edges, 5).to_pandas()
+    in_core = set(core["vertex"])
+    assert all(v in in_core for v in range(30))  # all clique vertices
+    assert {100, 101, 102}.isdisjoint(in_core)  # pendant path peeled
+    assert (core["degree"] >= 5).all()
+    # empty core when k exceeds every degree
+    assert kcore(edges, 50).to_pandas().empty
+
+
+def test_kcore_matches_bruteforce():
+    from pds_hw2_mpi_connected_components_ray.pipelines.kcore import kcore
+
+    g = g_random_forest(n=300, seed=11)
+    # forest alone has an empty 2-core; weave in a 12-cycle so the core
+    # is non-trivial
+    cyc = np.array([[200 + i, 200 + (i + 1) % 12] for i in range(12)], dtype=np.int64)
+    all_edges = np.concatenate([g.edges, cyc])
+    edges = canonical_edges(from_numpy_edges(all_edges, num_blocks=4))
+    got = kcore(edges, 2).to_pandas().sort_values("vertex").reset_index(drop=True)
+    # brute-force peel
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in all_edges.tolist():
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < 2:
+                for u in adj.pop(v):
+                    adj[u].discard(v)
+                changed = True
+    want = sorted(adj)
+    assert list(got["vertex"]) == want
+    assert list(got["degree"]) == [len(adj[v]) for v in want]
