@@ -230,7 +230,13 @@ def _coarse_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def _lsh_bucket_candidates(sigs: Dataset) -> Dataset:
-    """(doc_id, band_id, band_hash) rows -> distinct candidate pairs."""
+    """(doc_id, band_id, band_hash) rows -> candidate pairs.
+
+    Pairs are UNIQUE within a coarse bucket but may repeat across
+    coarse buckets (a pair agreeing in several bands); the repeat rate
+    is small (~1.2x) and the final dedup runs on the tiny VERIFIED set
+    instead -- shuffling the full candidate set once more just to dedup
+    it pre-verify cost more than verifying the few duplicates."""
 
     def add_coarse(t: pa.Table) -> pa.Table:
         bh = t["band_hash"].to_numpy(zero_copy_only=False)
@@ -239,10 +245,18 @@ def _lsh_bucket_candidates(sigs: Dataset) -> Dataset:
         )
 
     coarse = sigs.map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
-    buckets = coarse.groupby("_cb").map_groups(
+    return coarse.groupby("_cb").map_groups(
         _coarse_bucket_pairs, batch_format="pandas"
     )
-    return _distinct_pairs(buckets)
+
+
+def _dedup_small(pairs: Dataset, cols: list[str]) -> Dataset:
+    """Dedup a SMALL pair table (post-verify): single-partition unique."""
+
+    def uniq(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["a", "b"])[cols]
+
+    return pairs.repartition(1).map_batches(uniq, batch_format="pandas")
 
 
 def _distinct_pairs(pairs: Dataset, num_buckets: int = 64) -> Dataset:
@@ -410,7 +424,7 @@ def _lsh_jaccard_pairs(
     cands = _lsh_bucket_candidates(sigs).materialize()
     if cands.count() == 0:
         return _empty_pairs({"jaccard": "f"})
-    return _verify_jaccard(
+    verified = _verify_jaccard(
         cands,
         docs,
         kind=kind,
@@ -420,6 +434,7 @@ def _lsh_jaccard_pairs(
         id_col=id_col,
         text_col=text_col,
     )
+    return _dedup_small(verified, ["a", "b", "jaccard"])
 
 
 def minhash_lsh_pairs(
@@ -683,7 +698,9 @@ def embedding_cosine_pairs(
     buckets = bucketed.groupby(["table_id", "bucket"]).map_groups(
         _bucket_pairs, batch_format="pandas"
     )
-    cands = _distinct_pairs(buckets).materialize()
+    # pairs may repeat across tables; dedup happens on the tiny verified
+    # set (see _lsh_bucket_candidates note)
+    cands = buckets.materialize()
     if cands.count() == 0:
         return _empty_pairs({"cosine": "f"})
 
@@ -730,8 +747,11 @@ def embedding_cosine_pairs(
                 out[col] = [lk_mat[p].tobytes() for p in pos]
             return out
 
-        return cands.map_batches(attach, batch_format="pandas").map_batches(
-            verify, batch_format="pandas"
+        return _dedup_small(
+            cands.map_batches(attach, batch_format="pandas").map_batches(
+                verify, batch_format="pandas"
+            ),
+            ["a", "b", "cosine"],
         )
 
     from ..stages.joins import hash_join
@@ -763,7 +783,9 @@ def embedding_cosine_pairs(
         on=("b",),
         num_partitions=npart,
     )
-    return joined.map_batches(verify, batch_format="pandas")
+    return _dedup_small(
+        joined.map_batches(verify, batch_format="pandas"), ["a", "b", "cosine"]
+    )
 
 
 # ------------------------------------------------------------ dup groups
