@@ -352,6 +352,42 @@ def _join_texts(
     return hash_join(j, side_b, on=("b",), num_partitions=npart)
 
 
+class _BroadcastJaccardVerify:
+    """Actor-pool verify stage for the small-corpus path: the WHOLE
+    corpus shingle table is built ONCE PER ACTOR from the broadcast
+    (ids, texts) arrays; each candidate pair is then verified by two
+    index lookups + one sorted-merge intersection. (The naive
+    formulation re-shingled both texts per candidate ROW: with ~15
+    band-duplicates per true pair that re-shingled the corpus ~80x and
+    dominated the whole dedup wall.)"""
+
+    def __init__(self, ref, kind, shingle_k, ngram_n, threshold, keep_cols):
+        ids, texts = ray.get(ref)
+        self.ids = ids
+        self.vals, self.offs = _shingle_batch(list(texts), kind, shingle_k, ngram_n)
+        self.threshold = threshold
+        self.keep_cols = keep_cols
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+        for c in self.keep_cols:
+            out_cols[c] = pd.Series([], dtype="int64")
+        out_cols["jaccard"] = pd.Series([], dtype="float64")
+        if len(batch) == 0:
+            return pd.DataFrame(out_cols)
+        a = batch["a"].to_numpy(dtype=np.int64)
+        b = batch["b"].to_numpy(dtype=np.int64)
+        ia = np.searchsorted(self.ids, a)
+        ib = np.searchsorted(self.ids, b)
+        jac = jaccard_pairs_from_table(self.vals, self.offs, ia, ib)
+        keep = jac >= self.threshold
+        out = {"a": a[keep], "b": b[keep]}
+        for c in self.keep_cols:
+            out[c] = batch[c].to_numpy(dtype=np.int64)[keep]
+        out["jaccard"] = jac[keep]
+        return pd.DataFrame(out)
+
+
 def _verify_jaccard(
     cands: Dataset,
     docs: Dataset,
@@ -364,8 +400,21 @@ def _verify_jaccard(
     text_col: str,
     keep_cols: tuple[str, ...] = (),
 ) -> Dataset:
-    """Exact-Jaccard verification of candidate pairs: join texts back,
-    recompute true shingle sets, filter by threshold."""
+    """Exact-Jaccard verification of candidate pairs. Small corpus:
+    broadcast (ids, texts) once, shingle once per actor, verify by
+    index. Large corpus: join texts back per candidate and recompute
+    shingle sets per batch (only candidate bytes move)."""
+    if docs.count() <= _BROADCAST_VERIFY_ROWS:
+        tab = docs.select_columns([id_col, text_col]).to_pandas()
+        ids = tab[id_col].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ref = ray.put((ids[order], tab[text_col].fillna("").to_numpy()[order]))
+        return cands.map_batches(
+            _BroadcastJaccardVerify,
+            fn_constructor_args=(ref, kind, shingle_k, ngram_n, threshold, keep_cols),
+            batch_format="pandas",
+            concurrency=_pool(None),
+        )
     joined = _join_texts(cands, docs, id_col, text_col)
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
