@@ -251,6 +251,12 @@ def bench_pipeline() -> dict:
         # the solve leg used <= 4 cpus at every level (structural
         # speedup 1.0); with 16, the low level timeshares and the high
         # level actually parallelizes.
+        import ray as _ray
+
+        from pds_hw2_mpi_connected_components_ray.state.shards import (
+            load_shard_pool_streaming,
+        )
+
         nsh = int(os.environ.get("BENCH_SHARDS", "16"))
         actors = None if job_kind == "etl" else spawn_shard_pool(nsh)
         edges = mint_edge_ids(extract_link_rows(pages))
@@ -258,11 +264,15 @@ def bench_pipeline() -> dict:
             # streaming-ETL throughput only: pages -> minted edge rows,
             # consumed without a sink (pure map chain)
             return edges.count()
+        # STREAM the symmetrized edge blocks straight into the dst-hash
+        # split as the ETL produces them -- no materialize barrier; the
+        # shard exchange overlaps the ETL tail
         t0 = time.perf_counter()
-        sym = symmetrize(edges).materialize()
+        load_refs = load_shard_pool_streaming(actors, symmetrize(edges))
         t1 = time.perf_counter()
-        solver = PinnedCCSolver(sym, actors=actors)
+        _ray.get(load_refs)
         t2 = time.perf_counter()
+        solver = PinnedCCSolver(actors=actors, preloaded=True)
         try:
             res = solver.solve()
             t3 = time.perf_counter()

@@ -310,10 +310,21 @@ class PinnedCCSolver:
     per-shard parquet parts written by the actors themselves.
     """
 
-    def __init__(self, edges: Dataset, nshards: int | None = None, actors: list | None = None):
+    def __init__(
+        self,
+        edges: Dataset | None = None,
+        nshards: int | None = None,
+        actors: list | None = None,
+        preloaded: bool = False,
+    ):
         from ..state.shards import build_shard_pool, load_shard_pool
 
-        if actors is not None:
+        self.jump_map_cap = 2_000_000  # distinct labels; above -> p2p rounds
+        if actors is not None and preloaded:
+            # actors were fed via load_shard_pool_streaming (ETL-overlap
+            # path); nothing to load here
+            self.actors = actors
+        elif actors is not None:
             # pre-spawned (possibly still starting) actor pool: overlap
             # actor startup with upstream ETL, feed the edges now
             self.actors = actors
@@ -369,12 +380,52 @@ class PinnedCCSolver:
             t0 = time.perf_counter()
             frefs = [a.cc_frontier.remote() for a in acts]  # refs only
             ray.get([a.cc_relax.remote(frefs) for a in acts])  # opens step
-            # exactly ONE transitively-closed jump round per superstep,
-            # fused with finalize: 2 driver barriers per superstep total
-            lrefs = self._jump_lookup_refs()
-            counts = ray.get(
-                [a.cc_apply_jump_and_finalize.remote(lrefs) for a in acts]
+            # Pointer jump, two physical strategies:
+            # (a) SMALL distinct-label set (the usual case once shards
+            #     pre-contract: ~#components-scale) -> driver gathers the
+            #     per-shard label summaries, resolves them against their
+            #     owners, transitively CLOSES the map and broadcasts it
+            #     once. Driver traffic is O(distinct labels), a frontier
+            #     summary -- never O(n).
+            # (b) map too large (early rounds of a pathological
+            #     topology) -> peer-to-peer lookup rounds through the
+            #     object store (refs only on the driver).
+            dist = ray.get([a.cc_distinct_labels.remote() for a in acts])
+            allq = (
+                np.unique(np.concatenate([d for d in dist if len(d)]))
+                if any(len(d) for d in dist)
+                else np.array([], dtype=np.int64)
             )
+            if len(allq) <= self.jump_map_cap:
+                looks = ray.get(
+                    [
+                        acts[s].cc_lookup_direct.remote(allq[allq % ns == s])
+                        for s in range(ns)
+                    ]
+                )
+                mv = np.concatenate([allq[allq % ns == s] for s in range(ns)])
+                ml = np.concatenate(looks) if looks else np.array([], np.int64)
+                order = np.argsort(mv, kind="stable")
+                mv, ml = mv[order], ml[order]
+                while len(mv):  # transitive closure of the small map
+                    pos = np.minimum(np.searchsorted(mv, ml), len(mv) - 1)
+                    hit = mv[pos] == ml
+                    nl = np.where(hit, np.minimum(ml, ml[pos]), ml)
+                    if not (nl < ml).any():
+                        break
+                    ml = nl
+                mref = ray.put((mv, ml))
+                counts = ray.get(
+                    [a.cc_apply_map_and_finalize.remote(mref) for a in acts]
+                )
+            else:
+                ray.get(
+                    [a.cc_apply_jump.remote(self._jump_lookup_refs()) for a in acts]
+                )
+                lrefs = self._jump_lookup_refs()
+                counts = ray.get(
+                    [a.cc_apply_jump_and_finalize.remote(lrefs) for a in acts]
+                )
             changed = int(sum(counts))
             history.append(changed)
             if checkpoint_dir is not None:

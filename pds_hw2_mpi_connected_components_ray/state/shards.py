@@ -338,6 +338,35 @@ class GraphShardActor:
         self._cc_local_close()
         return True
 
+    def cc_distinct_labels(self) -> np.ndarray:
+        """Distinct label values held by this shard (the per-shard
+        frontier SUMMARY -- small after local contraction)."""
+        return np.unique(self.cc_labels) if len(self.cc_labels) else self.cc_labels
+
+    def cc_lookup_direct(self, ids: np.ndarray):
+        """Labels of OWNED ids, returned directly (driver-mediated
+        small-map path)."""
+        if len(ids) == 0 or len(self.own) == 0:
+            return np.array([], dtype=np.int64)
+        pos = np.searchsorted(self.own, ids)
+        return self.cc_labels[pos]
+
+    def cc_apply_map_and_finalize(self, jump_map) -> int:
+        """Apply a driver-assembled, transitively CLOSED jump map (one
+        ray.put; passed as a top-level arg so Ray resolves it zero-copy)
+        and finalize the superstep."""
+        mv, ml = jump_map
+        l = self.cc_labels
+        if len(mv) and len(l):
+            pos = np.minimum(np.searchsorted(mv, l), len(mv) - 1)
+            hit = mv[pos] == l
+            jumped = np.where(hit, ml[pos], l)
+            imp = jumped < l
+            if imp.any():
+                l[imp] = jumped[imp]
+                self._cc_local_close()
+        return self.cc_finalize()
+
     def cc_apply_jump_and_finalize(self, map_refs: list) -> int:
         """Fused tail of a superstep: apply the (transitively closed)
         jump map, then finalize -- one driver barrier instead of three.
@@ -567,6 +596,29 @@ def load_shard_pool(actors: list, edges) -> list:
         groups = [[s[i] for s in splits] for i in range(nshards)]
     else:
         groups = [list(block_refs)]
+    return [a.load.remote(g) for a, g in zip(actors, groups)]
+
+
+def load_shard_pool_streaming(actors: list, lazy_edges) -> list:
+    """Feed a LAZY edge dataset into the shard pool: blocks stream out
+    of the upstream pipeline and are split by dst-hash AS THEY ARRIVE,
+    overlapping the exchange with the tail of the ETL (no materialize
+    barrier). Returns the load ObjectRefs."""
+    nshards = len(actors)
+    splits = []
+    for bundle in lazy_edges.iter_internal_ref_bundles():
+        for ref in bundle.block_refs:
+            if nshards > 1:
+                splits.append(
+                    split_block_by_dst.options(num_returns=nshards).remote(
+                        ref, nshards
+                    )
+                )
+            else:
+                splits.append([ref])
+    if not splits:
+        raise ValueError("empty edge dataset")
+    groups = [[s[i] for s in splits] for i in range(nshards)]
     return [a.load.remote(g) for a, g in zip(actors, groups)]
 
 
