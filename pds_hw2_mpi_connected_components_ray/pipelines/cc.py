@@ -25,6 +25,14 @@ Three execution strategies behind one API (method/mode):
   combiner), and the driver merges the small partials and runs full
   pointer-jump compression. Converges in O(log diameter) supersteps.
 
+- ``hashmin`` / ``pinned`` (the solve-many throughput path): dst-hash
+  CSC shard actors OWN their vertex partition's labels across
+  supersteps; frontier slices and pointer-jump lookups travel
+  shard-to-shard through the object store, the driver moves ObjectRefs,
+  per-shard distinct-label summaries (never O(n) data) and changed
+  counts. Shards pre-contract their local components at load, so the
+  cross-shard solve runs ~shard-quotient-diameter supersteps.
+
 - ``unionfind`` (single-node throughput path): per-block local
   union-find inside map_batches emits a spanning-forest contraction
   (<= |V_block| pairs per block), rounds of re-contraction shrink the

@@ -15,7 +15,9 @@ symmetric edge table (distinct neighbors).
 
 Modes mirror cc/pagerank: ``local`` broadcasts the label vector
 (n <= threshold); ``shuffle`` is join + groupby((dst,label)).count +
-per-vertex argmax, fully distributed.
+per-vertex argmax, fully distributed; ``pinned`` is decentralized over
+dst-hash CSC shard actors (shard-owned label slices, scalar-only
+driver traffic).
 """
 
 from __future__ import annotations

@@ -11,10 +11,12 @@ or an L1 tolerance. Works on directed or symmetric edge tables (on a
 symmetric table there are no dangling vertices, but the term is still
 computed -- it is exactly 0).
 
-Two modes, same adaptive split as CC (SURVEY.md section 4): ``local``
+Three modes, same adaptive split as CC (SURVEY.md section 4): ``local``
 broadcasts the O(n) rank vector per iteration (n <= threshold),
 ``shuffle`` keeps ranks in a hash-partitioned Dataset and does
-join + groupby-sum per iteration (the scale path).
+join + groupby-sum per iteration, ``pinned`` runs decentralized over
+dst-hash CSC shard actors (shard-owned rank slices exchanged peer to
+peer; the driver reduces two scalars per iteration).
 """
 
 from __future__ import annotations

@@ -86,3 +86,61 @@ def test_cc_oracles_agree_on_random_graphs(n, data):
     c = cc_hashmin_seq(n, edges)
     assert np.array_equal(a, b)
     assert np.array_equal(a, c)
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts=st.lists(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=80), max_size=8))
+def test_batch_char_shingles_match_bruteforce(texts):
+    from pds_hw2_mpi_connected_components_ray.functions.hashing import (
+        pack_char_shingles_batch,
+    )
+
+    vals, offs = pack_char_shingles_batch(texts, 5)
+    for i, t in enumerate(texts):
+        got = offs[i + 1] - offs[i]
+        if not t:
+            want = 0
+        elif len(t) < 5:
+            want = 1
+        else:
+            want = len({t[j : j + 5] for j in range(len(t) - 4)})
+        assert got == want
+        # slices sorted unique
+        sl = vals[offs[i] : offs[i + 1]]
+        assert np.all(np.diff(sl.astype(np.uint64)) > 0) if len(sl) > 1 else True
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    a=st.integers(min_value=0, max_value=2**63 - 1),
+    b=st.integers(min_value=0, max_value=2**63 - 1),
+)
+def test_hamming_batch_matches_popcount(a, b):
+    from pds_hw2_mpi_connected_components_ray.functions.hashing import hamming64_batch
+
+    got = hamming64_batch(np.array([a], dtype=np.uint64), np.array([b], dtype=np.uint64))
+    assert got[0] == bin(a ^ b).count("1")
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(min_value=2, max_value=30),
+    data=st.data(),
+)
+def test_local_min_labels_is_valid_hashmin_state(n, data):
+    """Every label assigned by the block-local contraction must be a
+    vertex CONNECTED to (and <=) its owner -- the invariant that makes
+    contraction-seeded initialization converge to the exact fixpoint."""
+    from pds_hw2_mpi_connected_components_ray.stages.graph import local_min_labels
+    from tests.oracles import cc_union_find
+
+    m = data.draw(st.integers(min_value=1, max_value=3 * n))
+    edges = np.array(
+        [[data.draw(st.integers(0, n - 1)), data.draw(st.integers(0, n - 1))] for _ in range(m)],
+        dtype=np.int64,
+    )
+    vs, lab = local_min_labels(edges[:, 0], edges[:, 1], budget=50)
+    assert np.all(lab <= vs)
+    # label must share the true component of its vertex
+    comp = cc_union_find(n, edges)
+    assert np.all(comp[vs] == comp[lab])
