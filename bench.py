@@ -153,6 +153,9 @@ def bench_suite() -> dict:
         "pagerank20",
         "labelprop4",
         "triangle_total",
+        "kcore7",
+        "clustering_coeff",
+        "corpus_prep",
         "extract_text_roundtrip",
         "pages_to_edges_planted",
         "doc_stats",
