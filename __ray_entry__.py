@@ -737,6 +737,30 @@ def _q_pages_to_edges(sf_dir: str):
     return out.select_columns(["src_url", "dst_url"])
 
 
+def _q_media_resize(sf_dir: str):
+    """Resize plumbing over the fake-image format: header dims halve
+    (floor), payload truncates; the oracle mirrors the arithmetic."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.multimodal import (
+        media_from_documents,
+        resize_media,
+    )
+
+    out = resize_media(media_from_documents(_docs(sf_dir)), factor=2, batch_size=64)
+    return out.select_columns(["media_id", "width", "height"])
+
+
+def _q_media_frames(sf_dir: str):
+    """Frame sampling over the fake-video format (every 4th frame)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.multimodal import (
+        sample_frames,
+        videos_from_documents,
+    )
+
+    return sample_frames(videos_from_documents(_docs(sf_dir)), every_k=4, batch_size=64)
+
+
 def _q_cc_checkpointed(sf_dir: str):
     """CC with per-superstep checkpointing + resume exercised in one call
     (run 2 supersteps, 'die', resume to convergence)."""
@@ -828,6 +852,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": _q_top_tokens,
         # multimodal plumbing
         "media_decode": _q_media_decode,
+        "media_resize": _q_media_resize,
+        "media_frames": _q_media_frames,
     }
 
 
@@ -996,6 +1022,18 @@ def oracle_sql() -> dict[str, str]:
             "((length(coalesce(text,'')) // 7) % 96 + 8)::BIGINT AS height, "
             "(11 + least(length(coalesce(text,'')), 256))::BIGINT AS n_bytes "
             "FROM documents"
+        ),
+        "media_resize": (
+            "SELECT doc_id AS media_id, "
+            "greatest(1, (length(coalesce(text,'')) % 96 + 8) // 2)::BIGINT AS width, "
+            "greatest(1, ((length(coalesce(text,'')) // 7) % 96 + 8) // 2)::BIGINT AS height "
+            "FROM documents"
+        ),
+        "media_frames": (
+            "WITH v AS (SELECT doc_id, length(coalesce(text,'')) AS n FROM documents), "
+            "f AS (SELECT doc_id, n, unnest(range(0, (n % 31) + 2, 4)) AS frame FROM v) "
+            "SELECT doc_id AS media_id, frame::BIGINT AS frame, "
+            "(n % 64 + 16)::BIGINT AS width, ((n // 3) % 64 + 16)::BIGINT AS height FROM f"
         ),
         "knn_cosine": _KNN_SQL,
         "knn_ivf": _KNN_SQL,

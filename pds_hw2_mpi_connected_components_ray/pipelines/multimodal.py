@@ -107,6 +107,134 @@ def decode_media(
     )
 
 
+class MediaResizeStage:
+    """Actor-pool resize: parse the fake header, divide the dimensions
+    by `factor` (floor, min 1), truncate the payload to the new pixel
+    budget. A real implementation swaps the body for a PIL/liblycodec
+    call loaded once per actor in __init__; the Ray-side plumbing
+    (schema, actor signature, batch sizing) is identical and tested."""
+
+    def __init__(self, factor: int = 2):
+        self.factor = factor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        out_blob, out_w, out_h = [], [], []
+        f = self.factor
+        for blob in batch["media"]:
+            raw = blob.as_py()
+            if raw[: len(MAGIC)] != MAGIC:
+                out_blob.append(raw)
+                out_w.append(-1)
+                out_h.append(-1)
+                continue
+            w, h = struct.unpack_from("<HH", raw, len(MAGIC))
+            w2, h2 = max(1, w // f), max(1, h // f)
+            payload = raw[len(MAGIC) + 4 :][: w2 * h2]
+            out_blob.append(encode_fake_image(w2, h2, payload))
+            out_w.append(w2)
+            out_h.append(h2)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "media": pa.array(out_blob, pa.binary()),
+                "width": pa.array(out_w, pa.int64()),
+                "height": pa.array(out_h, pa.int64()),
+            }
+        )
+
+
+def resize_media(
+    media: Dataset, *, factor: int = 2, concurrency=None, batch_size: int = 64
+) -> Dataset:
+    """Resize stage over a media table (actor pool, small batches)."""
+    if concurrency is None:
+        from ..context import default_parallelism
+
+        concurrency = (1, max(2, default_parallelism()))
+    return media.map_batches(
+        MediaResizeStage,
+        fn_constructor_kwargs={"factor": factor},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+VIDEO_MAGIC = b"FAKEVID"
+
+
+def encode_fake_video(width: int, height: int, n_frames: int, payload: bytes) -> bytes:
+    return VIDEO_MAGIC + struct.pack("<HHI", width, height, n_frames) + payload
+
+
+class FrameSampleStage:
+    """Actor-pool frame sampler: parse the fake video header, emit the
+    metadata of every `every_k`-th frame (real codecs would decode the
+    sampled frames; the stub keeps the arithmetic and layout exact)."""
+
+    def __init__(self, every_k: int = 4):
+        self.k = every_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        out_id, out_frame, out_w, out_h = [], [], [], []
+        for mid, blob in zip(ids, batch["media"]):
+            raw = blob.as_py()
+            if raw[: len(VIDEO_MAGIC)] != VIDEO_MAGIC:
+                continue
+            w, h, nf = struct.unpack_from("<HHI", raw, len(VIDEO_MAGIC))
+            for fr in range(0, nf, self.k):
+                out_id.append(int(mid))
+                out_frame.append(fr)
+                out_w.append(w)
+                out_h.append(h)
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "frame": pa.array(out_frame, pa.int64()),
+                "width": pa.array(out_w, pa.int64()),
+                "height": pa.array(out_h, pa.int64()),
+            }
+        )
+
+
+def sample_frames(
+    videos: Dataset, *, every_k: int = 4, concurrency=None, batch_size: int = 64
+) -> Dataset:
+    """(media_id, frame, width, height) for every k-th frame."""
+    if concurrency is None:
+        from ..context import default_parallelism
+
+        concurrency = (1, max(2, default_parallelism()))
+    return videos.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"every_k": every_k},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def videos_from_documents(docs: Dataset) -> Dataset:
+    """Adapter: deterministic fake video per document (frame count and
+    dims derived from the text length -- SQL-mirrorable)."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        blobs = []
+        for t in batch["text"].fillna(""):
+            n = len(t)
+            blobs.append(
+                encode_fake_video(
+                    (n % 64) + 16, ((n // 3) % 64) + 16, (n % 31) + 2, t.encode("utf-8")[:64]
+                )
+            )
+        return pd.DataFrame({"media_id": ids, "media": blobs, "kind": "video"})
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+
+
 def media_from_documents(docs: Dataset) -> Dataset:
     """Adapter: synthesize a media binary column from document text bytes
     (deterministic), exercising the decode plumbing on driver tables."""

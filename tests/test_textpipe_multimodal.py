@@ -133,3 +133,51 @@ def test_media_from_documents_plumbing():
     out = decode_media(media, batch_size=2).to_pandas().sort_values("media_id")
     assert len(out) == 4
     assert (out["width"] >= 8).all()
+
+
+def test_media_resize_roundtrip():
+    from pds_hw2_mpi_connected_components_ray.pipelines.multimodal import (
+        MediaDecodeStage,
+        encode_fake_image,
+        resize_media,
+    )
+    import pyarrow as pa
+    import ray.data as rd
+
+    blobs = [encode_fake_image(64, 32, b"x" * 300), encode_fake_image(9, 9, b"y" * 10)]
+    tab = pa.table(
+        {
+            "media_id": pa.array([0, 1], pa.int64()),
+            "media": pa.array(blobs, pa.binary()),
+            "kind": pa.array(["image"] * 2),
+        }
+    )
+    out = resize_media(rd.from_arrow(tab), factor=2).to_pandas().sort_values("media_id")
+    assert list(out["width"]) == [32, 4]
+    assert list(out["height"]) == [16, 4]
+    # resized blobs still decode through the decode stage
+    dec = MediaDecodeStage()(pa.table({"media_id": pa.array([0, 1], pa.int64()),
+                                       "media": pa.array(out["media"].tolist(), pa.binary())}))
+    assert dec["width"].to_pylist() == [32, 4]
+    # payload truncated to the new pixel budget
+    assert dec["n_bytes"].to_pylist()[0] == 11 + min(300, 32 * 16)
+
+
+def test_frame_sampling():
+    from pds_hw2_mpi_connected_components_ray.pipelines.multimodal import (
+        encode_fake_video,
+        sample_frames,
+    )
+    import pyarrow as pa
+    import ray.data as rd
+
+    tab = pa.table(
+        {
+            "media_id": pa.array([7], pa.int64()),
+            "media": pa.array([encode_fake_video(20, 10, 9, b"p" * 16)], pa.binary()),
+            "kind": pa.array(["video"]),
+        }
+    )
+    out = sample_frames(rd.from_arrow(tab), every_k=4).to_pandas()
+    assert list(out["frame"]) == [0, 4, 8]
+    assert set(out["width"]) == {20} and set(out["height"]) == {10}
