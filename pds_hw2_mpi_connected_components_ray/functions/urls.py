@@ -14,9 +14,20 @@ within id-groups (cf. exact_dedup's full-128-bit key).
 from __future__ import annotations
 
 import hashlib
+import re
 from urllib.parse import urljoin, urlsplit, urlunsplit
 
 _MASK63 = (1 << 63) - 1
+
+# Fast-path detector: urls ALREADY in canonical form (lowercase http(s)
+# scheme, bare lowercase host, no port/userinfo, non-empty path with no
+# trailing slash, no fragment/query-metachars/escapes/whitespace).
+# normalize_url() is the identity on exactly these strings, so they can
+# skip the ~8us urlsplit/urljoin machinery entirely -- on real link
+# corpora the overwhelming majority of hrefs hit this path.
+_CANONICAL_RE = re.compile(
+    r"^https?://[a-z0-9]([a-z0-9.-]*[a-z0-9])?/(?:[^\s#?%/\\]+(?:/[^\s#?%/\\]+)*)?$"
+)
 
 
 def normalize_url(url: str, base: str | None = None) -> str:
@@ -45,6 +56,18 @@ def normalize_url(url: str, base: str | None = None) -> str:
     if len(path) > 1 and path.endswith("/"):
         path = path[:-1]
     return urlunsplit((scheme, netloc, path, parts.query, ""))
+
+
+def normalize_urls_batch(hrefs, bases) -> list[str]:
+    """Vectorized normalize_url over parallel href/base sequences:
+    already-canonical absolute urls (the common case) pass through via
+    one compiled-regex check; everything else takes the full per-url
+    path. Output is IDENTICAL to [normalize_url(h, b) for h, b] --
+    asserted by property tests."""
+    match = _CANONICAL_RE.match
+    return [
+        h if match(h) else normalize_url(h, base=b) for h, b in zip(hrefs, bases)
+    ]
 
 
 def mint_id(url: str) -> int:

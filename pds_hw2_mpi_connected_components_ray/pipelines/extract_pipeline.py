@@ -20,7 +20,7 @@ import pandas as pd
 from ray.data import Dataset
 
 from ..functions.extract import extract_links, extract_text
-from ..functions.urls import mint_id, normalize_url
+from ..functions.urls import mint_id, normalize_url, normalize_urls_batch  # noqa: F401 (normalize_url re-exported for callers)
 from ..stages.graph import canonical_edges
 from ..sources.pages import DOC_URL_PREFIX
 
@@ -36,18 +36,30 @@ def extract_text_stage(pages: Dataset) -> Dataset:
 
 
 def extract_link_rows(pages: Dataset, normalize: bool = True) -> Dataset:
-    """pages -> (src_url, dst_url) one row per href (duplicates kept)."""
+    """pages -> (src_url, dst_url) one row per href (duplicates kept).
+
+    Normalization runs through the batch fast path (already-canonical
+    hrefs -- the overwhelming majority on real corpora -- skip the
+    per-url urlsplit machinery; see functions.urls.normalize_urls_batch)."""
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         srcs: list[str] = []
-        dsts: list[str] = []
+        hrefs: list[str] = []
         for url, html in zip(batch["url"], batch["html"]):
             for href in extract_links(html):
-                d = normalize_url(href, base=url) if normalize else href
-                if d:
-                    srcs.append(url)
-                    dsts.append(d)
-        return pd.DataFrame({"src_url": srcs, "dst_url": dsts})
+                srcs.append(url)
+                hrefs.append(href)
+        if normalize:
+            dsts = normalize_urls_batch(hrefs, srcs)
+        else:
+            dsts = hrefs
+        keep = [i for i, d in enumerate(dsts) if d]
+        return pd.DataFrame(
+            {
+                "src_url": [srcs[i] for i in keep],
+                "dst_url": [dsts[i] for i in keep],
+            }
+        )
 
     return pages.map_batches(fn, batch_format="pandas")
 

@@ -144,3 +144,23 @@ def test_local_min_labels_is_valid_hashmin_state(n, data):
     # label must share the true component of its vertex
     comp = cc_union_find(n, edges)
     assert np.all(comp[vs] == comp[lab])
+
+
+@settings(max_examples=150, deadline=None)
+@given(u=st.one_of(
+    st.from_regex(r"https?://[a-zA-Z0-9.-]{1,12}(:[0-9]{1,4})?/[a-zA-Z0-9/._~%-]{0,20}(#[a-z]{0,5})?", fullmatch=True),
+    st.from_regex(r"https://[a-z0-9.-]{1,12}/[0-9]{1,8}", fullmatch=True),
+    st.text(max_size=30),
+))
+def test_normalize_urls_batch_matches_scalar(u):
+    """The canonical fast path must be EXACTLY the identity subset of
+    normalize_url -- batch output equals the scalar call for any input."""
+    from pds_hw2_mpi_connected_components_ray.functions.urls import (
+        normalize_url,
+        normalize_urls_batch,
+    )
+
+    base = "https://base.example/dir/page"
+    got = normalize_urls_batch([u], [base])[0]
+    want = normalize_url(u, base=base)
+    assert got == want, (u, got, want)
