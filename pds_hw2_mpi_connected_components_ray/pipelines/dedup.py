@@ -504,6 +504,11 @@ def minhash_lsh_pairs(
     1-(1-s^r)^bands (r = num_perm/num_bands); at the defaults and
     s >= 0.9 the miss probability is < 1e-7 -- and deterministic under
     the fixed seed, so fixture results are stable.
+
+    Scale note: a flood of IDENTICAL documents lands in one bucket and
+    emits O(flood^2) candidate pairs -- run exact_dedup FIRST (the
+    corpus_prep pipeline does; its 128-bit hash groupby collapses exact
+    floods in linear work) so LSH only sees distinct texts.
     """
     return _lsh_jaccard_pairs(
         docs,

@@ -233,3 +233,55 @@ def test_corpus_prep_chain(corpus):
     # nothing outside planted dup families was dropped
     dup_ids = {b for _, b in exact} | {b for _, b in near}
     assert set(df["doc_id"]) - dup_ids - kept == set()
+
+
+def test_lsh_bucket_sizes_bounded(corpus):
+    """Candidate volume must stay far below all-pairs on a corpus with
+    heavy vocabulary sharing (every doc drawn from a 200-word vocab)."""
+    from pds_hw2_mpi_connected_components_ray.pipelines.dedup import (
+        _MinHashBandStage,
+        _lsh_bucket_candidates,
+        _pool,
+    )
+
+    _, ds = corpus
+    n_docs = ds.count()
+    sigs = ds.map_batches(
+        _MinHashBandStage,
+        fn_constructor_kwargs={"kind": "char"},
+        batch_format="pandas",
+        concurrency=_pool(2),
+    )
+    cands = _lsh_bucket_candidates(sigs).to_pandas().drop_duplicates(["a", "b"])
+    all_pairs = n_docs * (n_docs - 1) / 2
+    # planted dup families only -- nowhere near quadratic
+    assert len(cands) < 0.05 * all_pairs, (len(cands), all_pairs)
+
+
+def test_corpus_prep_identical_doc_flood():
+    """An adversarial flood of identical documents must collapse in the
+    EXACT-dedup stage (128-bit hash groupby), never reaching the LSH
+    stage as a quadratic bucket -- the reason corpus_prep orders exact
+    dedup before near-dup detection."""
+    import pyarrow as pa
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.prep import corpus_prep
+
+    n = 500
+    rng = np.random.RandomState(9)
+    vocab = [f"tok{j:03d}" for j in range(300)]
+    uniques = [
+        " ".join(rng.choice(vocab, size=12, replace=False)) for _ in range(20)
+    ]
+    texts = ["the same exact boilerplate document body repeated verbatim"] * n + uniques
+    tab = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = corpus_prep(rd.from_arrow(tab).repartition(4), min_tokens=3).to_pandas()
+    kept = set(out["doc_id"])
+    assert 0 in kept  # one representative of the flood survives
+    assert len(kept & set(range(n))) == 1  # exactly one
+    assert set(range(n, n + 20)) <= kept  # unique docs all survive
