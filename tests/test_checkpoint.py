@@ -104,3 +104,23 @@ def test_checkpoint_writes_are_distributed(tmp_path, mode):
     # and the parts reassemble to a complete label table
     lt, _, _ = ckpt.load_superstep(ckdir, ckpt.latest_superstep(ckdir))
     assert len(lt) == len(np.unique(g.edges.reshape(-1)))
+
+
+@pytest.mark.parametrize("from_mode,to_mode", [("shuffle", "pinned"), ("pinned", "shuffle"), ("local", "pinned")])
+def test_cross_mode_resume(tmp_path, from_mode, to_mode):
+    """Checkpoints are a FORMAT contract, not a solver detail: a run
+    killed under one execution strategy must resume under another
+    (e.g. shrink/grow the cluster and switch modes) with identical
+    final labels."""
+    g = g_ring_of_cliques(k=8, size=6)
+    edges = canonical_edges(from_numpy_edges(g.edges, num_blocks=4))
+    golden = connected_components(edges, mode=from_mode)
+    gv, gl = _labels(golden)
+
+    ckdir = str(tmp_path / f"x_{from_mode}_{to_mode}")
+    connected_components(edges, mode=from_mode, max_supersteps=1, checkpoint_dir=ckdir)
+    res = connected_components(edges, mode=to_mode, checkpoint_dir=ckdir, resume=True)
+    rv, rl = _labels(res)
+    assert np.array_equal(rv, gv)
+    assert np.array_equal(rl, gl)
+    assert res.resumed_from == 0
