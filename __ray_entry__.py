@@ -497,6 +497,15 @@ def _q_top_tokens(sf_dir: str):
     return top_tokens(_docs(sf_dir), k=50)
 
 
+def _q_events_asof(sf_dir: str):
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import asof_prev
+
+    return asof_prev(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_events_sessionize(sf_dir: str):
     _configure()
     import ray.data as rd
@@ -848,6 +857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events (streaming-shaped)
         "events_windowed": _q_events_windowed,
         "events_hopping": _q_events_hopping,
+        "events_asof_prev": _q_events_asof,
         "events_sessionize": _q_events_sessionize,
         "top_tokens": _q_top_tokens,
         # multimodal plumbing
@@ -1056,6 +1066,14 @@ def oracle_sql() -> dict[str, str]:
             "AS token FROM documents) "
             "SELECT token, count(*)::BIGINT AS n FROM toks GROUP BY token "
             "ORDER BY n DESC, token ASC LIMIT 50"
+        ),
+        "events_asof_prev": (
+            "WITH o AS (SELECT event_id, epoch_us(ts) AS t, "
+            "  lag(event_id, 1, -1) OVER w AS prev_event_id, "
+            "  lag(epoch_us(ts)) OVER w AS pt "
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) "
+            "SELECT event_id, prev_event_id, "
+            "coalesce(t - pt, -1)::BIGINT AS gap_us FROM o"
         ),
         "events_sessionize": (
             "WITH o AS (SELECT user_id, epoch_us(ts) AS t, "

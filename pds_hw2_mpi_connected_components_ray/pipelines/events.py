@@ -96,6 +96,38 @@ def hopping_counts(
     return agg.map_batches(round6, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def asof_prev(
+    events: Dataset,
+    *,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> Dataset:
+    """AS-OF self-join: each event matched to the most recent PRIOR
+    event of the same `by` key ((ts, id) total order; first event of a
+    key gets -1). Ray Data has no asof join; the batch formulation is a
+    per-key sorted shift inside groupby(by).map_groups -- the standard
+    partition-then-sorted-merge shape (keys must fit a group, which
+    event streams partitioned by user satisfy).
+    Output: (event_id, prev_event_id, gap_us)."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col])
+        t = g[ts_col].to_numpy().astype("datetime64[us]").view(np.int64)
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        prev = np.concatenate([[-1], ids[:-1]])
+        gap = np.concatenate([[-1], np.diff(t)])
+        return pd.DataFrame(
+            {"event_id": ids, "prev_event_id": prev, "gap_us": gap.astype(np.int64)}
+        )
+
+    return (
+        events.select_columns([by, ts_col, id_col])
+        .groupby(by)
+        .map_groups(per_key, batch_format="pandas")
+    )
+
+
 def sessionize(events: Dataset, gap_us: int = US_30_MIN) -> Dataset:
     """(user_id, n_sessions): a new session starts when the gap to the
     previous event of that user exceeds `gap_us`. Events within a user

@@ -90,3 +90,19 @@ def test_top_tokens_brute():
     # counts: a=4, b=3, d=4, c=1 -> top3 by (n desc, token asc): a(4), d(4), b(3)
     assert list(out["token"]) == ["a", "d", "b"]
     assert list(out["n"]) == [4, 4, 3]
+
+
+def test_asof_prev_brute():
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import asof_prev
+
+    tab = _events_table(n=300, seed=5)
+    ds = rd.from_arrow(tab).repartition(4)
+    out = asof_prev(ds).to_pandas().sort_values("event_id").reset_index(drop=True)
+    df = tab.to_pandas()
+    df["t"] = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+    df = df.sort_values(["user_id", "t", "event_id"])
+    df["prev"] = df.groupby("user_id")["event_id"].shift(1).fillna(-1).astype(np.int64)
+    df["gap"] = df.groupby("user_id")["t"].diff().fillna(-1).astype(np.int64)
+    want = df.sort_values("event_id")
+    assert np.array_equal(out["prev_event_id"].to_numpy(), want["prev"].to_numpy())
+    assert np.array_equal(out["gap_us"].to_numpy(), want["gap"].to_numpy())
