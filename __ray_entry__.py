@@ -382,6 +382,14 @@ def _q_kcore(sf_dir: str, k: int = 7):
     return kcore(_canon_edges(sf_dir), k)
 
 
+def _q_assortativity(sf_dir: str):
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.stages.graph import degree_assortativity
+
+    r = degree_assortativity(_canon_edges(sf_dir))
+    return pd.DataFrame({"assortativity": [np.round(r, 6)]})
+
+
 def _q_clustering_coeff(sf_dir: str):
     """Local clustering coefficient: 2*triangles / (d*(d-1)) per vertex
     (0 when d < 2), composed from the oracle-checked triangle and degree
@@ -833,6 +841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles_by_vertex": _q_triangles_by_vertex,
         "kcore7": _q_kcore,
         "clustering_coeff": _q_clustering_coeff,
+        "degree_assortativity": _q_assortativity,
         # extraction front-end
         "extract_text_roundtrip": _q_extract_text,
         "extract_links_planted": _q_extract_links,
@@ -904,6 +913,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vertex, count(*)::BIGINT AS triangles FROM corners GROUP BY vertex"
         ),
         "kcore7": _kcore_sql(7, rounds=8),
+        "degree_assortativity": (
+            f"WITH {_EDGES_CTES}, "
+            "simp AS (SELECT src, dst FROM edges WHERE src <> dst), "
+            "deg AS (SELECT src AS v, count(*)::DOUBLE AS d FROM simp GROUP BY src) "
+            "SELECT round(corr(da.d, db.d), 6) AS assortativity "
+            "FROM simp JOIN deg da ON da.v = simp.src JOIN deg db ON db.v = simp.dst"
+        ),
         "clustering_coeff": (
             f"WITH {_TRI_CTES}, corners AS ("
             "  SELECT a AS vertex FROM tri UNION ALL SELECT b FROM tri"

@@ -158,6 +158,56 @@ def init_labels(edges: Dataset) -> Dataset:
     )
 
 
+def degree_assortativity(edges: Dataset) -> float:
+    """Pearson correlation of (src degree, dst degree) over the
+    symmetric edge table -- the standard degree-assortativity
+    coefficient. Physical plan: broadcast the degree lookup, emit
+    PARTIAL MOMENT SUMS (n, sx, sy, sxx, syy, sxy) per batch (a
+    combiner -- six doubles per block cross the wire), reduce with one
+    tiny aggregation, driver applies the closed-form correlation.
+    Pearson r is scale-invariant, so the population formula matches
+    SQL's sample corr() exactly."""
+    import ray
+
+    from ..stages.joins import put_lookup
+
+    simple = drop_self_loops(edges).materialize()
+    deg_tab = pa.concat_tables(
+        list(degrees(simple).iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    ref = put_lookup(deg_tab, "vertex", "degree")
+
+    def moments(t: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        _, dx = lk.get(src)
+        _, dy = lk.get(dst)
+        x = dx.astype(np.float64)
+        y = dy.astype(np.float64)
+        return pa.table(
+            {
+                "n": pa.array([float(len(x))]),
+                "sx": pa.array([x.sum()]),
+                "sy": pa.array([y.sum()]),
+                "sxx": pa.array([(x * x).sum()]),
+                "syy": pa.array([(y * y).sum()]),
+                "sxy": pa.array([(x * y).sum()]),
+            }
+        )
+
+    parts = simple.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True)
+    tot = parts.sum(["n", "sx", "sy", "sxx", "syy", "sxy"])
+    n, sx, sy = tot["sum(n)"], tot["sum(sx)"], tot["sum(sy)"]
+    sxx, syy, sxy = tot["sum(sxx)"], tot["sum(syy)"], tot["sum(sxy)"]
+    cov = sxy - sx * sy / n
+    vx = sxx - sx * sx / n
+    vy = syy - sy * sy / n
+    if vx <= 0 or vy <= 0:
+        return 0.0
+    return float(cov / np.sqrt(vx * vy))
+
+
 def binarize(edges: Dataset, weight_col: str = "weight") -> Dataset:
     """Weighted edge list -> binary adjacency: keep rows with weight != 0,
     drop the weight (reference T2: value != 0.0 gate then discard,
