@@ -52,3 +52,24 @@ def test_cli_end_to_end(tmp_path, capsys):
         assert comp_of_label[lab] == c
     # checkpoints were written
     assert any(d.startswith("superstep_") for d in os.listdir(ck))
+
+
+def test_cli_prep_end_to_end(tmp_path, capsys):
+    from fixtures.synth_pages import near_dup_documents
+    from pds_hw2_mpi_connected_components_ray.cli_prep import main as prep_main
+
+    docs_path = str(tmp_path / "docs.parquet")
+    tab = near_dup_documents()
+    pq.write_table(tab, docs_path)
+    out = str(tmp_path / "prep_out")
+    rc = prep_main(["--docs", docs_path, "--out", out, "--out-partitions", "4"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    df = tab.to_pandas()
+    n_exact_copies = int(df["source"].str.startswith("exact").sum())
+    assert report["n_after_quality_and_exact"] == len(df) - n_exact_copies
+    assert report["n_kept"] < report["n_after_quality_and_exact"]  # near dups collapsed
+    kept = read_partitioned(f"{out}/kept_ids").to_pandas()
+    assert len(kept) == report["n_kept"]
+    groups = read_partitioned(f"{out}/dup_groups").to_pandas()
+    assert (groups["group_id"] <= groups["doc_id"]).all()
