@@ -105,3 +105,35 @@ def test_component_count_matches():
     # isolated vertices never appear in the edge table: 2 components
     assert res.n_components == 2
     assert component_count(res.labels) == 2
+
+
+def test_bfs_hops_path_and_star():
+    from fixtures.synth_pages import g_path, g_star
+    from pds_hw2_mpi_connected_components_ray.pipelines.bfs import bfs_hops
+    from pds_hw2_mpi_connected_components_ray.sources.edges import from_numpy_edges
+    from pds_hw2_mpi_connected_components_ray.stages.graph import canonical_edges
+
+    g = g_path(200)
+    edges = canonical_edges(from_numpy_edges(g.edges, num_blocks=4))
+    out = bfs_hops(edges).to_pandas().sort_values("vertex").reset_index(drop=True)
+    assert np.array_equal(out["hops"].to_numpy(), np.arange(200))  # hop i at vertex i
+
+    s = g_star(100)
+    edges = canonical_edges(from_numpy_edges(s.edges, num_blocks=4))
+    out = bfs_hops(edges, source=5).to_pandas()
+    d = dict(zip(out["vertex"], out["hops"]))
+    assert d[5] == 0 and d[0] == 1
+    assert all(d[v] == 2 for v in range(1, 101) if v != 5)
+
+
+def test_bfs_hops_unreachable_excluded():
+    from fixtures.synth_pages import g_two_cliques
+    from pds_hw2_mpi_connected_components_ray.pipelines.bfs import bfs_hops
+    from pds_hw2_mpi_connected_components_ray.sources.edges import from_numpy_edges
+    from pds_hw2_mpi_connected_components_ray.stages.graph import canonical_edges
+
+    g = g_two_cliques(clique=5, isolated=10)
+    edges = canonical_edges(from_numpy_edges(g.edges, num_blocks=2))
+    out = bfs_hops(edges, source=0).to_pandas()
+    assert set(out["vertex"]) == set(range(5))  # only the first clique
+    assert (out.set_index("vertex")["hops"][1:] == 1).all()
