@@ -382,6 +382,13 @@ def _q_kcore(sf_dir: str, k: int = 7):
     return kcore(_canon_edges(sf_dir), k)
 
 
+def _q_bfs_hops(sf_dir: str):
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.bfs import bfs_hops
+
+    return bfs_hops(_canon_edges(sf_dir))
+
+
 def _q_assortativity(sf_dir: str):
     _configure()
     from pds_hw2_mpi_connected_components_ray.stages.graph import degree_assortativity
@@ -842,6 +849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore7": _q_kcore,
         "clustering_coeff": _q_clustering_coeff,
         "degree_assortativity": _q_assortativity,
+        "bfs_hops": _q_bfs_hops,
         # extraction front-end
         "extract_text_roundtrip": _q_extract_text,
         "extract_links_planted": _q_extract_links,
@@ -913,6 +921,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vertex, count(*)::BIGINT AS triangles FROM corners GROUP BY vertex"
         ),
         "kcore7": _kcore_sql(7, rounds=8),
+        "bfs_hops": (
+            f"WITH RECURSIVE {_EDGES_CTES}, "
+            "s AS (SELECT min(v) AS sv FROM verts), "
+            "walk AS (SELECT sv AS v, 0 AS h FROM s "
+            "  UNION "
+            "  SELECT e.dst AS v, w.h + 1 AS h FROM walk w JOIN edges e ON e.src = w.v "
+            "  WHERE w.h < 64) "
+            "SELECT v AS vertex, min(h)::BIGINT AS hops FROM walk GROUP BY v"
+        ),
         "degree_assortativity": (
             f"WITH {_EDGES_CTES}, "
             "simp AS (SELECT src, dst FROM edges WHERE src <> dst), "
