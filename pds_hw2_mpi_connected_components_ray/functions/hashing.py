@@ -82,37 +82,74 @@ def _unique_per_doc(doc_idx: np.ndarray, vals: np.ndarray, ndocs: int):
     return v, offsets
 
 
+_NONASCII_TAG = np.uint64(1) << np.uint64(62)  # marks poly-hashed windows
+
+
 def pack_char_shingles_batch(texts, k: int = 5):
-    """Packed char k-shingles (k <= 8) for a whole batch: one vectorized
-    pass over the concatenated UTF-8 bytes. Returns (vals, offsets)."""
+    """Char k-shingles (k <= 8) for a whole batch, windowed over CODE
+    POINTS (not UTF-8 bytes): one vectorized pass over the concatenated
+    UTF-32 buffer. Returns (vals, offsets).
+
+    The oracle's substr() windows over characters; round 2 windowed over
+    bytes, silently diverging on any non-ASCII text (ADVICE r2). Now:
+
+    - all-ASCII windows pack their k bytes into a uint64 exactly as
+      before (injective; byte-identical values to round 2 on ASCII
+      corpora, so fixture hashes are stable);
+    - windows containing a non-ASCII code point get a fixed-polynomial
+      hash of the k code points, tagged with bit 62 (collision odds
+      across a candidate pair's union ~10^3/2^62 -- Jaccard over these
+      values matches character-substring Jaccard w.h.p.). The choice
+      depends only on the WINDOW's content, so a shingle shared by an
+      ASCII doc and a mixed doc maps to the same value in both.
+    - short docs (0 < chars < k) contribute one whole-text value,
+      bit-63 tagged; ASCII short texts pack bytes (round-2-identical),
+      others blake2b.
+    """
     if k > 8:
         raise ValueError("packed char shingles support k <= 8")
-    enc = [(t or "").encode("utf-8") for t in texts]
-    ndocs = len(enc)
-    lens = np.array([len(e) for e in enc], dtype=np.int64)
+    strs = [(t or "") for t in texts]
+    ndocs = len(strs)
+    lens = np.array([len(s) for s in strs], dtype=np.int64)  # code points
     starts = np.zeros(ndocs + 1, dtype=np.int64)
     np.cumsum(lens, out=starts[1:])
-    buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    buf = np.frombuffer(
+        "".join(strs).encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.uint64)
     total = len(buf)
 
     doc_parts: list[np.ndarray] = []
     val_parts: list[np.ndarray] = []
     if total >= k:
-        # one window-hash pass over the whole buffer
+        # one window pass over the whole code-point buffer: packed-byte
+        # accumulator, polynomial accumulator, and window max together
         nwin = total - k + 1
-        acc = np.zeros(nwin, dtype=np.uint64)
+        packed = np.zeros(nwin, dtype=np.uint64)
+        poly = np.zeros(nwin, dtype=np.uint64)
+        wmax = np.zeros(nwin, dtype=np.uint64)
         for j in range(k):
-            acc = (acc << np.uint64(8)) | buf[j : j + nwin].astype(np.uint64)
+            w = buf[j : j + nwin]
+            packed = (packed << np.uint64(8)) | (w & np.uint64(0xFF))
+            poly = poly * _POLY_C + w
+            np.maximum(wmax, w, out=wmax)
+        acc = np.where(
+            wmax < np.uint64(128),
+            packed,
+            (poly >> np.uint64(2)) | _NONASCII_TAG,
+        )
         # windows fully inside doc d start in [starts[d], starts[d+1]-k]
         n_valid = np.maximum(lens - k + 1, 0)
         doc_idx, pos = _window_positions(starts, n_valid)
         doc_parts.append(doc_idx)
         val_parts.append(acc[pos])
-    # short docs (0 < len < k): one whole-text pack, high-bit tagged
+    # short docs (0 < chars < k): one whole-text value, high-bit tagged
     short = np.nonzero((lens > 0) & (lens < k))[0]
     for d in short:
-        e = enc[d]
-        v = np.uint64(int.from_bytes(e, "big")) | _SHORT_TAG
+        e = strs[d].encode("utf-8")
+        if len(e) == len(strs[d]):  # pure ASCII: round-2-identical pack
+            v = np.uint64(int.from_bytes(e, "big")) | _SHORT_TAG
+        else:
+            v = np.uint64(hash64(e)) | _SHORT_TAG
         doc_parts.append(np.array([d], dtype=np.int64))
         val_parts.append(np.array([v], dtype=np.uint64))
     if not doc_parts:

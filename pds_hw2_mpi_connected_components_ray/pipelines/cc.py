@@ -427,9 +427,6 @@ class PinnedCCSolver:
                     [a.cc_apply_map_and_finalize.remote(mref) for a in acts]
                 )
             else:
-                ray.get(
-                    [a.cc_apply_jump.remote(self._jump_lookup_refs()) for a in acts]
-                )
                 lrefs = self._jump_lookup_refs()
                 counts = ray.get(
                     [a.cc_apply_jump_and_finalize.remote(lrefs) for a in acts]

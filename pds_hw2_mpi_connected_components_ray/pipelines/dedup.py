@@ -193,6 +193,15 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
 
 
 _NUM_COARSE_BUCKETS = 64
+# Target band rows per coarse bucket: the adaptive knob (ADVICE r2 --
+# a FIXED bucket count means per-bucket volume grows O(n*bands/64) with
+# the corpus; scaling the count with volume keeps each group's local
+# sort + run-scan bounded and the shuffle fan-out proportional).
+_COARSE_BUCKET_TARGET_ROWS = 500_000
+
+
+def _coarse_bucket_count(n_band_rows: int) -> int:
+    return max(_NUM_COARSE_BUCKETS, int(n_band_rows // _COARSE_BUCKET_TARGET_ROWS) + 1)
 
 
 def _coarse_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -229,7 +238,9 @@ def _coarse_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"a": np.concatenate(outs_a), "b": np.concatenate(outs_b)})
 
 
-def _lsh_bucket_candidates(sigs: Dataset) -> Dataset:
+def _lsh_bucket_candidates(
+    sigs: Dataset, num_coarse: int = _NUM_COARSE_BUCKETS
+) -> Dataset:
     """(doc_id, band_id, band_hash) rows -> candidate pairs.
 
     Pairs are UNIQUE within a coarse bucket but may repeat across
@@ -241,7 +252,7 @@ def _lsh_bucket_candidates(sigs: Dataset) -> Dataset:
     def add_coarse(t: pa.Table) -> pa.Table:
         bh = t["band_hash"].to_numpy(zero_copy_only=False)
         return t.append_column(
-            "_cb", pa.array((bh % _NUM_COARSE_BUCKETS).astype(np.int64))
+            "_cb", pa.array((bh % num_coarse).astype(np.int64))
         )
 
     coarse = sigs.map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
@@ -250,37 +261,39 @@ def _lsh_bucket_candidates(sigs: Dataset) -> Dataset:
     )
 
 
+# Verified-pair tables at or below this row count dedup in ONE partition;
+# above it they hash-bucket shuffle first. "Post-verify output is tiny"
+# is an assumption, not an invariant (ADVICE r2): a corpus with large
+# near-duplicate FAMILIES (templated boilerplate above threshold that
+# survives exact dedup) makes the verified set O(family^2).
+_SMALL_PAIRS_ROWS = 200_000
+
+
 def _dedup_small(pairs: Dataset, cols: list[str]) -> Dataset:
-    """Dedup a SMALL pair table (post-verify): single-partition unique."""
+    """Dedup a verified pair table on (a, b), keeping `cols`.
+
+    Small outputs: single-partition drop_duplicates (one tiny task).
+    Large outputs: hash-bucket shuffle on a mixed int key + per-bucket
+    vectorized drop_duplicates, bucket count scaled to the row count.
+    A direct groupby((a, b)) creates one Ray group PER PAIR -- measured
+    127 s for 195k pairs at sf0.1 vs ~1 s bucketed; same trick as
+    stages.graph.dedup_edges."""
 
     def uniq(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["a", "b"])[cols]
 
-    return pairs.repartition(1).map_batches(uniq, batch_format="pandas")
+    pairs = pairs.materialize()
+    n = pairs.count()
+    if n <= _SMALL_PAIRS_ROWS:
+        return pairs.repartition(1).map_batches(uniq, batch_format="pandas")
 
-
-def _distinct_pairs(pairs: Dataset, num_buckets: int = 64) -> Dataset:
-    """Dedup pairs discovered in multiple buckets: hash-bucket shuffle on
-    a SMALL int key + vectorized per-bucket np.unique. A direct
-    groupby((a, b)) creates one group per pair -- measured 127 s for
-    195k pairs at sf0.1 (Ray's per-group overhead) vs ~1 s this way;
-    same trick as stages.graph.dedup_edges."""
+    num_buckets = max(64, n // _SMALL_PAIRS_ROWS * 8)
 
     def bucketize(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False)
         b = t["b"].to_numpy(zero_copy_only=False)
-        mix = (a * np.int64(0x9E3779B9) + b) % num_buckets
+        mix = (a * np.int64(0x9E3779B9) + b) % np.int64(num_buckets)
         return t.append_column("_pb", pa.array(mix.astype(np.int64)))
-
-    def uniq(g: pd.DataFrame) -> pd.DataFrame:
-        arr = np.unique(
-            np.stack(
-                [g["a"].to_numpy(dtype=np.int64), g["b"].to_numpy(dtype=np.int64)],
-                axis=1,
-            ),
-            axis=0,
-        )
-        return pd.DataFrame({"a": arr[:, 0], "b": arr[:, 1]})
 
     bucketed = pairs.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
     return bucketed.groupby("_pb").map_groups(uniq, batch_format="pandas")
@@ -470,7 +483,9 @@ def _lsh_jaccard_pairs(
         batch_format="pandas",
         concurrency=_pool(concurrency),
     )
-    cands = _lsh_bucket_candidates(sigs).materialize()
+    cands = _lsh_bucket_candidates(
+        sigs, num_coarse=_coarse_bucket_count(docs.count() * num_bands)
+    ).materialize()
     if cands.count() == 0:
         return _empty_pairs({"jaccard": "f"})
     verified = _verify_jaccard(
@@ -579,7 +594,22 @@ class _SimHashStage:
         texts = batch[self.text_col].fillna("").tolist()
         ids = batch[self.id_col].to_numpy(dtype=np.int64)
         vals, offs = pack_char_shingles_batch(texts, self.k)
-        h = simhash64_batch(vals, offs)
+        # Empty docs emit no rows ("an empty set matches nothing",
+        # matching _MinHashBandStage and the SQL oracle's length(text)>0
+        # gate): all empties simhash to 0, collide in EVERY band, and
+        # would flood one bucket with O(n_empty^2) candidate pairs.
+        nonempty = np.nonzero(np.diff(offs) > 0)[0]
+        if len(nonempty) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "band_id": pd.Series([], dtype="int64"),
+                    "band_key": pd.Series([], dtype="int64"),
+                    "simhash": pd.Series([], dtype="int64"),
+                }
+            )
+        h = simhash64_batch(vals, offs)[nonempty]
+        ids = ids[nonempty]
         nb = self.num_bands
         width = 64 // nb
         mask = np.uint64((1 << width) - 1)
@@ -630,29 +660,62 @@ def simhash_pairs(
         concurrency=_pool(concurrency),
     )
 
-    def bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        n = len(g)
-        if n < 2:
-            return pd.DataFrame(
-                {
-                    "a": pd.Series([], dtype="int64"),
-                    "b": pd.Series([], dtype="int64"),
-                    "hamming": pd.Series([], dtype="int64"),
-                }
-            )
+    def coarse_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # All fine (band_id, band_key) buckets inside one coarse bucket:
+        # grouping Ray-side on the fine key directly creates many tiny
+        # groups and Ray's per-group overhead dominates (the minhash path
+        # measured 8 s for 70k groups and coarse-buckets for exactly this
+        # reason, _coarse_bucket_pairs); here the fine-bucket walk is a
+        # local sorted-run scan with vectorized XOR/popcount verify.
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "hamming": pd.Series([], dtype="int64"),
+            }
+        )
+        g = g.sort_values(["band_id", "band_key", "doc_id"]).drop_duplicates(
+            ["band_id", "band_key", "doc_id"]
+        )
+        if len(g) < 2:
+            return empty
+        bi = g["band_id"].to_numpy(dtype=np.int64)
+        bk = g["band_key"].to_numpy(dtype=np.int64)
         ids = g["doc_id"].to_numpy(dtype=np.int64)
         hs = g["simhash"].to_numpy(dtype=np.int64).astype(np.uint64)
-        ia, ib = np.triu_indices(n, k=1)
-        ham = hamming64_batch(hs[ia], hs[ib])
-        keep = ham <= hamming_threshold
-        return pd.DataFrame(
-            {"a": ids[ia][keep], "b": ids[ib][keep], "hamming": ham[keep]}
-        )
+        new_run = np.r_[True, (bi[1:] != bi[:-1]) | (bk[1:] != bk[:-1])]
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.r_[starts, len(ids)])
+        outs: list[pd.DataFrame] = []
+        for s, ln in zip(starts[lens > 1], lens[lens > 1]):
+            ia, ib = np.triu_indices(ln, k=1)
+            ham = hamming64_batch(hs[s + ia], hs[s + ib])
+            keep = ham <= hamming_threshold
+            if keep.any():
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "a": ids[s + ia[keep]],
+                            "b": ids[s + ib[keep]],
+                            "hamming": ham[keep],
+                        }
+                    )
+                )
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
-    pairs = hashes.groupby(["band_id", "band_key"]).map_groups(
-        bucket, batch_format="pandas"
-    )
+    num_coarse = _coarse_bucket_count(docs.count() * num_bands)
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        bi = t["band_id"].to_numpy(zero_copy_only=False)
+        bk = t["band_key"].to_numpy(zero_copy_only=False)
+        cb = (bi * np.int64(1315423911) + bk * np.int64(2654435761)) % np.int64(
+            num_coarse
+        )
+        return t.append_column("_cb", pa.array(cb.astype(np.int64)))
+
+    pairs = hashes.map_batches(
+        add_coarse, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("_cb").map_groups(coarse_bucket, batch_format="pandas")
     dedup = pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
     if verify_threshold is None:
         return dedup

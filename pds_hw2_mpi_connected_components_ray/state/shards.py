@@ -325,8 +325,27 @@ class GraphShardActor:
             e = np.array([], dtype=np.int64)
             return e, e
         ids = np.unique(np.concatenate(qs))
-        pos = np.searchsorted(self.own, ids)
+        pos = self._owned_positions(ids)
         return ids, self.cc_labels[pos]
+
+    def _owned_positions(self, ids: np.ndarray) -> np.ndarray:
+        """Positions of `ids` in self.own, asserting the ownership
+        invariant: every queried label value must be a dst this shard
+        owns. That holds only for SYMMETRIZED edge input (a vertex
+        appearing only as src never materializes as an owned dst but can
+        become a component-min label); without the check a directed
+        table silently returns a wrong vertex's label or IndexErrors
+        (ADVICE r2)."""
+        pos = np.minimum(np.searchsorted(self.own, ids), len(self.own) - 1)
+        if len(ids) and not (self.own[pos] == ids).all():
+            missing = ids[self.own[pos] != ids][:5]
+            raise ValueError(
+                f"shard {self.sid}: label values {missing.tolist()} are not "
+                "owned vertices -- pinned CC requires symmetrized edge input "
+                "(every vertex must appear as a dst); pass the edge table "
+                "through stages.graph.symmetrize first"
+            )
+        return pos
 
     def cc_apply_jump(self, map_refs: list) -> bool:
         """Apply the merged lookup maps: label <- min(label, map[label])."""
@@ -369,8 +388,7 @@ class GraphShardActor:
         small-map path)."""
         if len(ids) == 0 or len(self.own) == 0:
             return np.array([], dtype=np.int64)
-        pos = np.searchsorted(self.own, ids)
-        return self.cc_labels[pos]
+        return self.cc_labels[self._owned_positions(ids)]
 
     def cc_apply_map_and_finalize(self, jump_map) -> int:
         """Apply a driver-assembled, transitively CLOSED jump map (one

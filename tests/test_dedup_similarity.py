@@ -285,3 +285,77 @@ def test_corpus_prep_identical_doc_flood():
     assert 0 in kept  # one representative of the flood survives
     assert len(kept & set(range(n))) == 1  # exactly one
     assert set(range(n, n + 20)) <= kept  # unique docs all survive
+
+
+def test_simhash_skips_empty_docs():
+    """Empty/null texts emit NO band rows (ADVICE r2): all empties
+    simhash to 0, collide in every band, and would both flood one
+    bucket O(n_empty^2) and emit pairs the length(text)>0 oracle gate
+    excludes."""
+    import pyarrow as pa
+
+    texts = ["", None, "", "a real document body with plenty of text here"]
+    tab = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = simhash_pairs(rd.from_arrow(tab), hamming_threshold=8).to_pandas()
+    assert len(out) == 0  # no empty-vs-empty pairs
+
+
+def test_char_shingles_window_code_points():
+    """Char shingles window over CODE POINTS like the oracle's substr()
+    (round 2 windowed over UTF-8 bytes; ADVICE r2). Identical non-ASCII
+    texts must reach Jaccard 1.0 and k-char semantics must count
+    characters, not bytes."""
+    from pds_hw2_mpi_connected_components_ray.functions.hashing import (
+        jaccard_pairs_from_table,
+        pack_char_shingles_batch,
+    )
+
+    # 3-char Greek text with k=3: exactly ONE shingle (byte-windowing
+    # would see 6 bytes -> 4 shingles)
+    vals, offs = pack_char_shingles_batch(["και"], 3)
+    assert offs[1] - offs[0] == 1
+
+    # identical Greek docs -> jaccard 1.0; one-char-changed -> < 1.0;
+    # and a shingle shared between an ASCII and a mixed doc matches
+    texts = ["αβγδεζη", "αβγδεζη", "abcde", "xxαβγδεζηabcdeyy"]
+    vals, offs = pack_char_shingles_batch(texts, 5)
+    jac = jaccard_pairs_from_table(
+        vals, offs, np.array([0, 2]), np.array([1, 3])
+    )
+    assert jac[0] == 1.0
+    assert 0 < jac[1] < 1.0
+    s_ascii = set(vals[offs[2] : offs[3]].tolist())
+    s_mixed = set(vals[offs[3] : offs[4]].tolist())
+    assert s_ascii & s_mixed  # 'abcde' maps to the same value in both
+
+
+def test_minhash_non_ascii_dups():
+    """End-to-end: planted non-ASCII near-dups are found with the same
+    recall as ASCII ones (the round-2 byte-windowing silently depended
+    on fixtures being ASCII-only)."""
+    import pyarrow as pa
+
+    rng = np.random.RandomState(11)
+    vocab = [f"λέξη{j:02d}" for j in range(50)] + [f"wörter{j:02d}" for j in range(50)]
+    bases = [" ".join(rng.choice(vocab, size=30, replace=False)) for _ in range(10)]
+    texts = []
+    for b in bases:
+        texts.append(b)
+        texts.append(b + " επιπλέον")  # near-dup: tiny suffix
+    tab = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = minhash_lsh_pairs(
+        rd.from_arrow(tab).repartition(2), threshold=0.5
+    ).to_pandas()
+    got = set(zip(out["a"], out["b"]))
+    want = {(2 * i, 2 * i + 1) for i in range(10)}
+    assert want <= got
