@@ -386,7 +386,16 @@ def _q_bfs_hops(sf_dir: str):
     _configure()
     from pds_hw2_mpi_connected_components_ray.pipelines.bfs import bfs_hops
 
-    return bfs_hops(_canon_edges(sf_dir))
+    return bfs_hops(_canon_edges(sf_dir), mode="broadcast")
+
+
+def _q_bfs_hops_pinned(sf_dir: str):
+    # the web-scale mode: decentralized (min,+1) relaxation over the
+    # pinned dst-sharded pool; no O(n) driver state
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.bfs import bfs_hops
+
+    return bfs_hops(_canon_edges(sf_dir), mode="pinned")
 
 
 def _q_assortativity(sf_dir: str):
@@ -850,6 +859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": _q_clustering_coeff,
         "degree_assortativity": _q_assortativity,
         "bfs_hops": _q_bfs_hops,
+        "bfs_hops_pinned": _q_bfs_hops_pinned,
         # extraction front-end
         "extract_text_roundtrip": _q_extract_text,
         "extract_links_planted": _q_extract_links,
@@ -922,6 +932,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kcore7": _kcore_sql(7, rounds=8),
         "bfs_hops": (
+            f"WITH RECURSIVE {_EDGES_CTES}, "
+            "s AS (SELECT min(v) AS sv FROM verts), "
+            "walk AS (SELECT sv AS v, 0 AS h FROM s "
+            "  UNION "
+            "  SELECT e.dst AS v, w.h + 1 AS h FROM walk w JOIN edges e ON e.src = w.v "
+            "  WHERE w.h < 64) "
+            "SELECT v AS vertex, min(h)::BIGINT AS hops FROM walk GROUP BY v"
+        ),
+        "bfs_hops_pinned": (
             f"WITH RECURSIVE {_EDGES_CTES}, "
             "s AS (SELECT min(v) AS sv FROM verts), "
             "walk AS (SELECT sv AS v, 0 AS h FROM s "

@@ -137,3 +137,45 @@ def test_bfs_hops_unreachable_excluded():
     out = bfs_hops(edges, source=0).to_pandas()
     assert set(out["vertex"]) == set(range(5))  # only the first clique
     assert (out.set_index("vertex")["hops"][1:] == 1).all()
+
+
+def test_bfs_modes_agree_random_graph():
+    """Pinned (decentralized (min,+1) shard relaxation) and broadcast
+    BFS produce identical (vertex, hops) tables on a random graph with
+    several components."""
+    from pds_hw2_mpi_connected_components_ray.pipelines.bfs import bfs_hops
+    from pds_hw2_mpi_connected_components_ray.sources.edges import from_numpy_edges
+    from pds_hw2_mpi_connected_components_ray.stages.graph import canonical_edges
+
+    rng = np.random.RandomState(7)
+    n = 3000
+    src = rng.randint(0, n, size=9000)
+    dst = (src + rng.randint(1, 40, size=9000)) % n
+    edges = canonical_edges(
+        from_numpy_edges(np.stack([src, dst], axis=1), num_blocks=6)
+    ).materialize()
+    for source in (0, 17):
+        pin = (
+            bfs_hops(edges, source=source, mode="pinned")
+            .to_pandas()
+            .sort_values("vertex")
+            .reset_index(drop=True)
+        )
+        bro = (
+            bfs_hops(edges, source=source, mode="broadcast")
+            .to_pandas()
+            .sort_values("vertex")
+            .reset_index(drop=True)
+        )
+        assert pin.equals(bro), (len(pin), len(bro))
+
+
+def test_bfs_pinned_rejects_unowned_source():
+    from pds_hw2_mpi_connected_components_ray.pipelines.bfs import bfs_hops
+    from pds_hw2_mpi_connected_components_ray.sources.edges import from_numpy_edges
+    from pds_hw2_mpi_connected_components_ray.stages.graph import canonical_edges
+
+    g = np.array([[0, 1], [1, 2]])
+    edges = canonical_edges(from_numpy_edges(g, num_blocks=1))
+    with pytest.raises(ValueError, match="not in the graph"):
+        bfs_hops(edges, source=99, mode="pinned")
