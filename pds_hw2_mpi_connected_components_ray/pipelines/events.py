@@ -2,10 +2,15 @@
 
 Ray Data has no event-time windowing; the batch formulation treats the
 events table as a partitioned log: windows are pure column derivations
-(tumbling = integer-divide the microsecond epoch), sessions are
-per-user gap-islands inside groupby(user).map_groups over ts-sorted
-groups (ordering assumption: within one user, (ts, event_id) is a total
-order -- stated tiebreak makes results deterministic)."""
+(tumbling = integer-divide the microsecond epoch); as-of joins and
+sessions hash-bucket users into ~parallelism-sized groups, sort each
+bucket ONCE by (user, ts, event_id) and compute shifts / gap-islands
+vectorized over run boundaries (ordering assumption: within one user,
+(ts, event_id) is a total order -- the stated tiebreak makes results
+deterministic). Round 2 used groupby(user).map_groups -- one pandas
+group PER USER, the many-tiny-groups overhead the dedup path measured
+(127 s for 195k groups) and engineered around; one group per hash
+bucket does the same work in a single vectorized pass."""
 
 from __future__ import annotations
 
@@ -16,8 +21,49 @@ import pyarrow as pa
 from ray.data import Dataset
 from ray.data.aggregate import Count, Sum
 
+from ..context import default_parallelism
+
 US_PER_HOUR = 3_600_000_000
 US_30_MIN = 1_800_000_000
+
+
+def _bucket_by_key(ds: Dataset, by: str, cols: list[str]) -> Dataset:
+    """Project to `cols` and add a `_kb` hash-bucket column over `by`.
+
+    Bucket count ~ cluster parallelism (not per-key): the downstream
+    groupby("_kb") creates one group per BUCKET, each holding many
+    complete users -- the keyed all-to-all is one shuffle whose fan-in
+    scales with the cluster, never with the key cardinality."""
+    nb = max(8, default_parallelism())
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t[by].to_numpy(zero_copy_only=False)
+        if k.dtype.kind in "iu":
+            h = k.astype(np.int64) * np.int64(0x9E3779B9)
+        else:
+            # string keys: python hash() is NOT stable across workers;
+            # blake2b once per DISTINCT value (vocabulary-sized work)
+            import hashlib
+
+            uniq, inv = np.unique(k, return_inverse=True)
+            hu = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(str(u).encode(), digest_size=8).digest(),
+                        "big",
+                        signed=True,
+                    )
+                    for u in uniq
+                ),
+                dtype=np.int64,
+                count=len(uniq),
+            )
+            h = hu[inv]
+        return t.append_column("_kb", pa.array((h % nb).astype(np.int64)))
+
+    return ds.select_columns(cols).map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def windowed_counts(events: Dataset, window_us: int = US_PER_HOUR) -> Dataset:
@@ -105,43 +151,62 @@ def asof_prev(
 ) -> Dataset:
     """AS-OF self-join: each event matched to the most recent PRIOR
     event of the same `by` key ((ts, id) total order; first event of a
-    key gets -1). Ray Data has no asof join; the batch formulation is a
-    per-key sorted shift inside groupby(by).map_groups -- the standard
-    partition-then-sorted-merge shape (keys must fit a group, which
-    event streams partitioned by user satisfy).
+    key gets -1). Ray Data has no asof join; the batch formulation
+    hash-buckets keys (one shuffle, ~parallelism groups), sorts each
+    bucket ONCE by (key, ts, id) and computes the shift vectorized over
+    key-run boundaries. A key's events always land in one bucket, so
+    the per-key semantics are exact.
     Output: (event_id, prev_event_id, gap_us)."""
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, id_col])
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([by, ts_col, id_col], kind="stable")
+        keys = g[by].to_numpy()
         t = g[ts_col].to_numpy().astype("datetime64[us]").view(np.int64)
         ids = g[id_col].to_numpy(dtype=np.int64)
-        prev = np.concatenate([[-1], ids[:-1]])
-        gap = np.concatenate([[-1], np.diff(t)])
+        first = np.r_[True, keys[1:] != keys[:-1]]  # key-run starts
+        prev = np.where(first, np.int64(-1), np.r_[np.int64(-1), ids[:-1]])
+        gap = np.where(first, np.int64(-1), np.r_[np.int64(-1), np.diff(t)])
         return pd.DataFrame(
             {"event_id": ids, "prev_event_id": prev, "gap_us": gap.astype(np.int64)}
         )
 
     return (
-        events.select_columns([by, ts_col, id_col])
-        .groupby(by)
-        .map_groups(per_key, batch_format="pandas")
+        _bucket_by_key(events, by, [by, ts_col, id_col])
+        .groupby("_kb")
+        .map_groups(per_bucket, batch_format="pandas")
     )
 
 
 def sessionize(events: Dataset, gap_us: int = US_30_MIN) -> Dataset:
     """(user_id, n_sessions): a new session starts when the gap to the
     previous event of that user exceeds `gap_us`. Events within a user
-    are ordered by (ts, event_id) -- the deterministic tiebreak."""
+    are ordered by (ts, event_id) -- the deterministic tiebreak.
+    Same bucketed one-pass shape as asof_prev: sessions are gap-islands
+    counted vectorized over key-run boundaries (bincount of
+    session-break positions per run)."""
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        users = g["user_id"].to_numpy()
         t = g["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
-        gaps = np.diff(t)
-        n_sessions = 1 + int((gaps > gap_us).sum())
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions]})
+        first = np.r_[True, users[1:] != users[:-1]]
+        run_id = np.cumsum(first) - 1  # 0..nruns-1, one run per user
+        nruns = int(run_id[-1]) + 1 if len(run_id) else 0
+        if nruns == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=users.dtype),
+                    "n_sessions": pd.Series([], dtype="int64"),
+                }
+            )
+        breaks = (~first[1:]) & (np.diff(t) > gap_us)  # intra-user gaps
+        n_sessions = 1 + np.bincount(run_id[1:][breaks], minlength=nruns)
+        return pd.DataFrame(
+            {"user_id": users[first], "n_sessions": n_sessions.astype(np.int64)}
+        )
 
     return (
-        events.select_columns(["user_id", "ts", "event_id"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        _bucket_by_key(events, "user_id", ["user_id", "ts", "event_id"])
+        .groupby("_kb")
+        .map_groups(per_bucket, batch_format="pandas")
     )

