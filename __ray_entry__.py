@@ -728,6 +728,24 @@ def _q_media_decode(sf_dir: str):
     return out.select_columns(["media_id", "width", "height", "n_bytes"])
 
 
+def _q_media_decode_png(sf_dir: str):
+    """REAL-format decode: deterministic grayscale PNGs (scanline
+    filters cycling 0-4, so the corpus exercises every unfilter path)
+    decoded by the pure-Python PNG codec (chunk CRCs, zlib inflate,
+    filter reconstruction). width/height/pixel_sum are closed-form in
+    len(text), so the oracle verifies the DECODED PIXELS, not just
+    headers. The crc32 checksum and encoded n_bytes columns are dropped
+    (not SQL-expressible); pytest covers them."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.multimodal import (
+        decode_png_media,
+        png_from_documents,
+    )
+
+    out = decode_png_media(png_from_documents(_docs(sf_dir)), batch_size=64)
+    return out.select_columns(["media_id", "width", "height", "pixel_sum"])
+
+
 def _q_corpus_prep(sf_dir: str):
     """Flagship training-data prep chain: quality gate -> exact dedup ->
     near-dup collapse (minhash + exact-Jaccard verify + CC) -> surviving
@@ -889,6 +907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": _q_top_tokens,
         # multimodal plumbing
         "media_decode": _q_media_decode,
+        "media_decode_png": _q_media_decode_png,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
     }
@@ -1084,6 +1103,18 @@ def oracle_sql() -> dict[str, str]:
             "((length(coalesce(text,'')) // 7) % 96 + 8)::BIGINT AS height, "
             "(11 + least(length(coalesce(text,'')), 256))::BIGINT AS n_bytes "
             "FROM documents"
+        ),
+        "media_decode_png": (
+            "WITH m AS (SELECT doc_id AS media_id, length(coalesce(text,'')) AS L "
+            "FROM documents), "
+            "d AS (SELECT media_id, L, (L % 48 + 8)::BIGINT AS width, "
+            "((L // 7) % 48 + 8)::BIGINT AS height FROM m), "
+            "gx AS (SELECT media_id, L, height, unnest(range(0, width)) AS x FROM d), "
+            "px AS (SELECT media_id, L, x, unnest(range(0, height)) AS y FROM gx), "
+            "s AS (SELECT media_id, sum((7*x + 13*y + L) % 256)::BIGINT AS pixel_sum "
+            "FROM px GROUP BY media_id) "
+            "SELECT d.media_id, d.width, d.height, s.pixel_sum "
+            "FROM d JOIN s USING (media_id)"
         ),
         "media_resize": (
             "SELECT doc_id AS media_id, "
