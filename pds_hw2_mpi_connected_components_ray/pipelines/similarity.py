@@ -126,6 +126,7 @@ class IVFIndex:
     def __init__(self, path: str, centroids: np.ndarray):
         self.path = path
         self.centroids = centroids
+        self.manifest: dict | None = None  # populated by ivf_load
 
 
 def ivf_build(
@@ -139,8 +140,18 @@ def ivf_build(
 ) -> IVFIndex:
     """Train centroids on a sample, assign every vector to its nearest
     list (one streaming pass, centroids broadcast), write the corpus as
-    list-partitioned parquet, persist the centroids alongside."""
+    list-partitioned parquet, persist the centroids alongside.
+
+    The build is ATOMIC and loud about partial state: everything lands
+    in <path>.tmp first, then one rename publishes it, with a
+    manifest.json (nlist, dims, n_vectors, per-list counts) and a
+    _SUCCESS marker written LAST -- so a killed build never leaves a
+    loadable half-index, a rebuild over an existing path replaces it
+    atomically, and `ivf_load` can refuse anything unfinished (same
+    pattern as sources/sinks.py's resumable sink)."""
+    import json
     import os
+    import shutil
 
     sample = embeddings.select_columns([vec_col]).limit(sample_size).to_pandas()
     cent = kmeans_fit(np.stack(sample[vec_col].to_numpy()), nlist)
@@ -159,20 +170,74 @@ def ivf_build(
             }
         )
 
-    os.makedirs(path, exist_ok=True)
-    # data lives under <path>/lists so the centroid sidecar file does
-    # not pollute the parquet dataset directory
-    embeddings.select_columns([id_col, vec_col]).map_batches(
+    tmp = path.rstrip("/") + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    # data lives under <path>/lists so the sidecar files do not pollute
+    # the parquet dataset directory
+    assigned = embeddings.select_columns([id_col, vec_col]).map_batches(
         assign, batch_format="pandas"
-    ).write_parquet(os.path.join(path, "lists"), partition_cols=["list_id"])
-    np.save(os.path.join(path, "centroids.npy"), cent)
+    )
+    assigned.write_parquet(os.path.join(tmp, "lists"), partition_cols=["list_id"])
+    np.save(os.path.join(tmp, "centroids.npy"), cent)
+    # per-list counts from the written layout (cheap: footer metadata)
+    counts: dict[str, int] = {}
+    n_total = 0
+    import pyarrow.parquet as pq
+
+    lists_dir = os.path.join(tmp, "lists")
+    for name in sorted(os.listdir(lists_dir)):
+        if not name.startswith("list_id="):
+            continue
+        d = os.path.join(lists_dir, name)
+        c = sum(
+            pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+        counts[name.split("=")[1]] = c
+        n_total += c
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump(
+            {
+                "nlist": int(nlist),
+                "dims": int(cent.shape[1]),
+                "n_vectors": n_total,
+                "id_col": id_col,
+                "vec_col": vec_col,
+                "list_counts": counts,
+            },
+            f,
+        )
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write("")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
     return IVFIndex(path, cent)
 
 
 def ivf_load(path: str) -> IVFIndex:
+    """Load a finished index; refuse partial builds loudly."""
+    import json
     import os
 
-    return IVFIndex(path, np.load(os.path.join(path, "centroids.npy")))
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        raise FileNotFoundError(
+            f"IVF index at {path} has no _SUCCESS marker -- build unfinished "
+            "or interrupted; re-run ivf_build (atomic: publishes only on success)"
+        )
+    cent = np.load(os.path.join(path, "centroids.npy"))
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    if manifest["dims"] != cent.shape[1]:
+        raise ValueError(
+            f"manifest dims {manifest['dims']} != centroids {cent.shape[1]}"
+        )
+    idx = IVFIndex(path, cent)
+    idx.manifest = manifest
+    return idx
 
 
 def knn_ivf_indexed(

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -359,3 +361,56 @@ def test_minhash_non_ascii_dups():
     got = set(zip(out["a"], out["b"]))
     want = {(2 * i, 2 * i + 1) for i in range(10)}
     assert want <= got
+
+
+def test_ivf_build_atomic_lifecycle(tmp_path):
+    """Build publishes atomically: manifest + _SUCCESS written last,
+    partial state refuses to load, rebuild replaces in place."""
+    from pds_hw2_mpi_connected_components_ray.pipelines.similarity import (
+        ivf_build,
+        ivf_load,
+    )
+
+    base, ds = _toy_embeddings(n=96, d=8)
+    root = str(tmp_path / "idx")
+    idx = ivf_build(ds, root, nlist=6)
+    assert os.path.exists(os.path.join(root, "_SUCCESS"))
+    assert not os.path.exists(root + ".tmp")  # tmp dir consumed by rename
+    loaded = ivf_load(root)
+    m = loaded.manifest
+    assert m["nlist"] == 6 and m["dims"] == 8 and m["n_vectors"] == 96
+    assert sum(m["list_counts"].values()) == 96
+    assert np.array_equal(loaded.centroids, idx.centroids)
+    # a missing _SUCCESS (interrupted build) refuses to load
+    os.remove(os.path.join(root, "_SUCCESS"))
+    with pytest.raises(FileNotFoundError, match="_SUCCESS"):
+        ivf_load(root)
+    # rebuild over the broken state publishes a fresh complete index
+    ivf_build(ds, root, nlist=6)
+    assert ivf_load(root).manifest["n_vectors"] == 96
+
+
+def test_ivf_recall_vs_nprobe_sweep(tmp_path):
+    """Documented recall curve: recall@k is non-decreasing in nprobe
+    (modulo its plateau) and exact at nprobe == nlist."""
+    from pds_hw2_mpi_connected_components_ray.pipelines.similarity import (
+        ivf_build,
+        knn_ivf_indexed,
+    )
+
+    base, ds = _toy_embeddings(n=160, d=16, seed=11)
+    qids = np.arange(10)
+    brute = knn_brute(ds, qids, base[qids], k=3)
+    want = {q: set(brute[brute["query_id"] == q]["neighbor_id"]) for q in qids}
+    idx = ivf_build(ds, str(tmp_path / "sweep"), nlist=8)
+    recalls = []
+    for nprobe in (1, 2, 4, 8):
+        got = knn_ivf_indexed(idx, qids, base[qids], k=3, nprobe=nprobe)
+        hits = sum(
+            len(want[q] & set(got[got["query_id"] == q]["neighbor_id"])) for q in qids
+        )
+        recalls.append(hits / sum(len(want[q]) for q in qids))
+    # non-decreasing within noise; full probe is exact
+    assert all(b >= a - 1e-9 for a, b in zip(recalls, recalls[1:])), recalls
+    assert recalls[-1] == 1.0, recalls
+    assert recalls[0] >= 0.3, recalls
