@@ -58,7 +58,7 @@ def _timed(fn):
     return time.perf_counter() - t0, out
 
 
-def bench_headline(trials: int = 3) -> dict:
+def bench_headline(trials: int = 3, scale_rep: int | None = None) -> dict:
     """CC to exact-label convergence on the scaled derived graph,
     reference benchmark shape (/root/reference/src/benchmark.c:242-288):
     load the graph into the pinned actor pool ONCE (load time reported
@@ -71,12 +71,15 @@ def bench_headline(trials: int = 3) -> dict:
     from pds_hw2_mpi_connected_components_ray.sources.edges import derive_raw_edges
     from pds_hw2_mpi_connected_components_ray.stages.graph import symmetrize
 
+    if scale_rep is None:
+        scale_rep = SCALE_REP
+
     # undirected closure, duplicates kept (reference keeps dups too and
     # counts them in nnz: /root/reference/src/converter/mtx_to_bin.c:303-317)
     # so n_edges is deterministic across batch splits / cpu counts.
     # Build is the ETL phase, outside the timed solve.
     edges = symmetrize(
-        derive_raw_edges(SF_DIR, scale_rep=SCALE_REP), dedup_local=False
+        derive_raw_edges(SF_DIR, scale_rep=scale_rep), dedup_local=False
     ).materialize()
     n_edges = edges.count()
 
@@ -107,7 +110,7 @@ def bench_headline(trials: int = 3) -> dict:
         "edges_per_sec": n_edges / mean_t,
         "supersteps_per_sec": supersteps / mean_t,
         "mode": "pinned",
-        "scale_rep": SCALE_REP,
+        "scale_rep": scale_rep,
     }
 
 
@@ -387,6 +390,30 @@ def main() -> None:
         ray.shutdown()
         print(json.dumps(record))
         return
+    if "--scale" in sys.argv:
+        # data-scale headline only: `bench.py --scale 5` runs CC at
+        # 5x BENCH_SCALE_REP (~328M undirected edges at the default)
+        import ray
+
+        mult = int(sys.argv[sys.argv.index("--scale") + 1])
+        rec = bench_headline(trials=2, scale_rep=SCALE_REP * mult)
+        ray.shutdown()
+        print(
+            json.dumps(
+                {
+                    "metric": f"cc headline at {mult}x data scale",
+                    "value": round(rec["cc_sec"], 3),
+                    "unit": "sec",
+                    "num_cpus": NUM_CPUS,
+                    "sf": SF_DIR,
+                    "headline": {
+                        k: (round(v, 3) if isinstance(v, float) else v)
+                        for k, v in rec.items()
+                    },
+                }
+            )
+        )
+        return
     headline = bench_headline()
     queries = {} if "--headline-only" in sys.argv else bench_suite()
     record = {
@@ -400,6 +427,16 @@ def main() -> None:
             k: (round(v, 3) if isinstance(v, float) else v) for k, v in headline.items()
         },
     }
+    if "--headline-only" not in sys.argv and os.environ.get(
+        "BENCH_SKIP_SCALE5", ""
+    ) != "1":
+        # 5x data-scale checkpoint in every full bench run so scale
+        # regressions are caught per round (VERDICT r2 next-round #8);
+        # ~328M undirected edges at the default rep
+        s5 = bench_headline(trials=2, scale_rep=SCALE_REP * 5)
+        record["headline_scale5"] = {
+            k: (round(v, 3) if isinstance(v, float) else v) for k, v in s5.items()
+        }
     import ray
 
     ray.shutdown()
