@@ -127,28 +127,41 @@ class GraphShardActor:
         # usrc/udst arrays and local edge indices -- the generic
         # local_min_labels (stages.graph) re-uniques the 2x-expanded
         # per-edge arrays, which measured 3.6x slower at 2M-edge shards.
+        # Two-direction Gauss-Seidel form: the incoming sweep reuses the
+        # CSC's dst grouping (offsets) as-is and the outgoing sweep
+        # radix-sorts src_local ONCE (n rows, small-int keys) -- vs the
+        # previous single combined sweep over a concatenated 2n edge
+        # list (one more radix over 2n + 4 n-sized temporaries).
+        # Measured at a 4M-edge shard: 2.33s -> 1.05s, and the
+        # mid-pass label reuse contracts strictly harder per pass
+        # (119 -> 2 residual labels on the random-graph microbench).
         # Budget shrinks for big shards: each pass streams the whole
         # local edge set, and partial contraction is still a valid
         # hash-min state.
         if len(self.udst) == 0:
             self.init_labels_own = self.udst.copy()
             return
-        vs = np.unique(np.concatenate([self.usrc, self.udst]))
+        vs = np.union1d(self.usrc, self.udst)
         a = np.searchsorted(vs, self.usrc)[self.src_local]  # per-edge src
         b = np.searchsorted(vs, self.udst)[self.edge_col]  # per-edge dst
-        ea = np.concatenate([a, b])
-        eb = np.concatenate([b, a])
-        order = np.argsort(ea, kind="stable")
-        ea = ea[order]
-        eb = eb[order]
-        bounds = np.flatnonzero(np.r_[True, ea[1:] != ea[:-1]])
-        targets = ea[bounds]
+        so = np.argsort(self.src_local, kind="stable")  # radix (int keys)
+        src_sorted = self.src_local[so]
+        sb = np.flatnonzero(np.r_[True, src_sorted[1:] != src_sorted[:-1]])
+        b_by_src = b[so]
+        s_targets = a[so][sb]  # one vs-index per distinct src
+        d_targets = b[self.offsets[:-1]]  # one vs-index per distinct dst
         lab = np.arange(len(vs), dtype=np.int64)
-        budget = 12 if len(ea) < 2_000_000 else 4
+        budget = 12 if len(a) < 1_000_000 else 4
         for _ in range(budget):
-            cand = np.minimum.reduceat(lab[eb], bounds)
             new = lab.copy()
-            new[targets] = np.minimum(new[targets], cand)
+            # incoming: min src label per dst group (dst-grouped already)
+            cand_d = np.minimum.reduceat(lab[a], self.offsets[:-1])
+            new[d_targets] = np.minimum(new[d_targets], cand_d)
+            # outgoing: min dst label per src group, seeing this pass's
+            # dst updates (Gauss-Seidel -- still a valid relaxation:
+            # every label propagated is of a connected vertex)
+            cand_s = np.minimum.reduceat(new[b_by_src], sb)
+            new[s_targets] = np.minimum(new[s_targets], cand_s)
             for _j in range(3):  # bounded pointer-jump passes
                 nj = np.minimum(new, new[new])
                 if np.array_equal(nj, new):
