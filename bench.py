@@ -176,6 +176,7 @@ def bench_suite() -> dict:
         "knn_ivf_indexed",
         "events_windowed",
         "events_hopping",
+        "events_asof_prev",
         "events_sessionize",
         "media_decode",
     ]:
@@ -183,26 +184,72 @@ def bench_suite() -> dict:
     return qtimes
 
 
+def bench_events_scaled() -> dict:
+    """asof_prev / sessionize on a 10M-event, ~1M-user fixture (the
+    sf0.1 events table replicated BENCH_EVENTS_REP times with disjoint
+    user/event id spaces) -- the scale regression check for the
+    vectorized bucket-per-group events operators (VERDICT r2 #2: the
+    per-user map_groups formulation died on exactly this shape)."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import (
+        asof_prev,
+        sessionize,
+    )
+
+    rep = int(os.environ.get("BENCH_EVENTS_REP", "100"))
+    ev = rd.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    n = ev.count()
+
+    def replicate(b: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for r in range(rep):
+            c = b.copy()
+            c["event_id"] = c["event_id"] + r * n
+            c["user_id"] = c["user_id"] + r * 1_000_000_000
+            out.append(c)
+        return pd.concat(out, ignore_index=True)
+
+    big = ev.map_batches(replicate, batch_format="pandas").materialize()
+    n_users = int(big.select_columns(["user_id"]).unique("user_id").count())
+    t_asof, _ = _timed(lambda: asof_prev(big).count())
+    t_sess, _ = _timed(lambda: sessionize(big).count())
+    return {
+        "n_events": n * rep,
+        "n_users": n_users,
+        "asof_prev_sec": round(t_asof, 3),
+        "sessionize_sec": round(t_sess, 3),
+    }
+
+
 PAGES_REP = int(os.environ.get("BENCH_PAGES_REP", "256"))
 PIPE_BLOCKS = int(os.environ.get("BENCH_PIPE_BLOCKS", "256"))
 
 
-def build_bench_pages():
+def build_bench_pages(pages_rep: int | None = None):
     """Synthesize the scaling fixture: the driver's documents replicated
-    PAGES_REP times with planted links and real html (untimed)."""
+    `pages_rep` (default $BENCH_PAGES_REP) times with planted links and
+    real html (untimed)."""
     import pandas as pd
 
     import ray.data as rd
 
     from pds_hw2_mpi_connected_components_ray.functions.extract import build_html
 
+    if pages_rep is None:
+        pages_rep = PAGES_REP
+
     docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
     n = docs.count()
-    total = n * PAGES_REP
+    total = n * pages_rep
 
     def to_pages(b: pd.DataFrame) -> pd.DataFrame:
         rows_url, rows_html = [], []
-        for r in range(PAGES_REP):
+        for r in range(pages_rep):
             for did, text in zip(b["doc_id"], b["text"]):
                 gid = int(did) + r * n
                 url = f"https://docs.example/{gid}"
@@ -307,6 +354,32 @@ def bench_pipeline() -> dict:
     return out
 
 
+def _calib_work(_):
+    import hashlib
+
+    h = hashlib.md5()
+    for _i in range(400_000):
+        h.update(b"x" * 64)
+    return 0
+
+
+def effective_cores(n: int = 16) -> float:
+    """Measure how many of `n` requested cores this (shared, noisy)
+    host actually delivers right now: single-threaded md5 loop vs the
+    same loop n-way in multiprocessing."""
+    import multiprocessing as mp
+    import time as _time
+
+    t0 = _time.perf_counter()
+    _calib_work(0)
+    single = _time.perf_counter() - t0
+    with mp.Pool(n) as p:
+        t0 = _time.perf_counter()
+        p.map(_calib_work, range(n))
+        par = _time.perf_counter() - t0
+    return n * single / par
+
+
 def run_scaling() -> dict:
     """Full-pipeline job at N and 4N CPUs (default 4 and 16) -- the
     sandbox stand-in for the N-vs-4N-node cluster criterion.
@@ -326,24 +399,34 @@ def run_scaling() -> dict:
         int(x) for x in os.environ.get("BENCH_SCALING_LEVELS", "4,16").split(",")
     )
     n_trials = int(os.environ.get("BENCH_SCALING_TRIALS", "2"))
+    # scaling fixture is LARGER than the default suite fixture: with the
+    # round-3 load/solve speedups the 1.28M-page job finishes in ~4 s at
+    # 16 cpus, where fixed per-job costs (pool spawn residual, barrier
+    # latency, Ray scheduling) dominate and efficiency measures overhead,
+    # not the pipeline. 4x pages ~ 16 s keeps the measured region the
+    # streaming pipeline itself -- the honest stand-in for a job that
+    # runs minutes per node at production scale.
+    pages_rep = int(os.environ.get("BENCH_SCALING_PAGES_REP", str(PAGES_REP * 4)))
 
     pages_dir = tempfile.mkdtemp(prefix="bench_pages_")
+    calib = []
     try:
         # build the shared fixture once (own short-lived Ray session)
         _init_ray()
         import ray
 
-        build_bench_pages().write_parquet(pages_dir)
+        build_bench_pages(pages_rep).write_parquet(pages_dir)
         ray.shutdown()
 
         best: dict[int, dict] = {}
         for _ in range(n_trials):
+            calib.append(effective_cores(hi))
             for ncpu in (lo, hi):
                 env = dict(
                     os.environ,
                     RAY_GRAFT_CPUS=str(ncpu),
                     GRAFT_SF_DIR=SF_DIR,
-                    BENCH_PAGES_REP=str(PAGES_REP),
+                    BENCH_PAGES_REP=str(pages_rep),
                     BENCH_PAGES_DIR=pages_dir,
                 )
                 out = subprocess.run(
@@ -370,8 +453,19 @@ def run_scaling() -> dict:
         f"pages_per_sec_{hi}": round(thr_hi, 1),
         f"sec_{lo}": round(best[lo]["pipeline_sec"], 3),
         f"sec_{hi}": round(best[hi]["pipeline_sec"], 3),
+        f"legs_{lo}": best[lo].get("legs", {}),
+        f"legs_{hi}": best[hi].get("legs", {}),
         "speedup": round(thr_hi / thr_lo, 3),
         "scaling_efficiency": round(eff, 3),
+        # host contention context: effective concurrent cores (of `hi`
+        # requested) measured by an md5 multiprocessing probe right
+        # before each trial round -- on this shared box the available
+        # parallelism swings 2x over minutes, capping the measurable
+        # efficiency at effective/hi regardless of the pipeline.
+        "effective_cores_probe": [round(c, 1) for c in calib],
+        "efficiency_ceiling_from_contention": round(min(calib) / hi, 3)
+        if calib
+        else None,
         "n_pages": best[hi]["n_pages"],
         "trials_per_level": n_trials,
     }

@@ -164,3 +164,22 @@ def test_normalize_urls_batch_matches_scalar(u):
     got = normalize_urls_batch([u], [base])[0]
     want = normalize_url(u, base=base)
     assert got == want, (u, got, want)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=0, max_value=10**13))
+def test_coarse_bucket_count_bounds_group_volume(n_band_rows):
+    """The adaptive dedup knob (ADVICE r2): expected per-coarse-bucket
+    band-row volume stays bounded by the target as the corpus grows --
+    a fixed bucket count would make it O(n)."""
+    from pds_hw2_mpi_connected_components_ray.pipelines.dedup import (
+        _COARSE_BUCKET_TARGET_ROWS,
+        _NUM_COARSE_BUCKETS,
+        _coarse_bucket_count,
+    )
+
+    k = _coarse_bucket_count(n_band_rows)
+    assert k >= _NUM_COARSE_BUCKETS
+    assert n_band_rows / k <= _COARSE_BUCKET_TARGET_ROWS
+    # monotone: more rows never fewer buckets
+    assert _coarse_bucket_count(n_band_rows + 10**6) >= k
