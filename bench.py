@@ -35,6 +35,14 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SCALE_REP = int(os.environ.get("BENCH_SCALE_REP", "48"))
 
+# THP faults cost ms (not us) on this host; numpy's MADV_HUGEPAGE on
+# >=4MiB allocations made the shard-load leg 90% kernel time. Set
+# BEFORE ray.init so every worker (including Ray-internal read /
+# shuffle tasks that never import the engine) inherits it; the package
+# __init__ applies the same tuning in-process. See
+# pds_hw2_mpi_connected_components_ray/__init__.py:_tune_numpy_hugepage.
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
 
 def _init_ray():
     import ray

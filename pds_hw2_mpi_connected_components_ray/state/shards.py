@@ -74,8 +74,14 @@ class GraphShardActor:
         """Build the dst-sorted CSC from this shard's edge blocks. Split
         from __init__ so pools can be SPAWNED early (actor processes
         start while upstream ETL is still streaming) and fed later."""
+        import time as _time
+
+        self.load_phases = {}
+        _t = _time.perf_counter()
         tables = [_as_arrow(t) for t in ray.get(list(block_refs))]
         tables = [t for t in tables if t.num_rows]
+        self.load_phases["get"] = _time.perf_counter() - _t
+        _t = _time.perf_counter()
         if tables:
             src = np.concatenate([t["src"].to_numpy(zero_copy_only=False) for t in tables])
             dst = np.concatenate([t["dst"].to_numpy(zero_copy_only=False) for t in tables])
@@ -111,6 +117,8 @@ class GraphShardActor:
             self.gid2local[self.usrc] = np.arange(len(self.usrc), dtype=np.int64)
         else:
             self.gid2local = None
+        self.load_phases["csc"] = _time.perf_counter() - _t
+        _t = _time.perf_counter()
         # one-time LOCAL component contraction (vectorized hash-min over
         # this shard's edge set, both directions): labels initialized
         # from it start whole local components pre-merged, so the
@@ -119,8 +127,22 @@ class GraphShardActor:
         # pages graph). Valid initialization: the label assigned to v is
         # the min vertex id of a set of vertices all connected to v.
         self._local_contract()
+        self.load_phases["contract"] = _time.perf_counter() - _t
         self._loaded = True
         return len(self.src_local)
+
+    def load_timing(self) -> dict:
+        """Per-phase wall times of the last load() (diagnostics)."""
+        return dict(getattr(self, "load_phases", {}))
+
+    def proc_stat(self) -> tuple:
+        """(pid, utime, stime, minflt, majflt) of this actor process --
+        lets perf probes separate CPU starvation from slow kernels."""
+        import os
+        import resource
+
+        r = resource.getrusage(resource.RUSAGE_SELF)
+        return (os.getpid(), r.ru_utime, r.ru_stime, r.ru_minflt, r.ru_majflt)
 
     def _local_contract(self) -> None:
         # Specialized contraction reusing the shard's ALREADY-UNIQUE
