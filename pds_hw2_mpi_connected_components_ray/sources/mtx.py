@@ -79,13 +79,18 @@ def read_mtx(path: str) -> tuple[int, np.ndarray]:
                 count += 1
             if count != nnz:
                 raise ValueError(f"expected {nnz} entries, saw {count}")
-        else:  # dense array, column-major lower triangle incl. diagonal
-            # NOTE deliberate deviation from the reference converter: for
-            # `array symmetric` the MatrixMarket SPEC stores only the
-            # lower triangle (n*(n+1)/2 values), which is what we read;
-            # mtx_to_bin.c reads a full nrows*ncols dense block instead.
-            # A full-dense file is rejected here (value-count check), not
-            # silently misparsed.
+        else:  # dense array form -- two accepted layouts
+            # 1. SPEC layout: `array symmetric` stores only the
+            #    column-major lower triangle incl. diagonal
+            #    (n*(n+1)/2 values); each off-diagonal nonzero expands
+            #    to both directions.
+            # 2. REFERENCE layout (mtx_to_bin.c:218-245): a full
+            #    nrows*ncols column-major block; EVERY nonzero (i,j)
+            #    emits (i,j) and, when i != j, (j,i) -- so a symmetric
+            #    full-dense file yields each undirected edge TWICE in
+            #    each direction (duplicates kept, matching the
+            #    converter's no-dedup COO, :303-317).
+            # Any other value count is rejected loudly, never misparsed.
             nrows, ncols = int(dims[0]), int(dims[1])
             if nrows != ncols:
                 raise ValueError("adjacency matrix must be square")
@@ -94,27 +99,44 @@ def read_mtx(path: str) -> tuple[int, np.ndarray]:
                 line = line.strip()
                 if line and not line.startswith("%"):
                     vals.append(float(line))
-            expect = nrows * (nrows + 1) // 2
-            if len(vals) != expect:
+            n_tri = nrows * (nrows + 1) // 2
+            n_full = nrows * ncols
+            if len(vals) == n_tri:
+                k = 0
+                for j in range(ncols):
+                    for i in range(j, nrows):
+                        if vals[k] != 0.0:
+                            srcs.append(i)
+                            dsts.append(j)
+                            if i != j:
+                                srcs.append(j)
+                                dsts.append(i)
+                        k += 1
+            elif len(vals) == n_full:
+                dense = np.asarray(vals, dtype=np.float64).reshape(ncols, nrows)
+                jj, ii = np.nonzero(dense)  # scan order == file order
+                offdiag = ii != jj
+                counts = np.where(offdiag, 2, 1)
+                pos = np.cumsum(counts) - counts  # entry -> output slot
+                out_i = np.empty(int(counts.sum()), dtype=np.int64)
+                out_j = np.empty_like(out_i)
+                out_i[pos] = ii
+                out_j[pos] = jj
+                mp = pos[offdiag] + 1
+                out_i[mp] = jj[offdiag]
+                out_j[mp] = ii[offdiag]
+                srcs, dsts = out_i, out_j
+            else:
                 raise ValueError(
                     f"array symmetric expects the stored lower triangle "
-                    f"({expect} values), saw {len(vals)}"
+                    f"({n_tri} values) or the reference's full dense "
+                    f"block ({n_full}), saw {len(vals)}"
                 )
-            k = 0
-            for j in range(ncols):
-                for i in range(j, nrows):
-                    if vals[k] != 0.0:
-                        srcs.append(i)
-                        dsts.append(j)
-                        if i != j:
-                            srcs.append(j)
-                            dsts.append(i)
-                    k += 1
         edges = (
             np.stack(
                 [np.array(srcs, dtype=np.int64), np.array(dsts, dtype=np.int64)], axis=1
             )
-            if srcs
+            if len(srcs)
             else np.empty((0, 2), dtype=np.int64)
         )
         return nrows, edges

@@ -59,6 +59,34 @@ def test_mtx_dense_array_form(tmp_path):
     assert sorted(map(tuple, edges.tolist())) == [(0, 1), (1, 0)]
 
 
+def test_mtx_dense_array_full_block_reference_layout(tmp_path):
+    """The reference converter reads a FULL nrows*ncols column-major
+    block for array form (mtx_to_bin.c:218-245): every nonzero (i,j)
+    emits (i,j) and its mirror, so a symmetric full-dense file yields
+    each undirected edge twice per direction (duplicates kept,
+    :303-317). Exact file-order conformance."""
+    p = tmp_path / "full.mtx"
+    # 3x3 symmetric: self-loop at (0,0), edge {1,2}; column-major
+    dense_cols = [
+        [1.0, 0.0, 0.0],  # col 0
+        [0.0, 0.0, 2.0],  # col 1
+        [0.0, 2.0, 0.0],  # col 2
+    ]
+    vals = "\n".join(str(v) for col in dense_cols for v in col)
+    p.write_text(f"%%MatrixMarket matrix array real symmetric\n3 3\n{vals}\n")
+    n, edges = read_mtx(str(p))
+    assert n == 3
+    # reference scan order: (0,0) once; (2,1)+mirror; (1,2)+mirror
+    assert edges.tolist() == [[0, 0], [2, 1], [1, 2], [1, 2], [2, 1]]
+
+
+def test_mtx_dense_array_bad_count_rejected(tmp_path):
+    p = tmp_path / "bad.mtx"
+    p.write_text("%%MatrixMarket matrix array real symmetric\n2 2\n1.0\n0.0\n")
+    with pytest.raises(ValueError, match="lower triangle"):
+        read_mtx(str(p))
+
+
 def test_bin_roundtrip(tmp_path):
     g = g_two_cliques()
     expanded = np.array(sorted(g.undirected_closure()), dtype=np.int64)
