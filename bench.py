@@ -307,18 +307,24 @@ def bench_pipeline() -> dict:
         # pre-spawn the solver pool FIRST: actor worker processes start
         # while the extraction chain streams, hiding the fixed spawn
         # cost that capped round-1 full-job scaling at 0.52-0.69.
-        # Shard count is FIXED across parallelism levels (identical
-        # plan) but set to the HIGH level's cpu count -- with 4 shards
-        # the solve leg used <= 4 cpus at every level (structural
-        # speedup 1.0); with 16, the low level timeshares and the high
-        # level actually parallelizes.
+        # Shard count TRACKS the parallelism level (default: this
+        # process's cpu budget) -- the honest cluster stand-in: a
+        # 4-node cluster runs 4 shards, a 16-node cluster 16. The
+        # earlier fixed-16-shards-at-every-level design was WRONG as a
+        # scaling measurement: Ray actors hold no CPU token while
+        # executing methods, so 16 single-threaded shard actors use 16
+        # physical cores even under ray.init(num_cpus=4) -- the low
+        # level silently borrowed the high level's parallelism for the
+        # load+solve legs, making those legs measure ~flat across
+        # levels (round-2's 0.4/0.5 per-leg "inefficiency" was exactly
+        # this artifact, not a pipeline property).
         import ray as _ray
 
         from pds_hw2_mpi_connected_components_ray.state.shards import (
             load_shard_pool_streaming,
         )
 
-        nsh = int(os.environ.get("BENCH_SHARDS", "16"))
+        nsh = int(os.environ.get("BENCH_SHARDS", str(NUM_CPUS)))
         actors = None if job_kind == "etl" else spawn_shard_pool(nsh)
         edges = mint_edge_ids(extract_link_rows(pages))
         if job_kind == "etl":
@@ -411,10 +417,12 @@ def run_scaling() -> dict:
     # round-3 load/solve speedups the 1.28M-page job finishes in ~4 s at
     # 16 cpus, where fixed per-job costs (pool spawn residual, barrier
     # latency, Ray scheduling) dominate and efficiency measures overhead,
-    # not the pipeline. 4x pages ~ 16 s keeps the measured region the
-    # streaming pipeline itself -- the honest stand-in for a job that
-    # runs minutes per node at production scale.
-    pages_rep = int(os.environ.get("BENCH_SCALING_PAGES_REP", str(PAGES_REP * 4)))
+    # not the pipeline. 16x pages (~20M pages, ~120M edges, >1 min per
+    # level) keeps the measured region the streaming pipeline itself --
+    # the honest stand-in for a job that runs minutes per node at
+    # production scale -- and amortizes the solver's per-superstep
+    # barrier-latency floor, which no amount of parallelism removes.
+    pages_rep = int(os.environ.get("BENCH_SCALING_PAGES_REP", str(PAGES_REP * 16)))
 
     pages_dir = tempfile.mkdtemp(prefix="bench_pages_")
     calib = []
@@ -436,6 +444,9 @@ def run_scaling() -> dict:
                     GRAFT_SF_DIR=SF_DIR,
                     BENCH_PAGES_REP=str(pages_rep),
                     BENCH_PAGES_DIR=pages_dir,
+                    # shards track the level (cluster stand-in); see
+                    # bench_pipeline's comment
+                    BENCH_SHARDS=os.environ.get("BENCH_SHARDS", str(ncpu)),
                 )
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--pipeline-only"],
@@ -475,6 +486,9 @@ def run_scaling() -> dict:
         if calib
         else None,
         "n_pages": best[hi]["n_pages"],
+        # integrity: both levels must compute the same answer
+        "n_components_match": best[lo].get("n_components")
+        == best[hi].get("n_components"),
         "trials_per_level": n_trials,
     }
 
