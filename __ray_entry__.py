@@ -746,6 +746,23 @@ def _q_media_decode_png(sf_dir: str):
     return out.select_columns(["media_id", "width", "height", "pixel_sum"])
 
 
+def _q_media_decode_wav(sf_dir: str):
+    """REAL-format audio decode: deterministic mono PCM WAVs parsed by
+    the pure-Python RIFF codec (chunk walk, fmt validation, 16-bit
+    samples). n_samples/amp_sum/peak are closed-form in len(text), so
+    the oracle verifies the DECODED SAMPLES, not just headers."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.multimodal import (
+        decode_wav_media,
+        wav_from_documents,
+    )
+
+    out = decode_wav_media(wav_from_documents(_docs(sf_dir)), batch_size=64)
+    return out.select_columns(
+        ["media_id", "sample_rate", "n_samples", "amp_sum", "peak"]
+    )
+
+
 def _q_corpus_prep(sf_dir: str):
     """Flagship training-data prep chain: quality gate -> exact dedup ->
     near-dup collapse (minhash + exact-Jaccard verify + CC) -> surviving
@@ -908,6 +925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "media_decode": _q_media_decode,
         "media_decode_png": _q_media_decode_png,
+        "media_decode_wav": _q_media_decode_wav,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
     }
@@ -1114,6 +1132,19 @@ def oracle_sql() -> dict[str, str]:
             "s AS (SELECT media_id, sum((7*x + 13*y + L) % 256)::BIGINT AS pixel_sum "
             "FROM px GROUP BY media_id) "
             "SELECT d.media_id, d.width, d.height, s.pixel_sum "
+            "FROM d JOIN s USING (media_id)"
+        ),
+        "media_decode_wav": (
+            "WITH m AS (SELECT doc_id AS media_id, length(coalesce(text,'')) AS L "
+            "FROM documents), "
+            "d AS (SELECT media_id, L, ((L % 977) + 32)::BIGINT AS n_samples, "
+            "(8000 + (L % 2) * 8000)::BIGINT AS sample_rate FROM m), "
+            "sx AS (SELECT media_id, L, unnest(range(0, n_samples)) AS i FROM d), "
+            "s AS (SELECT media_id, "
+            "sum((31*i + L) % 4096 - 2048)::BIGINT AS amp_sum, "
+            "max(abs((31*i + L) % 4096 - 2048))::BIGINT AS peak "
+            "FROM sx GROUP BY media_id) "
+            "SELECT d.media_id, d.sample_rate, d.n_samples, s.amp_sum, s.peak "
             "FROM d JOIN s USING (media_id)"
         ),
         "media_resize": (

@@ -341,6 +341,89 @@ def videos_from_documents(docs: Dataset) -> Dataset:
     return docs.select_columns(["doc_id", "text"]).map_batches(fn, batch_format="pandas")
 
 
+class WavDecodeStage:
+    """Actor-pool REAL-format audio decode: RIFF/PCM WAV parse via
+    `functions/wav.py` (chunk walk, fmt validation, 16-bit PCM).
+
+    Output per item: (media_id, sample_rate, n_channels, n_samples,
+    amp_sum, peak) where amp_sum is the int64 sum of all samples and
+    peak is max(|sample|). Undecodable blobs yield sample_rate=-1
+    (never an exception: one corrupt blob must not kill a 100-TB
+    job)."""
+
+    def __init__(self):
+        from ..functions.wav import decode_wav
+
+        self._decode = decode_wav
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        rates, chans, counts, sums, peaks = [], [], [], [], []
+        for blob in batch["media"]:
+            raw = blob.as_py()
+            try:
+                rate, nch, samples = self._decode(raw)
+                flat = samples.reshape(-1).astype(np.int64)
+                rates.append(rate)
+                chans.append(nch)
+                counts.append(len(samples))
+                sums.append(int(flat.sum()))
+                peaks.append(int(np.abs(flat).max()) if len(flat) else 0)
+            except (ValueError, struct.error):
+                rates.append(-1)
+                chans.append(-1)
+                counts.append(-1)
+                sums.append(-1)
+                peaks.append(-1)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "sample_rate": pa.array(rates, pa.int64()),
+                "n_channels": pa.array(chans, pa.int64()),
+                "n_samples": pa.array(counts, pa.int64()),
+                "amp_sum": pa.array(sums, pa.int64()),
+                "peak": pa.array(peaks, pa.int64()),
+            }
+        )
+
+
+def decode_wav_media(
+    media: Dataset, *, concurrency=None, batch_size: int = 64
+) -> Dataset:
+    """Real-format (WAV) audio decode over a media table, actor pool."""
+    if concurrency is None:
+        from ..context import default_parallelism
+
+        concurrency = (1, max(2, default_parallelism()))
+    return media.map_batches(
+        WavDecodeStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def wav_from_documents(docs: Dataset) -> Dataset:
+    """Adapter: deterministic REAL mono PCM WAV per document. With
+    L = len(text): n = (L % 977) + 32 samples at rate 8000 + (L % 2) *
+    8000, sample[i] = ((31*i + L) % 4096) - 2048. All decode outputs
+    are closed-form in L -> SQL-mirrorable oracle."""
+    from ..functions.wav import encode_wav
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        blobs = []
+        for t in batch["text"].fillna(""):
+            L = len(t)
+            n = (L % 977) + 32
+            i = np.arange(n, dtype=np.int64)
+            samples = (((31 * i + L) % 4096) - 2048).astype(np.int16)
+            blobs.append(encode_wav(samples, sample_rate=8000 + (L % 2) * 8000))
+        return pd.DataFrame({"media_id": ids, "media": blobs, "kind": "wav"})
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+
+
 def media_from_documents(docs: Dataset) -> Dataset:
     """Adapter: synthesize a media binary column from document text bytes
     (deterministic), exercising the decode plumbing on driver tables."""
