@@ -201,6 +201,32 @@ jpairs AS (
 )
 """
 
+def _split_sql(
+    source: str,
+    *,
+    key_expr: str,
+    id_expr: str = "doc_id",
+    seed: int = 42,
+    train: float = 0.8,
+    val: float = 0.1,
+) -> str:
+    """SQL mirror of pipelines.split: int60 from md5 hex[0:15] against
+    EXACT integer thresholds (computed here in Python, no float math in
+    SQL) -- bit-identical to the Ray side."""
+    from pds_hw2_mpi_connected_components_ray.pipelines.split import split_bounds
+
+    b1, b2 = split_bounds(train, val)
+    inner = (
+        f"SELECT {id_expr} AS doc_id, ('0x' || substr(md5(concat({seed}, ':', "
+        f"{key_expr})), 1, 15))::BIGINT AS h FROM {source}"
+    )
+    case = (
+        f"CASE WHEN h < {b1} THEN 'train' WHEN h < {b2} THEN 'val' "
+        "ELSE 'test' END AS split"
+    )
+    return f"SELECT doc_id, {case} FROM ({inner})"
+
+
 _WORD3_PAIR_CTES = """
 toks AS (
   SELECT doc_id, regexp_extract_all(coalesce(text,''), '\\S+') AS w FROM documents
@@ -763,6 +789,29 @@ def _q_media_decode_wav(sf_dir: str):
     )
 
 
+def _q_dataset_split(sf_dir: str):
+    """Deterministic hash split (train/val/test): assignment depends
+    only on (seed, doc_id) -- stable under re-runs, repartitioning and
+    row order; mirrored bit-exactly in SQL via integer thresholds."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.split import dataset_split
+
+    return dataset_split(_docs(sf_dir), train=0.8, val=0.1, seed=42)
+
+
+def _q_group_safe_split(sf_dir: str):
+    """Leakage-safe split: near-dup families (minhash pairs -> engine
+    CC groups) are assigned as one unit via the group representative,
+    so eval never holds a near-copy of a train doc."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.dedup import minhash_lsh_pairs
+    from pds_hw2_mpi_connected_components_ray.pipelines.split import group_safe_split
+
+    docs = _docs(sf_dir)
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).materialize()
+    return group_safe_split(docs, pairs, train=0.8, val=0.1, seed=42)
+
+
 def _q_corpus_prep(sf_dir: str):
     """Flagship training-data prep chain: quality gate -> exact dedup ->
     near-dup collapse (minhash + exact-Jaccard verify + CC) -> surviving
@@ -926,6 +975,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": _q_media_decode,
         "media_decode_png": _q_media_decode_png,
         "media_decode_wav": _q_media_decode_wav,
+        "dataset_split": _q_dataset_split,
+        "group_safe_split": _q_group_safe_split,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
     }
@@ -1133,6 +1184,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM px GROUP BY media_id) "
             "SELECT d.media_id, d.width, d.height, s.pixel_sum "
             "FROM d JOIN s USING (media_id)"
+        ),
+        "dataset_split": _split_sql("documents", key_expr="doc_id"),
+        "group_safe_split": (
+            f"WITH RECURSIVE {_CHAR5_PAIR_CTES}, "
+            "pr AS MATERIALIZED (SELECT a, b FROM jpairs WHERE j >= 0.5), "
+            "de AS (SELECT a AS src, b AS dst FROM pr UNION ALL SELECT b, a FROM pr), "
+            "dv AS (SELECT DISTINCT src AS v FROM de), "
+            "walk AS (SELECT v, v AS l FROM dv UNION "
+            "  SELECT e.dst AS v, w.l AS l FROM walk w JOIN de e ON e.src = w.v "
+            "  WHERE w.l < e.dst), "
+            "grp AS (SELECT v, min(l) AS g FROM walk GROUP BY v), "
+            "keyed AS (SELECT d.doc_id, coalesce(grp.g, d.doc_id) AS k "
+            "FROM documents d LEFT JOIN grp ON grp.v = d.doc_id) "
+            + _split_sql("keyed", key_expr="k", id_expr="doc_id")
         ),
         "media_decode_wav": (
             "WITH m AS (SELECT doc_id AS media_id, length(coalesce(text,'')) AS L "

@@ -1,0 +1,146 @@
+"""Deterministic dataset splitting for training-data prep.
+
+Two operators a 100-TB corpus pipeline needs before training:
+
+- `dataset_split`: pure hash split (train/val/test) -- stateless,
+  embarrassingly parallel, stable under re-runs and repartitioning
+  (assignment depends only on (seed, doc_id), never on row order or
+  block boundaries).
+- `group_safe_split`: leakage-safe variant -- every near-duplicate
+  FAMILY (connected component of the verified dup-pair graph, the
+  engine's `duplicate_groups`) is assigned as a unit via its group
+  representative, so eval never contains a near-copy of a training
+  document. This is the standard contamination control for web-scale
+  training data (cf. the dedup literature in PAPERS.md).
+
+Split assignment mirrors DuckDB exactly for the oracle: the first 15
+hex chars of md5(f"{seed}:{key}") as an int60 compared against integer
+thresholds floor(ratio * 2^60) -- no float rounding anywhere. Per-row
+hashlib is acceptable here for the same reason as exact_dedup's
+`_md5_cols` (no vectorized md5 exists; the digest dominates and is
+~0.5 us/row).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from ray.data import Dataset
+
+SPLIT_SCALE = 1 << 60
+
+# Above this many grouped docs the representative map is attached via a
+# left-outer hash join instead of a driver broadcast (same adaptive
+# pattern as stages.graph degree attach).
+_BROADCAST_GROUP_ROWS = 2_000_000
+
+
+def _split_hash(keys: np.ndarray, seed: int) -> np.ndarray:
+    out = np.empty(len(keys), dtype=np.int64)
+    for i, k in enumerate(keys):
+        out[i] = int(hashlib.md5(f"{seed}:{k}".encode()).hexdigest()[:15], 16)
+    return out
+
+
+def split_bounds(train: float, val: float) -> tuple[int, int]:
+    """Exact integer thresholds; also used to build the SQL oracle."""
+    if not (0 <= train and 0 <= val and train + val <= 1):
+        raise ValueError(f"bad ratios train={train} val={val}")
+    return int(train * SPLIT_SCALE), int((train + val) * SPLIT_SCALE)
+
+
+def _assign(ids: np.ndarray, keys: np.ndarray, seed: int, b1: int, b2: int):
+    h = _split_hash(keys, seed)
+    split = np.where(h < b1, "train", np.where(h < b2, "val", "test"))
+    return pd.DataFrame({"doc_id": ids, "split": split})
+
+
+def dataset_split(
+    docs: Dataset,
+    *,
+    train: float = 0.8,
+    val: float = 0.1,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> Dataset:
+    """(doc_id, split) with split in {train, val, test} by id hash."""
+    b1, b2 = split_bounds(train, val)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy(dtype=np.int64)
+        return _assign(ids, ids, seed, b1, b2)
+
+    return docs.select_columns([id_col]).map_batches(fn, batch_format="pandas")
+
+
+def group_safe_split(
+    docs: Dataset,
+    pairs: Dataset,
+    *,
+    train: float = 0.8,
+    val: float = 0.1,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> Dataset:
+    """(doc_id, split): near-dup families split as a unit.
+
+    `pairs` is a verified duplicate-pair table (a, b) from any of the
+    dedup families; the assignment key for a doc in a family is the
+    family's min doc id (group representative), its own id otherwise.
+    Small representative maps broadcast (one ray.put, no shuffle);
+    large ones attach via a left-outer hash join keyed on doc_id.
+    """
+    from ..stages.joins import broadcast_attach, hash_join, put_lookup
+    from .dedup import duplicate_groups
+
+    b1, b2 = split_bounds(train, val)
+    ids_ds = docs.select_columns([id_col])
+
+    groups = duplicate_groups(pairs).materialize()  # (doc_id, group_id)
+    n_grouped = groups.count()
+    if n_grouped == 0:
+        with_key = ids_ds.map_batches(
+            lambda df: df.assign(_key=df[id_col].astype(np.int64)),
+            batch_format="pandas",
+        )
+    elif n_grouped <= _BROADCAST_GROUP_ROWS:
+        import pyarrow as pa
+
+        import ray
+
+        gt = pa.concat_tables(ray.get(groups.to_arrow_refs()))
+        ref = put_lookup(gt, "doc_id", "group_id")
+        with_key = broadcast_attach(
+            ids_ds,
+            ref,
+            id_col,
+            "_key",
+            keep_missing=True,
+            missing_value=-1,
+        ).map_batches(
+            lambda df: df.assign(
+                _key=np.where(df["_key"] < 0, df[id_col], df["_key"]).astype(np.int64)
+            ),
+            batch_format="pandas",
+        )
+    else:
+        joined = hash_join(
+            ids_ds, groups, on=(id_col,), join_type="left_outer"
+        )
+
+        def key_of(df: pd.DataFrame) -> pd.DataFrame:
+            gid = df["group_id"]
+            key = gid.fillna(df[id_col]).astype(np.int64)
+            return pd.DataFrame({id_col: df[id_col].astype(np.int64), "_key": key})
+
+        with_key = joined.map_batches(key_of, batch_format="pandas")
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy(dtype=np.int64)
+        keys = batch["_key"].to_numpy(dtype=np.int64)
+        return _assign(ids, keys, seed, b1, b2)
+
+    return with_key.map_batches(assign, batch_format="pandas")

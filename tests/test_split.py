@@ -1,0 +1,102 @@
+"""Deterministic train/val/test split operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+import pds_hw2_mpi_connected_components_ray.pipelines.split as split_mod
+from pds_hw2_mpi_connected_components_ray.pipelines.split import (
+    dataset_split,
+    group_safe_split,
+    split_bounds,
+)
+
+
+def _docs(n=2000):
+    return rd.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": ["x"] * n})
+    )
+
+
+def test_split_proportions_and_determinism(ray_session):
+    out = dataset_split(_docs(), train=0.8, val=0.1, seed=42).to_pandas()
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.05
+    assert abs(frac["val"] - 0.1) < 0.03
+    assert abs(frac["test"] - 0.1) < 0.03
+    again = dataset_split(_docs(), train=0.8, val=0.1, seed=42).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True),
+    )
+    # different seed -> different assignment (at least somewhere)
+    other = dataset_split(_docs(), train=0.8, val=0.1, seed=7).to_pandas()
+    merged = out.merge(other, on="doc_id")
+    assert (merged["split_x"] != merged["split_y"]).any()
+
+
+def test_split_stable_under_repartition(ray_session):
+    docs = _docs(500)
+    a = dataset_split(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        dataset_split(docs.repartition(13))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_split_bad_ratios():
+    with pytest.raises(ValueError):
+        split_bounds(0.9, 0.2)
+
+
+def _family_fixture():
+    docs = _docs(200)
+    # two families: {3, 17, 50} and {80, 81}
+    pairs = rd.from_pandas(
+        pd.DataFrame({"a": [3, 17, 80], "b": [17, 50, 81]}).astype(np.int64)
+    )
+    return docs, pairs
+
+
+def test_group_safe_split_families_stay_together(ray_session):
+    docs, pairs = _family_fixture()
+    out = group_safe_split(docs, pairs, seed=42).to_pandas().set_index("doc_id")
+    assert len(out) == 200
+    assert len({out.loc[i, "split"] for i in (3, 17, 50)}) == 1
+    assert len({out.loc[i, "split"] for i in (80, 81)}) == 1
+    # ungrouped docs match the plain hash split
+    plain = dataset_split(docs, seed=42).to_pandas().set_index("doc_id")
+    ungrouped = [i for i in range(200) if i not in (3, 17, 50, 80, 81)]
+    assert (out.loc[ungrouped, "split"] == plain.loc[ungrouped, "split"]).all()
+    # family assignment = representative's hash split
+    assert out.loc[3, "split"] == plain.loc[3, "split"]
+    assert out.loc[80, "split"] == plain.loc[80, "split"]
+
+
+def test_group_safe_split_join_path_matches_broadcast(ray_session, monkeypatch):
+    docs, pairs = _family_fixture()
+    via_broadcast = (
+        group_safe_split(docs, pairs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    monkeypatch.setattr(split_mod, "_BROADCAST_GROUP_ROWS", 0)
+    via_join = (
+        group_safe_split(docs, pairs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(via_broadcast, via_join)
+
+
+def test_group_safe_split_no_pairs(ray_session):
+    docs = _docs(50)
+    empty = rd.from_pandas(
+        pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
+    )
+    out = group_safe_split(docs, empty).to_pandas().sort_values("doc_id")
+    plain = dataset_split(docs).to_pandas().sort_values("doc_id")
+    assert (out["split"].to_numpy() == plain["split"].to_numpy()).all()
