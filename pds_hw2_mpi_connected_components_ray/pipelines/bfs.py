@@ -88,16 +88,37 @@ def bfs_hops_pinned(
                     )
                 )
             source = min(mins)
-        owned = ray.get([a.bfs_init.remote(int(source)) for a in acts])
-        if sum(owned) == 0:
+        ns = len(acts)
+        inits = ray.get(
+            [a.bfs_init.remote(i, ns, int(source)) for i, a in enumerate(acts)]
+        )
+        if sum(o for o, _r in inits) == 0:
             raise ValueError(
                 f"source vertex {source} not in the graph (pinned BFS "
                 "requires symmetrized edges: every vertex appears as a dst)"
             )
+        if not all(r for _o, r in inits):
+            from ..state.shards import establish_subscriptions
+
+            establish_subscriptions(acts)
         rounds = 0
         while rounds < max_rounds:
-            frefs = [a.bfs_frontier.remote() for a in acts]
-            counts = ray.get([a.bfs_relax.remote(frefs) for a in acts])
+            # per-subscriber (request-index, dist) slices -- edge-cut-
+            # proportional exchange, same machinery as pinned CC
+            if ns > 1:
+                fs = [
+                    a.bfs_frontier_slices.options(num_returns=ns).remote()
+                    for a in acts
+                ]
+                counts = ray.get(
+                    [
+                        acts[s].bfs_relax.remote([fs[p][s] for p in range(ns)])
+                        for s in range(ns)
+                    ]
+                )
+            else:
+                fs0 = [a.bfs_frontier_slices.remote() for a in acts]
+                counts = ray.get([acts[0].bfs_relax.remote(fs0)])
             rounds += 1
             if sum(counts) == 0:
                 break

@@ -371,7 +371,22 @@ class PinnedCCSolver:
 
         acts = self.actors
         ns = len(acts)
-        ray.get([a.cc_init.remote(i, ns) for i, a in enumerate(acts)])
+        t_init0 = time.perf_counter()
+        inits = ray.get([a.cc_init.remote(i, ns) for i, a in enumerate(acts)])
+        t_init1 = time.perf_counter()
+        if not all(ready for _n, ready in inits):
+            # one-time subscriber exchange: owner s learns which of its
+            # vertices each peer's edges read, so per-superstep frontier
+            # slices travel only where an edge consumes them (edge-cut-
+            # proportional exchange; the broadcast form's ingest grew
+            # linearly with the shard count). Refs only on the driver.
+            from ..state.shards import establish_subscriptions
+
+            establish_subscriptions(acts)
+        self.phase_timing = {
+            "init_s": round(t_init1 - t_init0, 4),
+            "subscribe_s": round(time.perf_counter() - t_init1, 4),
+        }
         k0 = 0
         resumed_from = None
         if resume and checkpoint_dir is not None:
@@ -383,11 +398,60 @@ class PinnedCCSolver:
                 resumed_from = last
 
         history: list[int] = []
+        self.step_timing: list[dict] = []  # driver-side phase walls
+        last_roots: int | None = None  # fused root count from finalize
+        # convergence-by-no-improvement is only sound after a fully
+        # CLOSED jump apply (closed-map fixpoints survive the apply;
+        # the p2p fallback can leave stale label indirections that only
+        # a jump round would collapse)
+        prev_apply_closed = False
         k = k0
         while k < max_supersteps:
             t0 = time.perf_counter()
-            frefs = [a.cc_frontier.remote() for a in acts]  # refs only
-            ray.get([a.cc_relax.remote(frefs) for a in acts])  # opens step
+            # per-subscriber frontier slices: peer s pulls only its
+            # column of each producer's num_returns fan-out (refs only)
+            if ns > 1:
+                fs = [
+                    a.cc_frontier_slices.options(num_returns=ns).remote()
+                    for a in acts
+                ]
+                rx = ray.get(
+                    [
+                        acts[s].cc_relax.remote([fs[p][s] for p in range(ns)])
+                        for s in range(ns)
+                    ]
+                )
+            else:
+                fs0 = [a.cc_frontier_slices.remote() for a in acts]
+                rx = ray.get([acts[0].cc_relax.remote(fs0)])
+            t_relax = time.perf_counter()
+            # cc_relax returns (improved count, distinct-label summary)
+            # fused -- no separate distinct barrier. If NO shard improved,
+            # the solve is globally converged (after a fully closed jump
+            # apply, label(label(v)) == label(v) holds everywhere, so the
+            # jump phase would be a no-op): skip it and exit with the
+            # root count carried by the previous superstep's finalize.
+            improved = int(sum(r[0] for r in rx))
+            # (checkpointed runs take the full finalize path so every
+            # superstep -- including the converged one -- is recorded)
+            if (
+                improved == 0
+                and last_roots is not None
+                and prev_apply_closed
+                and checkpoint_dir is None
+            ):
+                history.append(0)
+                self.step_timing.append(
+                    {
+                        "relax_s": round(t_relax - t0, 4),
+                        "changed": 0,
+                        "early_exit": True,
+                    }
+                )
+                k += 1
+                break
+            dist = [r[1] for r in rx]
+            t_dist = time.perf_counter()
             # Pointer jump, two physical strategies:
             # (a) SMALL distinct-label set (the usual case once shards
             #     pre-contract: ~#components-scale) -> driver gathers the
@@ -398,7 +462,6 @@ class PinnedCCSolver:
             # (b) map too large (early rounds of a pathological
             #     topology) -> peer-to-peer lookup rounds through the
             #     object store (refs only on the driver).
-            dist = ray.get([a.cc_distinct_labels.remote() for a in acts])
             allq = (
                 np.unique(np.concatenate([d for d in dist if len(d)]))
                 if any(len(d) for d in dist)
@@ -431,7 +494,19 @@ class PinnedCCSolver:
                 counts = ray.get(
                     [a.cc_apply_jump_and_finalize.remote(lrefs) for a in acts]
                 )
-            changed = int(sum(counts))
+            changed = int(sum(c for c, _r in counts))
+            last_roots = int(sum(r for _c, r in counts))
+            prev_apply_closed = len(allq) <= self.jump_map_cap
+            t_end = time.perf_counter()
+            self.step_timing.append(
+                {
+                    "relax_s": round(t_relax - t0, 4),
+                    "distinct_s": round(t_dist - t_relax, 4),
+                    "jump_apply_s": round(t_end - t_dist, 4),
+                    "n_distinct": int(len(allq)),
+                    "changed": changed,
+                }
+            )
             history.append(changed)
             if checkpoint_dir is not None:
                 tmp = ckpt.begin_superstep_tmp(checkpoint_dir, k)
@@ -450,9 +525,17 @@ class PinnedCCSolver:
             if changed == 0:
                 break
 
+        t_tail0 = time.perf_counter()
         label_refs = [a.cc_labels_table.remote() for a in acts]
         labels_ds = rd.from_arrow_refs(label_refs)
-        n_comp = int(sum(ray.get([a.cc_root_count.remote() for a in acts])))
+        # root count rides on each finalize; a separate barrier is only
+        # needed if the loop never ran an apply (resume at fixpoint)
+        n_comp = (
+            last_roots
+            if last_roots is not None
+            else int(sum(ray.get([a.cc_root_count.remote() for a in acts])))
+        )
+        self.phase_timing["tail_s"] = round(time.perf_counter() - t_tail0, 4)
         return CCResult(
             labels=labels_ds,
             supersteps=k - k0,

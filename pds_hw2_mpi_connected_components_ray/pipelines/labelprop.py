@@ -77,10 +77,29 @@ def _lp_pinned(edges: Dataset, iterations: int) -> LabelPropResult:
     actors = build_shard_pool(edges, max(2, ncpus))
     try:
         init_vertex_ownership(actors)
+        ns = len(actors)
         ray.get([a.lp_start.remote() for a in actors])
         for _ in range(iterations):
-            lrefs = [a.lp_emit.remote() for a in actors]  # refs only
-            changed = sum(ray.get([a.lp_step.remote(lrefs) for a in actors]))
+            # per-subscriber label slices (request-order values only):
+            # same edge-cut-proportional push as PageRank/CC; the
+            # emit-to-all form shipped the whole O(n) label vector to
+            # every shard per iteration. Refs only on the driver.
+            if ns > 1:
+                ls = [
+                    a.lp_emit_slices.options(num_returns=ns).remote()
+                    for a in actors
+                ]
+                changed = sum(
+                    ray.get(
+                        [
+                            actors[s].lp_step.remote([ls[p][s] for p in range(ns)])
+                            for s in range(ns)
+                        ]
+                    )
+                )
+            else:
+                ls0 = [a.lp_emit_slices.remote() for a in actors]
+                changed = sum(ray.get([actors[0].lp_step.remote(ls0)]))
             if changed == 0:
                 break
         import ray.data as rd

@@ -92,19 +92,38 @@ def _pagerank_pinned(
     actors = build_shard_pool(edges, max(2, ncpus))
     try:
         n = init_vertex_ownership(actors)
+        ns = len(actors)
         ray.get([a.pr_start.remote(n) for a in actors])
         it = 0
         l1 = float("inf")
         for it in range(1, max_iters + 1):
-            wrefs = [a.pr_emit.remote() for a in actors]  # refs only
+            # per-subscriber weight slices (request-order values only):
+            # each shard ingests exactly the weights its edges read --
+            # the emit-to-all form shipped the whole O(n) vector to
+            # every shard per iteration. Refs only on the driver.
+            if ns > 1:
+                ws = [
+                    a.pr_emit_slices.options(num_returns=ns).remote()
+                    for a in actors
+                ]
+            else:
+                ws = [[a.pr_emit_slices.remote() for a in actors]]
             dangling = float(sum(ray.get([a.pr_dangling.remote() for a in actors])))
-            l1 = float(
-                sum(
-                    ray.get(
-                        [a.pr_step.remote(wrefs, dangling, damping) for a in actors]
+            if ns > 1:
+                l1 = float(
+                    sum(
+                        ray.get(
+                            [
+                                actors[s].pr_step.remote(
+                                    [ws[p][s] for p in range(ns)], dangling, damping
+                                )
+                                for s in range(ns)
+                            ]
+                        )
                     )
                 )
-            )
+            else:
+                l1 = float(sum(ray.get([actors[0].pr_step.remote(ws[0], dangling, damping)])))
             if tol is not None and l1 < tol:
                 break
         import ray.data as rd

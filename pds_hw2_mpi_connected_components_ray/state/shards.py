@@ -257,41 +257,69 @@ class GraphShardActor:
         """Smallest owned vertex id (None if the shard is empty)."""
         return int(self.udst[0]) if len(self.udst) else None
 
-    def bfs_init(self, source: int) -> int:
-        """Reset BFS state; returns 1 iff this shard owns the source."""
+    def bfs_init(self, sid: int, nshards: int, source: int) -> tuple:
+        """Reset BFS state; returns (owns-source, subscriptions-cached).
+        Shares the CC subscription exchange (sub_pos/req_pos are a
+        property of the edge partitioning alone)."""
+        self.sid = sid
+        self.cc_nshards = nshards
+        self.own = self.udst  # sorted unique owned vertices
         self.bfs_dist = np.full(len(self.udst), _I64MAX, dtype=np.int64)
+        self.bfs_fr_mask = np.zeros(len(self.udst), dtype=bool)
         e = np.array([], dtype=np.int64)
         self.bfs_fr_v, self.bfs_fr_d = e, e
+        owns = 0
         if len(self.udst):
             pos = np.searchsorted(self.udst, source)
             if pos < len(self.udst) and self.udst[pos] == source:
                 self.bfs_dist[pos] = 0
+                self.bfs_fr_mask[pos] = True
                 self.bfs_fr_v = np.array([source], dtype=np.int64)
                 self.bfs_fr_d = np.array([0], dtype=np.int64)
-                return 1
-        return 0
+                owns = 1
+        return owns, getattr(self, "_subs_ns", None) == nshards
+
+    def bfs_frontier_slices(self):
+        """Improved (request-index, dist) rows PER SUBSCRIBER shard --
+        same edge-cut-proportional push as cc_frontier_slices."""
+        ns = self.cc_nshards
+        m = self.bfs_fr_mask
+        d = self.bfs_dist
+        e = np.array([], dtype=np.int64)
+        out = []
+        for pos in self.sub_pos:
+            if len(pos) == 0 or len(m) == 0:
+                out.append((e.astype(np.int32), e))
+                continue
+            idx = np.flatnonzero(m[pos])
+            if len(pos) < 2**31:
+                idx = idx.astype(np.int32)
+            out.append((idx, d[pos[idx]]))
+        return tuple(out) if ns > 1 else out[0]
 
     def bfs_frontier(self):
         """Owned (vertex, dist) rows improved in the previous round."""
         return self.bfs_fr_v, self.bfs_fr_d
 
     def bfs_relax(self, frontier_refs: list) -> int:
-        """Pull every peer's frontier slice (slices are owner-disjoint),
-        relax dist[dst] <- min(dist[dst], frontier_dist[src] + 1) over
-        the local CSC, stage newly-improved vertices as the next
-        frontier. Returns the improved-vertex count."""
+        """Pull the per-subscriber frontier slices addressed to this
+        shard (request-index form, resolved via req_pos -- no id
+        lookup), relax dist[dst] <- min(dist[dst], frontier_dist[src]
+        + 1) over the local CSC, stage newly-improved vertices as the
+        next frontier. Returns the improved-vertex count."""
         e = np.array([], dtype=np.int64)
         self.bfs_fr_v, self.bfs_fr_d = e, e
+        self.bfs_fr_mask = np.zeros(len(self.udst), dtype=bool)
         if len(self.udst) == 0 or len(self.usrc) == 0:
             return 0
         dmap = np.full(len(self.usrc), _I64MAX, dtype=np.int64)
         any_seen = False
-        for r in frontier_refs:
-            fv, fd = ray.get(r)
-            if len(fv) == 0:
+        for o, r in enumerate(frontier_refs):
+            idx, fd = ray.get(r)
+            if len(idx) == 0:
                 continue
             any_seen = True
-            self._ingest_into(dmap, fv, fd)
+            dmap[self.req_pos[o][idx]] = fd
         if not any_seen:
             return 0
         per_edge = dmap[self.src_local]
@@ -302,6 +330,7 @@ class GraphShardActor:
         imp = cand < self.bfs_dist
         if imp.any():
             self.bfs_dist[imp] = cand[imp]
+            self.bfs_fr_mask = imp
             self.bfs_fr_v = self.udst[imp]
             self.bfs_fr_d = cand[imp]
         return int(imp.sum())
@@ -341,6 +370,12 @@ class GraphShardActor:
         if len(lv) == 0 or len(self.usrc) == 0:
             return empty
         labmap = self._ingest(lv, lab, _I64MAX)
+        return self._mode_from_labmap(labmap)
+
+    def _mode_from_labmap(self, labmap: np.ndarray):
+        """Per-dst neighbor-label mode from a usrc-aligned label map
+        (ties -> smallest label; _I64MAX marks absent srcs)."""
+        empty = (np.array([], dtype=np.int64), np.array([], dtype=np.int64))
         per_edge = labmap[self.src_local]
         # sort edges by (column, label); runs = (col,label) count groups
         order = np.lexsort((per_edge, self.edge_col))
@@ -373,20 +408,89 @@ class GraphShardActor:
     # interleaving of relax/jump min-updates converges to the same
     # fixpoint.
 
-    def cc_init(self, sid: int, nshards: int) -> int:
+    def cc_init(self, sid: int, nshards: int) -> tuple:
         self.sid = sid
+        self.cc_t: dict[str, float] = {}  # per-phase cumulative seconds
         self.cc_nshards = nshards
         self.own = self.udst  # sorted unique owned vertices
         self.cc_labels = self.init_labels_own.copy()  # local pre-contraction
         self.cc_prev = self.own.copy()
         self.fr_v = self.own
         self.fr_l = self.cc_labels.copy()
-        return len(self.own)
+        self.fr_mask = np.ones(len(self.own), dtype=bool)
+        # (size, subscriber-exchange already done for this nshards) --
+        # the driver runs the exchange once per pool, not once per solve
+        return len(self.own), getattr(self, "_subs_ns", None) == nshards
+
+    def cc_subscribe_queries(self):
+        """Distinct srcs this shard's edges READ, grouped by owner shard
+        (one return object per shard via num_returns -- each owner pulls
+        only its slice). One-time exchange at pool init; the owner uses
+        it to push each superstep's changed labels only to shards that
+        actually have an edge reading them.
+
+        Also records req_pos[o]: positions in local usrc of the ids
+        requested from owner o, IN REQUEST ORDER -- the owner later
+        addresses its pushes by index into that shared order, so the
+        per-superstep ingest is a pure gather with NO id lookup (the
+        id-based ingest pays a searchsorted per row on the sparse
+        63-bit minted id space of the real pipeline)."""
+        ns = self.cc_nshards
+        owner = self.usrc % ns
+        self.req_pos = [np.flatnonzero(owner == o) for o in range(ns)]
+        groups = tuple(self.usrc[p] for p in self.req_pos)
+        return groups if ns > 1 else groups[0]
+
+    def cc_set_subscribers(self, need_refs: list) -> int:
+        """need_refs[s] = sorted owned-vertex ids shard s reads (its
+        usrc slice for my modulo class). Stored as positions into `own`
+        so per-superstep slice extraction is one boolean gather. Every
+        id must be an owned dst -- holds for symmetrized input only
+        (same invariant as _owned_positions)."""
+        self.sub_pos = []
+        total = 0
+        for r in need_refs:
+            ids = ray.get(r)
+            if len(ids) == 0:
+                self.sub_pos.append(np.array([], dtype=np.int64))
+                continue
+            pos = self._owned_positions(ids)
+            self.sub_pos.append(pos)
+            total += len(pos)
+        self._subs_ns = self.cc_nshards
+        return total
 
     def cc_frontier(self):
         """Changed (vertex, label) slice of the previous superstep --
-        fetched by PEERS via its ObjectRef, never by the driver."""
+        fetched by PEERS via its ObjectRef, never by the driver.
+        (Broadcast form -- superseded by cc_frontier_slices for the
+        solve loop; kept for diagnostics/back-compat.)"""
         return self.fr_v, self.fr_l
+
+    def cc_frontier_slices(self):
+        """Changed (vertex, label) rows PER SUBSCRIBER shard
+        (num_returns=nshards): each peer pulls only rows its edges
+        read. Per-superstep exchange volume is edge-cut-proportional --
+        the broadcast form's ingest rows grew linearly with the shard
+        count (probe: 30.3M rows at 4 shards vs 124.4M at 16 on the
+        same graph), which capped the solve leg's scaling at ~0.3."""
+        ns = self.cc_nshards
+        m = self.fr_mask
+        l = self.cc_labels
+        e = np.array([], dtype=np.int64)
+        out = []
+        for pos in self.sub_pos:
+            if len(pos) == 0 or len(m) == 0:
+                out.append((e.astype(np.int32), e))
+                continue
+            # indices INTO THE SUBSCRIBER'S REQUEST ORDER (not vertex
+            # ids): the subscriber resolves them against its req_pos
+            # gather map -- no per-row id lookup on ingest
+            idx = np.flatnonzero(m[pos])
+            if len(pos) < 2**31:  # halve index bytes on the wire
+                idx = idx.astype(np.int32)
+            out.append((idx, l[pos[idx]]))
+        return tuple(out) if ns > 1 else out[0]
 
     def _cc_local_close(self) -> None:
         """Pointer-jump through labels OWNED by this shard (no network):
@@ -413,23 +517,51 @@ class GraphShardActor:
         one driver barrier per superstep. Slices are ingested one at a
         time straight from their (zero-copy) plasma buffers -- no
         concatenation copy of the full frontier per actor."""
+        import time as _time
+
+        t = self.cc_t
         self.cc_prev = self.cc_labels.copy()
         if len(self.usrc) == 0:
             self._cc_local_close()
-            return
+            improved = int((self.cc_labels < self.cc_prev).sum())
+            return improved, (
+                np.unique(self.cc_labels) if len(self.cc_labels) else self.cc_labels
+            )
+        _t0 = _time.perf_counter()
         labmap = np.full(len(self.usrc), _I64MAX, dtype=np.int64)
         any_seen = False
-        for r in frontier_refs:
-            fv, fl = ray.get(r)
-            if len(fv) == 0:
+        n_in = 0
+        for o, r in enumerate(frontier_refs):
+            idx, fl = ray.get(r)
+            if len(idx) == 0:
                 continue
             any_seen = True
-            self._ingest_into(labmap, fv, fl)
+            n_in += len(idx)
+            # idx addresses producer o's push in request order; req_pos
+            # maps it to local usrc positions -- pure gather, no lookup
+            labmap[self.req_pos[o][idx]] = fl
+        _t1 = _time.perf_counter()
         if any_seen:
             per_edge = labmap[self.src_local]
             mins = np.minimum.reduceat(per_edge, self.offsets[:-1])
             np.minimum(self.cc_labels, mins, out=self.cc_labels)
+        _t2 = _time.perf_counter()
         self._cc_local_close()
+        _t3 = _time.perf_counter()
+        t["ingest"] = t.get("ingest", 0.0) + (_t1 - _t0)
+        t["fold"] = t.get("fold", 0.0) + (_t2 - _t1)
+        t["close"] = t.get("close", 0.0) + (_t3 - _t2)
+        t["frontier_rows_in"] = t.get("frontier_rows_in", 0.0) + n_in
+        # fused per-superstep summary (saves two driver barriers): the
+        # relax-improved count (0 everywhere => globally converged: after
+        # a fully CLOSED jump apply, label(label(v)) == label(v) holds
+        # globally, so a no-improvement relax implies the jump phase
+        # would be a no-op too) and this shard's distinct-label summary
+        # (input of the driver-assembled jump map)
+        improved = int((self.cc_labels < self.cc_prev).sum())
+        return improved, (
+            np.unique(self.cc_labels) if len(self.cc_labels) else self.cc_labels
+        )
 
     def cc_jump_queries(self):
         """Distinct FOREIGN label values, grouped by owner shard (one
@@ -515,10 +647,13 @@ class GraphShardActor:
             return np.array([], dtype=np.int64)
         return self.cc_labels[self._owned_positions(ids)]
 
-    def cc_apply_map_and_finalize(self, jump_map) -> int:
+    def cc_apply_map_and_finalize(self, jump_map) -> tuple:
         """Apply a driver-assembled, transitively CLOSED jump map (one
         ray.put; passed as a top-level arg so Ray resolves it zero-copy)
         and finalize the superstep."""
+        import time as _time
+
+        _t0 = _time.perf_counter()
         mv, ml = jump_map
         l = self.cc_labels
         if len(mv) and len(l):
@@ -529,9 +664,12 @@ class GraphShardActor:
             if imp.any():
                 l[imp] = jumped[imp]
                 self._cc_local_close()
-        return self.cc_finalize()
+        out = self.cc_finalize()
+        t = self.cc_t
+        t["apply"] = t.get("apply", 0.0) + (_time.perf_counter() - _t0)
+        return out
 
-    def cc_apply_jump_and_finalize(self, map_refs: list) -> int:
+    def cc_apply_jump_and_finalize(self, map_refs: list) -> tuple:
         """Fused tail of a superstep: apply the (transitively closed)
         jump map, then finalize -- one driver barrier instead of three.
         One closed-map round per superstep is sufficient: jumping is an
@@ -540,13 +678,21 @@ class GraphShardActor:
         self.cc_apply_jump(map_refs)
         return self.cc_finalize()
 
-    def cc_finalize(self) -> int:
+    def cc_finalize(self) -> tuple:
         """Close the superstep: record the changed slice as the next
-        frontier; return ONLY the changed count (a scalar)."""
+        frontier; return ONLY scalars -- (changed count, root count).
+        The root count rides along so the driver never needs a separate
+        end-of-solve barrier for n_components."""
         changed = self.cc_labels < self.cc_prev
+        self.fr_mask = changed
         self.fr_v = self.own[changed]
         self.fr_l = self.cc_labels[changed]
-        return int(changed.sum())
+        roots = int(np.sum(self.cc_labels == self.own)) if len(self.own) else 0
+        return int(changed.sum()), roots
+
+    def cc_timing(self) -> dict:
+        """Per-phase cumulative solve-wall diagnostics since cc_init."""
+        return dict(getattr(self, "cc_t", {}))
 
     def cc_labels_table(self) -> pa.Table:
         return pa.table({"vertex": self.own, "label": self.cc_labels})
@@ -591,6 +737,9 @@ class GraphShardActor:
         fmine = fv % ns == self.sid
         self.fr_v = fv[fmine].copy()
         self.fr_l = fl[fmine].copy()
+        self.fr_mask = np.zeros(len(self.own), dtype=bool)
+        if len(self.fr_v):
+            self.fr_mask[np.searchsorted(self.own, self.fr_v)] = True
 
 
     # --------------------------------------- decentralized vertex state
@@ -638,6 +787,57 @@ class GraphShardActor:
                 np.add.at(deg, np.searchsorted(self.vx_own, ids), cnt)
         self.vx_deg = deg
 
+    # -------------------------------------- vx frontier subscriptions
+    # Same edge-cut-proportional push as the CC path, over the FULL
+    # vertex ownership (vx_own): owners send per-subscriber value
+    # slices IN REQUEST ORDER, so the dense iterative kernels
+    # (PageRank, LPA) ship exactly the values each shard's edges read
+    # -- the emit-to-all form made every shard ingest the whole O(n)
+    # vector per iteration, total work O(n x shards) per step.
+
+    def vx_subscribe_queries(self):
+        """Distinct srcs this shard's edges read, grouped by owner
+        (num_returns fan-out); records req_pos, the gather map that
+        resolves owners' request-order pushes locally."""
+        ns = self.vx_nshards
+        owner = self.usrc % ns
+        self.req_pos = [np.flatnonzero(owner == o) for o in range(ns)]
+        groups = tuple(self.usrc[p] for p in self.req_pos)
+        return groups if ns > 1 else groups[0]
+
+    def vx_set_subscribers(self, need_refs: list) -> int:
+        """Store, per subscriber, the positions in vx_own of the ids it
+        requested (request order). Every requested id is in vx_own by
+        construction: own_candidates unions each shard's full local
+        vertex set into its owner."""
+        self.vx_sub_pos = []
+        total = 0
+        for r in need_refs:
+            ids = ray.get(r)
+            if len(ids) == 0:
+                self.vx_sub_pos.append(np.array([], dtype=np.int64))
+                continue
+            pos = np.minimum(
+                np.searchsorted(self.vx_own, ids), max(len(self.vx_own) - 1, 0)
+            )
+            if not len(self.vx_own) or not (self.vx_own[pos] == ids).all():
+                missing = (
+                    ids[self.vx_own[pos] != ids][:5] if len(self.vx_own) else ids[:5]
+                )
+                raise ValueError(
+                    f"shard {self.sid}: requested vertices {missing.tolist()} "
+                    "not in vx ownership -- run init_vertex_ownership first"
+                )
+            self.vx_sub_pos.append(pos)
+            total += len(pos)
+        self._vx_subs_ns = self.vx_nshards
+        return total
+
+    def vx_subs_ready(self) -> bool:
+        return getattr(self, "_vx_subs_ns", None) == getattr(
+            self, "vx_nshards", -1
+        )
+
     # --------------------------------------------- decentralized PageRank
 
     def pr_start(self, n_global: int) -> None:
@@ -651,21 +851,35 @@ class GraphShardActor:
         )
         return self.vx_own, w
 
+    def pr_emit_slices(self):
+        """Per-subscriber weight slices in request order (PageRank is
+        dense: every requested vertex emits every iteration, so the
+        push is VALUES ONLY -- no ids, no indices on the wire)."""
+        ns = self.vx_nshards
+        w = np.where(
+            self.vx_deg == 0, 0.0, self.pr_r / np.maximum(self.vx_deg, 1)
+        )
+        out = [w[pos] for pos in self.vx_sub_pos]
+        return tuple(out) if ns > 1 else out[0]
+
     def pr_dangling(self) -> float:
         return float(self.pr_r[self.vx_deg == 0].sum())
 
     def pr_step(self, weight_refs: list, dangling_total: float, damping: float) -> float:
         """One power-iteration step for my owned vertices; returns the
-        local L1 delta (a scalar)."""
+        local L1 delta (a scalar). weight_refs are request-order value
+        slices from pr_emit_slices, resolved via req_pos (pure gather,
+        no id lookup)."""
         contrib = np.zeros(len(self.vx_own), dtype=np.float64)
-        parts = [ray.get(r) for r in weight_refs]
-        wvs = [p[0] for p in parts if len(p[0])]
-        if wvs and len(self.usrc):
-            wv = np.concatenate(wvs)
-            w = np.concatenate([p[1] for p in parts if len(p[0])])
-            sums_v, sums = self.push_sum((wv, w))
-            if len(sums_v):
-                contrib[self.vx_dst_pos] += sums
+        if len(self.usrc):
+            wmap = np.zeros(len(self.usrc), dtype=np.float64)
+            for o, r in enumerate(weight_refs):
+                w = ray.get(r)
+                if len(w):
+                    wmap[self.req_pos[o]] = w
+            per_edge = wmap[self.src_local]
+            sums = np.add.reduceat(per_edge, self.offsets[:-1])
+            contrib[self.vx_dst_pos] += sums
         n = self.pr_n
         r_new = (1 - damping) / n + damping * (contrib + dangling_total / n)
         l1 = float(np.abs(r_new - self.pr_r).sum())
@@ -683,17 +897,26 @@ class GraphShardActor:
     def lp_emit(self):
         return self.vx_own, self.lp_labels
 
+    def lp_emit_slices(self):
+        """Per-subscriber label slices in request order (dense push,
+        values only -- same wire shape as pr_emit_slices)."""
+        ns = self.vx_nshards
+        out = [self.lp_labels[pos] for pos in self.vx_sub_pos]
+        return tuple(out) if ns > 1 else out[0]
+
     def lp_step(self, label_refs: list) -> int:
         """One synchronous LPA step for my owned vertices (dst-disjoint
         shards make the local neighbor-mode complete); returns the local
-        changed count (a scalar) for the convergence check."""
-        parts = [ray.get(r) for r in label_refs]
-        lvs = [p[0] for p in parts if len(p[0])]
-        if not lvs or not len(self.usrc):
+        changed count (a scalar) for the convergence check. label_refs
+        are request-order value slices from lp_emit_slices."""
+        if not len(self.usrc):
             return 0
-        lv = np.concatenate(lvs)
-        lab = np.concatenate([p[1] for p in parts if len(p[0])])
-        win_v, win_l = self.mode_label((lv, lab))
+        labmap = np.full(len(self.usrc), _I64MAX, dtype=np.int64)
+        for o, r in enumerate(label_refs):
+            lab = ray.get(r)
+            if len(lab):
+                labmap[self.req_pos[o]] = lab
+        win_v, win_l = self._mode_from_labmap(labmap)
         if not len(win_v):
             return 0
         pos = np.searchsorted(self.vx_own, win_v)
@@ -703,6 +926,26 @@ class GraphShardActor:
 
     def lp_table(self) -> pa.Table:
         return pa.table({"vertex": self.vx_own, "label": self.lp_labels})
+
+
+def establish_subscriptions(actors: list) -> None:
+    """One-time peer exchange of frontier subscriptions on a pool whose
+    actors already have sid/cc_nshards set (cc_init or bfs_init): owner
+    o learns, per peer, which of its owned vertices that peer's edges
+    read, and each peer records the gather map resolving the owner's
+    index-addressed pushes. Driver moves refs only."""
+    ns = len(actors)
+    if ns > 1:
+        q = [a.cc_subscribe_queries.options(num_returns=ns).remote() for a in actors]
+        ray.get(
+            [
+                actors[o].cc_set_subscribers.remote([q[s][o] for s in range(ns)])
+                for o in range(ns)
+            ]
+        )
+    else:
+        q0 = [a.cc_subscribe_queries.remote() for a in actors]
+        ray.get([actors[0].cc_set_subscribers.remote(q0)])
 
 
 def init_vertex_ownership(actors: list) -> int:
@@ -728,11 +971,22 @@ def init_vertex_ownership(actors: list) -> int:
                 for s in range(ns)
             ]
         )
+        subq = [
+            a.vx_subscribe_queries.options(num_returns=ns).remote() for a in actors
+        ]
+        ray.get(
+            [
+                actors[s].vx_set_subscribers.remote([subq[i][s] for i in range(ns)])
+                for s in range(ns)
+            ]
+        )
     else:
         c = [a.own_candidates.remote(0, 1) for a in actors]
         counts = ray.get([actors[0].set_own_vertices.remote(c)])
         d = [a.outdeg_parts.remote() for a in actors]
         ray.get([actors[0].set_outdeg.remote(d)])
+        sq = [a.vx_subscribe_queries.remote() for a in actors]
+        ray.get([actors[0].vx_set_subscribers.remote(sq)])
     return int(sum(counts))
 
 
