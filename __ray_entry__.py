@@ -878,6 +878,44 @@ def _q_media_frames(sf_dir: str):
     return sample_frames(videos_from_documents(_docs(sf_dir)), every_k=4, batch_size=64)
 
 
+def _q_training_shuffle(sf_dir: str):
+    """Deterministic global shuffle for training: 0-based position by
+    rank of md5-int60(seed:doc_id) (doc_id tiebreak) -- a seeded
+    permutation independent of row order / block splits, computed by the
+    distributed two-pass prefix scan (never a driver-side sort)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.ordering import (
+        training_shuffle,
+    )
+
+    return training_shuffle(_docs(sf_dir), seed=42)
+
+
+def _q_pack_sequences(sf_dir: str):
+    """Concat-then-chunk sequence packing (the standard LLM pretraining
+    layout): docs concatenated in doc_id order, token stream cut every
+    2048 tokens; each doc's pack_id/offset come from the EXACT
+    distributed exclusive prefix sum of its token counts."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.ordering import (
+        pack_sequences,
+    )
+
+    return pack_sequences(_docs(sf_dir), window=2048)
+
+
+def _q_length_quantiles(sf_dir: str):
+    """Exact distributed quantiles (p50/p90/p99 of n_chars) via a
+    value-histogram groupby + driver cumulative walk; matches DuckDB
+    quantile_disc bit-exactly."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.ordering import (
+        length_quantiles,
+    )
+
+    return length_quantiles(_docs(sf_dir), qs=(0.5, 0.9, 0.99))
+
+
 def _q_cc_checkpointed(sf_dir: str):
     """CC with per-superstep checkpointing + resume exercised in one call
     (run 2 supersteps, 'die', resume to convergence)."""
@@ -979,6 +1017,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_safe_split": _q_group_safe_split,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
+        # ordering / packing (distributed prefix scan)
+        "training_shuffle": _q_training_shuffle,
+        "pack_sequences": _q_pack_sequences,
+        "length_quantiles": _q_length_quantiles,
     }
 
 
@@ -1260,5 +1302,26 @@ def oracle_sql() -> dict[str, str]:
             "  FROM events) "
             "SELECT user_id, sum(CASE WHEN pt IS NULL OR t - pt > 1800000000 "
             "THEN 1 ELSE 0 END)::BIGINT AS n_sessions FROM o GROUP BY user_id"
+        ),
+        "training_shuffle": (
+            "SELECT doc_id, (row_number() OVER (ORDER BY "
+            "('0x' || substr(md5(concat(42, ':', doc_id)), 1, 15))::BIGINT, doc_id) "
+            "- 1)::BIGINT AS pos FROM documents"
+        ),
+        "pack_sequences": (
+            "WITH t AS (SELECT doc_id, "
+            "len(regexp_extract_all(coalesce(text,''), '\\S+'))::BIGINT AS n_tokens "
+            "FROM documents), "
+            "s AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER "
+            "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT "
+            "AS cp FROM t) "
+            "SELECT doc_id, n_tokens, (cp // 2048)::BIGINT AS pack_id, "
+            "(cp % 2048)::BIGINT AS pack_offset FROM s"
+        ),
+        "length_quantiles": (
+            "WITH v AS (SELECT quantile_disc(n_chars, [0.5, 0.9, 0.99]) AS l "
+            "FROM documents) "
+            "SELECT round(q, 6) AS q, v::BIGINT AS value FROM "
+            "(SELECT unnest([0.5, 0.9, 0.99]) AS q, unnest((SELECT l FROM v)) AS v)"
         ),
     }
