@@ -878,6 +878,37 @@ def _q_media_frames(sf_dir: str):
     return sample_frames(videos_from_documents(_docs(sf_dir)), every_k=4, batch_size=64)
 
 
+def _q_scrub_pii(sf_dir: str):
+    """PII scrubbing with PLANTED ground truth: emails/phones are
+    appended deterministically (doc_id % 3 / % 5) so real redactions are
+    exercised and hash-checked; the SQL oracle plants the identical text
+    and mirrors the two-pass regexp_replace order (emails first)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.clean import scrub_pii
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        t = df["text"].fillna("").astype(str)
+        email = np.where(
+            ids % 3 == 0, " contact user" + ids.astype(str) + "@example.com now", ""
+        )
+        phone = np.where(ids % 5 == 0, " call 555-867-5309 today", "")
+        return pd.DataFrame({"doc_id": ids, "text": t + email + phone})
+
+    planted = _docs(sf_dir).map_batches(plant, batch_format="pandas")
+    return scrub_pii(planted)
+
+
+def _q_source_stats(sf_dir: str):
+    """Per-source (domain-level) corpus profile: doc counts, token
+    totals, mean length -- the aggregation behind domain blocklist /
+    quality decisions."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.clean import source_stats
+
+    return source_stats(_docs(sf_dir))
+
+
 def _q_training_shuffle(sf_dir: str):
     """Deterministic global shuffle for training: 0-based position by
     rank of md5-int60(seed:doc_id) (doc_id tiebreak) -- a seeded
@@ -1021,10 +1052,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_shuffle": _q_training_shuffle,
         "pack_sequences": _q_pack_sequences,
         "length_quantiles": _q_length_quantiles,
+        # cleaning / curation
+        "scrub_pii": _q_scrub_pii,
+        "source_stats": _q_source_stats,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from pds_hw2_mpi_connected_components_ray.pipelines.clean import (
+        EMAIL_RE as _EMAIL_RE,
+        PHONE_RE as _PHONE_RE,
+    )
+
     cc_sql = _CC_SQL
     return {
         "edges_build": f"WITH {_EDGES_CTES} SELECT src, dst FROM edges",
@@ -1323,5 +1362,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT round(q, 6) AS q, v::BIGINT AS value FROM "
             "(SELECT unnest([0.5, 0.9, 0.99]) AS q, unnest((SELECT l FROM v)) AS v)"
+        ),
+        "scrub_pii": (
+            "WITH p AS (SELECT doc_id, coalesce(text, '') "
+            "|| CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id "
+            "|| '@example.com now' ELSE '' END "
+            "|| CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309 today' "
+            "ELSE '' END AS t FROM documents), "
+            "e AS (SELECT doc_id, "
+            f"len(regexp_extract_all(t, '{_EMAIL_RE}'))::BIGINT AS n_emails, "
+            f"regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g') AS t2 FROM p) "
+            "SELECT doc_id, "
+            f"regexp_replace(t2, '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text, "
+            "n_emails, "
+            f"len(regexp_extract_all(t2, '{_PHONE_RE}'))::BIGINT AS n_phones FROM e"
+        ),
+        "source_stats": (
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "sum(len(regexp_extract_all(coalesce(text, ''), '\\S+')))::BIGINT "
+            "AS total_tokens, "
+            "round(avg(n_chars), 6) AS avg_chars FROM documents GROUP BY source"
         ),
     }

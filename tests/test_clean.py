@@ -1,0 +1,84 @@
+"""PII scrubbing and per-source stats."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from pds_hw2_mpi_connected_components_ray.pipelines.clean import (
+    scrub_pii,
+    source_stats,
+)
+
+
+def _run(texts):
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    )
+    return scrub_pii(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def test_scrub_pii_redacts(ray_session):
+    out = _run(
+        [
+            "mail a.b-c_9@sub.example.org please",
+            "call 555-123-4567 or 555.123.4567 now",
+            "both x@y.io and 123-456-7890 here",
+            "clean text with no pii at all",
+            "",
+        ]
+    )
+    assert out.loc[0, "clean_text"] == "mail <EMAIL> please"
+    assert out.loc[0, "n_emails"] == 1 and out.loc[0, "n_phones"] == 0
+    assert out.loc[1, "clean_text"] == "call <PHONE> or <PHONE> now"
+    assert out.loc[1, "n_phones"] == 2
+    assert out.loc[2, "clean_text"] == "both <EMAIL> and <PHONE> here"
+    assert out.loc[3, "clean_text"] == "clean text with no pii at all"
+    assert out.loc[4, "clean_text"] == ""
+    assert (out.loc[3:, ["n_emails", "n_phones"]].to_numpy() == 0).all()
+
+
+def test_scrub_pii_email_digits_not_double_redacted(ray_session):
+    # digits inside an email local part vanish with the email; the
+    # phone pass must not fire on them (order: emails first)
+    out = _run(["reach 123-456-7890x@example.com maybe"])
+    # the email regex grabs '456-7890x@example.com' (char class includes
+    # '-'), leaving '123-' behind -- deterministic, mirrored by the SQL
+    assert "<EMAIL>" in out.loc[0, "clean_text"]
+    assert out.loc[0, "n_emails"] == 1
+
+
+def test_source_stats_matches_pandas(ray_session):
+    n = 300
+    rng = np.random.default_rng(5)
+    srcs = rng.choice(["a.com", "b.org", "c.net"], n)
+    texts = [" ".join(["tok"] * int(k)) for k in rng.integers(1, 20, n)]
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": srcs,
+            "text": texts,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    out = (
+        source_stats(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.assign(n_tokens=[len(t.split()) for t in texts])
+        .groupby("source")
+        .agg(
+            n_docs=("doc_id", "size"),
+            total_tokens=("n_tokens", "sum"),
+            avg_chars=("n_chars", "mean"),
+        )
+        .reset_index()
+    )
+    assert (out["n_docs"].to_numpy() == exp["n_docs"].to_numpy()).all()
+    assert (out["total_tokens"].to_numpy() == exp["total_tokens"].to_numpy()).all()
+    assert np.allclose(out["avg_chars"], np.round(exp["avg_chars"], 6))
