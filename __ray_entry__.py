@@ -319,6 +319,41 @@ def _q_cc_labels(sf_dir: str, **kw):
     return connected_components(_canon_edges(sf_dir), **kw).labels
 
 
+def _q_cc_incremental(sf_dir: str):
+    """Incremental CC: the edge table is split ~90/10 by an unordered-
+    pair hash (both directions of an undirected edge stay together, so
+    each side remains a symmetric table); the engine solves the base,
+    then folds the delta via pipelines.incremental at O(delta) exchange
+    cost. The oracle is the FULL-graph CC SQL -- asserting incremental
+    == from-scratch, per-vertex."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.cc import connected_components
+    from pds_hw2_mpi_connected_components_ray.pipelines.incremental import (
+        cc_incremental,
+    )
+
+    edges = _canon_edges(sf_dir).materialize()
+
+    def side(keep_delta: bool):
+        def fn(t):
+            import pyarrow as pa
+
+            s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            lo, hi = np.minimum(s, d), np.maximum(s, d)
+            k = (lo * 1000003 + hi) % 10
+            mask = (k == 0) if keep_delta else (k != 0)
+            idx = np.nonzero(mask)[0]
+            return pa.table({"src": s[idx], "dst": d[idx]})
+
+        return edges.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    base = side(False).materialize()
+    delta = side(True).materialize()
+    res_base = connected_components(base, mode="auto")
+    return cc_incremental(res_base.labels, delta).labels
+
+
 def _q_degree_histogram(sf_dir: str):
     _configure()
     from ray.data.aggregate import Count
@@ -1000,6 +1035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_labels_shuffle": lambda sf: _q_cc_labels(sf, mode="shuffle"),
         "cc_labels_unionfind": lambda sf: _q_cc_labels(sf, method="unionfind"),
         "cc_checkpoint_resume": _q_cc_checkpointed,
+        "cc_incremental": _q_cc_incremental,
         "cc_count": _q_cc_count,
         "component_sizes": _q_component_sizes,
         "degree_histogram": _q_degree_histogram,
@@ -1075,6 +1111,7 @@ def oracle_sql() -> dict[str, str]:
         "cc_labels_shuffle": cc_sql,
         "cc_labels_unionfind": cc_sql,
         "cc_checkpoint_resume": cc_sql,
+        "cc_incremental": cc_sql,
         "cc_count": f"SELECT count(DISTINCT label)::BIGINT AS n_components FROM ({cc_sql})",
         "component_sizes": (
             f"SELECT label, count(*)::BIGINT AS csize FROM ({cc_sql}) GROUP BY label"

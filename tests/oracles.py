@@ -146,3 +146,25 @@ def labelprop_sync_oracle(n: int, edges: np.ndarray, iters: int = 4) -> np.ndarr
             nxt[v] = best
         label = nxt
     return label
+
+
+def uf_labels(pairs) -> dict[int, int]:
+    """Canonical min-label CC over a SPARSE vertex set (only edge
+    endpoints), as a {vertex: label} dict."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    verts = set()
+    for a, b in pairs:
+        a, b = int(a), int(b)
+        verts.add(a)
+        verts.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in verts}
