@@ -354,6 +354,18 @@ def _q_cc_incremental(sf_dir: str):
     return cc_incremental(res_base.labels, delta).labels
 
 
+def _q_link_prediction(sf_dir: str):
+    """Common-neighbor link prediction: top-20 non-adjacent pairs by
+    |N(b) ∩ N(c)| via wedge join + groupby count + anti-join; total
+    (count desc, b, c) order makes the top-k deterministic."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.linkpred import (
+        common_neighbor_candidates,
+    )
+
+    return common_neighbor_candidates(_canon_edges(sf_dir), k=20)
+
+
 def _q_degree_histogram(sf_dir: str):
     _configure()
     from ray.data.aggregate import Count
@@ -1036,6 +1048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_labels_unionfind": lambda sf: _q_cc_labels(sf, method="unionfind"),
         "cc_checkpoint_resume": _q_cc_checkpointed,
         "cc_incremental": _q_cc_incremental,
+        "link_prediction": _q_link_prediction,
         "cc_count": _q_cc_count,
         "component_sizes": _q_component_sizes,
         "degree_histogram": _q_degree_histogram,
@@ -1112,6 +1125,17 @@ def oracle_sql() -> dict[str, str]:
         "cc_labels_unionfind": cc_sql,
         "cc_checkpoint_resume": cc_sql,
         "cc_incremental": cc_sql,
+        "link_prediction": (
+            f"WITH {_EDGES_CTES}, "
+            "simple AS (SELECT src, dst FROM edges WHERE src <> dst), "
+            "w AS (SELECT e1.dst AS b, e2.dst AS c, count(*)::BIGINT AS cn "
+            "  FROM simple e1 JOIN simple e2 "
+            "  ON e1.src = e2.src AND e1.dst < e2.dst GROUP BY b, c) "
+            "SELECT w.b, w.c, w.cn AS common_neighbors FROM w "
+            "LEFT JOIN simple s ON s.src = w.b AND s.dst = w.c "
+            "WHERE s.src IS NULL "
+            "ORDER BY w.cn DESC, w.b ASC, w.c ASC LIMIT 20"
+        ),
         "cc_count": f"SELECT count(DISTINCT label)::BIGINT AS n_components FROM ({cc_sql})",
         "component_sizes": (
             f"SELECT label, count(*)::BIGINT AS csize FROM ({cc_sql}) GROUP BY label"
