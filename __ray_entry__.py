@@ -925,6 +925,20 @@ def _q_media_frames(sf_dir: str):
     return sample_frames(videos_from_documents(_docs(sf_dir)), every_k=4, batch_size=64)
 
 
+def _q_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means (k=4, one update step) over the
+    embeddings: combiner ships k (count, sum-vector) rows per block;
+    deterministic init (4 lowest vec_ids) and tie-break mirror the
+    unrolled SQL exactly."""
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.kmeans import kmeans_assign
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_assign(emb, k=4, iters=1)
+
+
 def _q_scrub_pii(sf_dir: str):
     """PII scrubbing with PLANTED ground truth: emails/phones are
     appended deterministically (doc_id % 3 / % 5) so real redactions are
@@ -1104,6 +1118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cleaning / curation
         "scrub_pii": _q_scrub_pii,
         "source_stats": _q_source_stats,
+        "kmeans_clusters": _q_kmeans,
     }
 
 
@@ -1437,6 +1452,21 @@ def oracle_sql() -> dict[str, str]:
             f"regexp_replace(t2, '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text, "
             "n_emails, "
             f"len(regexp_extract_all(t2, '{_PHONE_RE}'))::BIGINT AS n_phones FROM e"
+        ),
+        "kmeans_clusters": (
+            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+            "c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cid, v "
+            "  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)), "
+            "a1 AS (SELECT e.vec_id, e.v, (SELECT c.cid FROM c0 c "
+            "  ORDER BY list_distance(e.v, c.v) ASC, c.cid ASC LIMIT 1) AS cl FROM e), "
+            "u AS (SELECT a1.cl, g.ord, a1.v[g.ord] AS val "
+            "  FROM a1, (SELECT unnest(range(1, 65))::BIGINT AS ord) g), "
+            "m2 AS (SELECT cl AS cid, list(mv ORDER BY ord) AS v FROM "
+            "  (SELECT cl, ord, avg(val) AS mv FROM u GROUP BY cl, ord) GROUP BY cl), "
+            "c1 AS (SELECT c0.cid, coalesce(m2.v, c0.v) AS v "
+            "  FROM c0 LEFT JOIN m2 USING (cid)) "
+            "SELECT e.vec_id, (SELECT c.cid FROM c1 c "
+            "ORDER BY list_distance(e.v, c.v) ASC, c.cid ASC LIMIT 1) AS cluster FROM e"
         ),
         "source_stats": (
             "SELECT source, count(*)::BIGINT AS n_docs, "
