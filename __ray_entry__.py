@@ -925,6 +925,31 @@ def _q_media_frames(sf_dir: str):
     return sample_frames(videos_from_documents(_docs(sf_dir)), every_k=4, batch_size=64)
 
 
+def _q_top_bigrams(sf_dir: str):
+    """Corpus-wide top-30 word bigrams: per-batch distinct-bigram
+    combiner -> groupby-sum -> deterministic sort/limit."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import top_bigrams
+
+    return top_bigrams(_docs(sf_dir), k=30)
+
+
+def _q_top_docs_per_source(sf_dir: str):
+    """Per-key windowed rank (Ray Data has no window functions): top-3
+    docs per source by (n_chars desc, doc_id) via the bucket-per-group
+    sort + vectorized run-boundary head-k."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.window import top_k_per_group
+
+    return top_k_per_group(
+        _docs(sf_dir),
+        key="source",
+        order_cols=["n_chars", "doc_id"],
+        descending=[True, False],
+        k=3,
+    )
+
+
 def _q_kmeans(sf_dir: str):
     """Distributed Lloyd k-means (k=4, one update step) over the
     embeddings: combiner ships k (count, sum-vector) rows per block;
@@ -1119,6 +1144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_pii": _q_scrub_pii,
         "source_stats": _q_source_stats,
         "kmeans_clusters": _q_kmeans,
+        "top_bigrams": _q_top_bigrams,
+        "top_docs_per_source": _q_top_docs_per_source,
     }
 
 
@@ -1452,6 +1479,19 @@ def oracle_sql() -> dict[str, str]:
             f"regexp_replace(t2, '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text, "
             "n_emails, "
             f"len(regexp_extract_all(t2, '{_PHONE_RE}'))::BIGINT AS n_phones FROM e"
+        ),
+        "top_bigrams": (
+            "WITH toks AS (SELECT regexp_extract_all(coalesce(text, ''), '\\S+') AS w "
+            "FROM documents), "
+            "u AS (SELECT w, unnest(range(1, len(w))) AS i FROM toks) "
+            "SELECT w[i] || ' ' || w[i+1] AS bigram, count(*)::BIGINT AS n "
+            "FROM u GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 30"
+        ),
+        "top_docs_per_source": (
+            "WITH r AS (SELECT source, n_chars, doc_id, "
+            "row_number() OVER (PARTITION BY source "
+            "ORDER BY n_chars DESC, doc_id ASC)::BIGINT AS rnk FROM documents) "
+            "SELECT source, n_chars, doc_id, rnk FROM r WHERE rnk <= 3"
         ),
         "kmeans_clusters": (
             "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "

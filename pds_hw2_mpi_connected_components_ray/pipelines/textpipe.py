@@ -127,6 +127,54 @@ def top_tokens(docs: Dataset, k: int = 50) -> Dataset:
     return agg.sort(["n", "token"], descending=[True, False]).limit(k)
 
 
+def top_bigrams(docs: Dataset, k: int = 30) -> Dataset:
+    """Corpus-wide top-k word bigrams (language-model corpus stats).
+    Same combiner shape as top_tokens: each batch ships its DISTINCT
+    bigram counts; bigrams never cross document boundaries. Bigram
+    construction is one numpy pass over the flattened token stream with
+    boundary positions masked out — no per-row python loop."""
+    from ray.data.aggregate import Sum
+
+    def bigram_count(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.split()
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        lists = toks.to_numpy()
+        if lens.sum() == 0:
+            return pd.DataFrame(
+                {
+                    "bigram": pd.Series([], dtype=str),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        flat = np.concatenate([np.asarray(x, dtype=object) for x in lists]).astype(str)
+        if len(flat) < 2:
+            return pd.DataFrame(
+                {
+                    "bigram": pd.Series([], dtype=str),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        starts = np.cumsum(lens)[:-1]  # first token index of docs 1..
+        valid = np.ones(len(flat) - 1, dtype=bool)
+        # mask cross-document positions; a start of 0 (leading empty
+        # docs) has no preceding token, nothing to mask
+        bnd = starts[(starts > 0) & (starts <= len(flat) - 1)]
+        valid[bnd - 1] = False
+        big = np.char.add(np.char.add(flat[:-1], " "), flat[1:])[valid]
+        vc = pd.Series(big).value_counts()
+        return pd.DataFrame(
+            {"bigram": vc.index.astype(str), "n": vc.to_numpy(dtype=np.int64)}
+        )
+
+    agg = (
+        docs.select_columns(["text"])
+        .map_batches(bigram_count, batch_format="pandas")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return agg.sort(["n", "bigram"], descending=[True, False]).limit(k)
+
+
 def doc_fingerprints(docs: Dataset) -> Dataset:
     """(doc_id, fp) stable 63-bit content fingerprint per document."""
 
