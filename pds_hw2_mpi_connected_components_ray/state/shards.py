@@ -49,16 +49,23 @@ def split_block_by_dst(table, nshards: int):
         # groupby stages occasionally emit schema-less empty blocks
         return tuple([_EMPTY_EDGES] * nshards) if nshards > 1 else _EMPTY_EDGES
     dst = table["dst"].to_numpy(zero_copy_only=False)
-    bucket = dst % nshards
-    # Per-shard boolean scan + take. Measured against the alternatives:
-    # one argsort(bucket) + contiguous-range takes is ~1.4x SLOWER
-    # single-threaded (the n log n sort beats 16 vectorized scans), and
-    # zero-copy slices of one sorted table are catastrophic through the
-    # object store (pickling a sliced Arrow table ships the ENTIRE
-    # backing buffer per slice -- nshards x the bytes through plasma).
+    # O(E) bucketing INDEPENDENT of nshards: radix-argsort the uint16
+    # bucket keys (numpy uses radix for stable integer sorts -- ~2
+    # passes) and take contiguous index ranges. The earlier per-shard
+    # boolean-scan form was O(E x nshards) total: with the shard count
+    # tracking the parallelism level, split work grew linearly with the
+    # level and exactly cancelled the added cores (round-3 probe: the
+    # load leg measured FLAT, 84.8 s at 4 cpus vs 76.3 s at 16).
+    # take() per shard (not zero-copy slices of one sorted table --
+    # pickling a sliced Arrow table ships the ENTIRE backing buffer per
+    # slice, nshards x the bytes through plasma).
+    b16 = (dst % nshards).astype(np.uint16)  # nshards << 65536
+    order = np.argsort(b16, kind="stable")
+    counts = np.bincount(b16, minlength=nshards)
+    offs = np.concatenate([[0], np.cumsum(counts)])
     out = []
     for s in range(nshards):
-        idx = np.nonzero(bucket == s)[0]
+        idx = order[offs[s] : offs[s + 1]]
         out.append(table.take(idx) if len(idx) else table.slice(0, 0))
     return tuple(out) if nshards > 1 else out[0]
 
@@ -70,7 +77,7 @@ class GraphShardActor:
         if block_refs is not None:
             self.load(block_refs)
 
-    def load(self, block_refs: list) -> int:
+    def load(self, block_refs: list, nshards: int | None = None) -> int:
         """Build the dst-sorted CSC from this shard's edge blocks. Split
         from __init__ so pools can be SPAWNED early (actor processes
         start while upstream ETL is still streaming) and fed later."""
@@ -88,11 +95,24 @@ class GraphShardActor:
         else:
             src = np.array([], dtype=np.int64)
             dst = np.array([], dtype=np.int64)
-        order = np.argsort(dst, kind="stable")
+        # every dst in this shard shares the residue class dst % nshards,
+        # so ordering by dst//nshards equals ordering by dst -- and the
+        # quotient usually fits int32, turning the stable argsort into a
+        # half-width radix (the load wave is bandwidth-bound; fewer
+        # passes = directly less wall)
+        key = dst
+        if nshards and len(dst):
+            q = dst // nshards
+            if int(q.max()) < 2**31:
+                key = q.astype(np.int32)
+        order = np.argsort(key, kind="stable")
         src = src[order]
         dst = dst[order]
         self.usrc, src_local = np.unique(src, return_inverse=True)
-        self.src_local = src_local.astype(np.int64)
+        # local index space always fits int32 (a shard holds E/n edges);
+        # the load/contract wave is memory-bandwidth-bound on one box,
+        # so halving per-edge index bytes is a direct wall-time cut
+        self.src_local = src_local.astype(np.int32)
         # dst is ALREADY sorted: derive (udst, run starts) with one
         # boundary scan instead of np.unique's internal re-sort (the
         # load leg is bandwidth-bound; round-2 per-leg efficiency 0.4)
@@ -106,7 +126,7 @@ class GraphShardActor:
         self.offsets = np.concatenate([starts, [len(dst)]]).astype(np.int64)
         # per-edge dst column index (for grouped ops beyond reduceat)
         self.edge_col = np.repeat(
-            np.arange(len(self.udst), dtype=np.int64), np.diff(self.offsets)
+            np.arange(len(self.udst), dtype=np.int32), np.diff(self.offsets)
         )
         # dense global-id -> local-src-index map for O(f) value ingestion
         # (vs O(f log u) binary search); only for compact id spaces --
@@ -164,16 +184,29 @@ class GraphShardActor:
             self.init_labels_own = self.udst.copy()
             return
         vs = np.union1d(self.usrc, self.udst)
-        a = np.searchsorted(vs, self.usrc)[self.src_local]  # per-edge src
-        b = np.searchsorted(vs, self.udst)[self.edge_col]  # per-edge dst
+        # int32 throughout the local index space (halves the bytes of a
+        # bandwidth-bound wave; every array here is a LOCAL index)
+        a = np.searchsorted(vs, self.usrc).astype(np.int32)[self.src_local]
+        b = np.searchsorted(vs, self.udst).astype(np.int32)[self.edge_col]
         so = np.argsort(self.src_local, kind="stable")  # radix (int keys)
         src_sorted = self.src_local[so]
         sb = np.flatnonzero(np.r_[True, src_sorted[1:] != src_sorted[:-1]])
         b_by_src = b[so]
         s_targets = a[so][sb]  # one vs-index per distinct src
         d_targets = b[self.offsets[:-1]]  # one vs-index per distinct dst
-        lab = np.arange(len(vs), dtype=np.int64)
-        budget = 12 if len(a) < 1_000_000 else 4
+        lab = np.arange(len(vs), dtype=np.int32)
+        # Budget adapts to local density: a fragmented shard (high shard
+        # count => its edge set is a thin random sample whose components
+        # are shallow) contracts in 2 passes; deeper budgets only pay
+        # more O(V_local) sweeps for labels the cross-shard solve fixes
+        # anyway (any partial contraction is a valid hash-min state).
+        density = len(a) / max(len(vs), 1)
+        if len(a) < 1_000_000:
+            budget = 12
+        elif density < 4.0:
+            budget = 2
+        else:
+            budget = 4
         for _ in range(budget):
             new = lab.copy()
             # incoming: min src label per dst group (dst-grouped already)
@@ -184,11 +217,11 @@ class GraphShardActor:
             # every label propagated is of a connected vertex)
             cand_s = np.minimum.reduceat(new[b_by_src], sb)
             new[s_targets] = np.minimum(new[s_targets], cand_s)
-            for _j in range(3):  # bounded pointer-jump passes
-                nj = np.minimum(new, new[new])
-                if np.array_equal(nj, new):
-                    break
-                new = nj
+            # two unconditional pointer jumps: cheaper than
+            # compare-then-jump (each equality check is its own O(V)
+            # sweep), and partial closure is still a valid state
+            new = np.minimum(new, new[new])
+            new = np.minimum(new, new[new])
             if np.array_equal(new, lab):
                 break
             lab = new
@@ -1014,7 +1047,7 @@ def load_shard_pool(actors: list, edges) -> list:
         groups = [[s[i] for s in splits] for i in range(nshards)]
     else:
         groups = [list(block_refs)]
-    return [a.load.remote(g) for a, g in zip(actors, groups)]
+    return [a.load.remote(g, nshards) for a, g in zip(actors, groups)]
 
 
 def load_shard_pool_streaming(actors: list, lazy_edges) -> list:
@@ -1037,7 +1070,7 @@ def load_shard_pool_streaming(actors: list, lazy_edges) -> list:
     if not splits:
         raise ValueError("empty edge dataset")
     groups = [[s[i] for s in splits] for i in range(nshards)]
-    return [a.load.remote(g) for a, g in zip(actors, groups)]
+    return [a.load.remote(g, nshards) for a, g in zip(actors, groups)]
 
 
 def build_shard_pool(edges, nshards: int) -> list:
