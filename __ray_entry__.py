@@ -366,6 +366,19 @@ def _q_link_prediction(sf_dir: str):
     return common_neighbor_candidates(_canon_edges(sf_dir), k=20)
 
 
+def _q_walks(sf_dir: str):
+    """DeepWalk-style corpus generation, deterministic: 3-hop walks
+    from every vertex; each hop joins the frontier with the edge table
+    and picks the neighbor minimizing a seeded multiply-mod hash
+    (exactly mirrored in SQL) -- candidate volume edge-proportional."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.walks import (
+        deterministic_walks,
+    )
+
+    return deterministic_walks(_canon_edges(sf_dir), length=3, seed=42)
+
+
 def _q_degree_histogram(sf_dir: str):
     _configure()
     from ray.data.aggregate import Count
@@ -1088,6 +1101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_checkpoint_resume": _q_cc_checkpointed,
         "cc_incremental": _q_cc_incremental,
         "link_prediction": _q_link_prediction,
+        "random_walks": _q_walks,
         "cc_count": _q_cc_count,
         "component_sizes": _q_component_sizes,
         "degree_histogram": _q_degree_histogram,
@@ -1167,6 +1181,24 @@ def oracle_sql() -> dict[str, str]:
         "cc_labels_unionfind": cc_sql,
         "cc_checkpoint_resume": cc_sql,
         "cc_incremental": cc_sql,
+        "random_walks": (
+            f"WITH {_EDGES_CTES}, "
+            "s0 AS (SELECT v AS walk_id, v AS vertex FROM verts)"
+            + "".join(
+                f", c{k} AS (SELECT s{k-1}.walk_id, "
+                f"(((e.dst + 42) % 1000000007) * 2654435761 + (s{k-1}.walk_id % 1000000007) * 97 "
+                f"+ {k} * 1000003) % 1000000007 AS h, e.dst AS u "
+                f"FROM s{k-1} JOIN edges e ON e.src = s{k-1}.vertex), "
+                f"s{k} AS (SELECT walk_id, (min(h * 4294967296 + u) % 4294967296)::BIGINT "
+                f"AS vertex FROM c{k} GROUP BY walk_id)"
+                for k in range(1, 4)
+            )
+            + " SELECT walk_id, 0::BIGINT AS step, vertex FROM s0"
+            + "".join(
+                f" UNION ALL SELECT walk_id, {k}::BIGINT AS step, vertex FROM s{k}"
+                for k in range(1, 4)
+            )
+        ),
         "link_prediction": (
             f"WITH {_EDGES_CTES}, "
             "simple AS (SELECT src, dst FROM edges WHERE src <> dst), "
