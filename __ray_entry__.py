@@ -100,6 +100,36 @@ r{k} AS MATERIALIZED (
     return "".join(parts)
 
 
+def _pagerank_weighted_sql(iters: int = 10) -> str:
+    """Weighted PageRank unroll: surfer follows (u,v) with probability
+    w(u,v)/W(u); planted deterministic weight w = (src+dst) % 5 + 1."""
+    parts = [
+        f"WITH {_EDGES_CTES},",
+        "we AS MATERIALIZED (SELECT src, dst, ((src + dst) % 5 + 1)::DOUBLE AS w FROM edges),",
+        "wd AS MATERIALIZED (SELECT src AS v, sum(w) AS W FROM we GROUP BY src),",
+        "nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM verts),",
+        "r0 AS MATERIALIZED (SELECT v, 1.0/nn.n AS r FROM verts, nn)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+d{k} AS MATERIALIZED (SELECT coalesce(sum(r.r), 0.0) AS m
+         FROM r{k-1} r LEFT JOIN wd ON wd.v = r.v WHERE wd.v IS NULL),
+r{k} AS MATERIALIZED (
+  SELECT verts.v AS v,
+         (1 - 0.85)/nn.n + 0.85 * (coalesce(inc.s, 0.0) + d{k}.m/nn.n) AS r
+  FROM verts CROSS JOIN nn CROSS JOIN d{k}
+  LEFT JOIN (
+    SELECT e.dst AS v, sum(r.r * e.w / wd.W) AS s
+    FROM r{k-1} r JOIN wd ON wd.v = r.v JOIN we e ON e.src = r.v
+    GROUP BY e.dst
+  ) inc ON inc.v = verts.v
+)"""
+        )
+    parts.append(f"\nSELECT v AS vertex, round(r, 6) AS pr FROM r{iters}")
+    return "".join(parts)
+
+
 def _kcore_sql(k: int, rounds: int = 8) -> str:
     """Unrolled k-core peel: N rounds of (degree filter -> induce).
     Extra rounds beyond convergence are no-ops, so the unrolled result
@@ -364,6 +394,30 @@ def _q_link_prediction(sf_dir: str):
     )
 
     return common_neighbor_candidates(_canon_edges(sf_dir), k=20)
+
+
+def _q_pagerank_weighted(sf_dir: str, mode: str = "auto", iters: int = 10):
+    """Weighted PageRank (10 iterations): deterministic planted weight
+    (src+dst)%5+1 on the canonical edge table; surfer transition
+    p = w/W(src) precomputed once."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.pagerank_weighted import (
+        pagerank_weighted,
+    )
+
+    def add_w(t):
+        import pyarrow as pa
+
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"src": s, "dst": d, "weight": ((s + d) % 5 + 1).astype(np.float64)}
+        )
+
+    wedges = _canon_edges(sf_dir).map_batches(
+        add_w, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return pagerank_weighted(wedges, iters=iters, mode=mode)
 
 
 def _q_walks(sf_dir: str):
@@ -938,6 +992,19 @@ def _q_media_frames(sf_dir: str):
     return sample_frames(videos_from_documents(_docs(sf_dir)), every_k=4, batch_size=64)
 
 
+def _q_events_asof_enrich(sf_dir: str):
+    """Cross-type as-of enrichment: every purchase annotated with the
+    most recent strictly-prior click of the same user (segmented
+    max-accumulate carry, one vectorized pass per bucket)."""
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import asof_enrich
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    return asof_enrich(ev, target_type="purchase", ref_type="click")
+
+
 def _q_top_bigrams(sf_dir: str):
     """Corpus-wide top-30 word bigrams: per-batch distinct-bigram
     combiner -> groupby-sum -> deterministic sort/limit."""
@@ -975,6 +1042,16 @@ def _q_kmeans(sf_dir: str):
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     return kmeans_assign(emb, k=4, iters=1)
+
+
+def _q_ntile(sf_dir: str):
+    """Exact decile bucketing by document length (stratified-sampling
+    primitive): global rank from the distributed prefix scan, SQL-ntile
+    sizing; no driver-side sort."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.ordering import ntile_buckets
+
+    return ntile_buckets(_docs(sf_dir), n=10, order_col="n_chars")
 
 
 def _q_scrub_pii(sf_dir: str):
@@ -1102,6 +1179,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_incremental": _q_cc_incremental,
         "link_prediction": _q_link_prediction,
         "random_walks": _q_walks,
+        "pagerank_weighted": _q_pagerank_weighted,
+        # shuffle mode at 4 iters: verifies the scale path's semantics
+        # while keeping the gate wall bounded (per-iteration hash-join
+        # fixed costs dominate at 500-doc scale)
+        "pagerank_weighted_shuffle": lambda sf: _q_pagerank_weighted(
+            sf, mode="shuffle", iters=4
+        ),
         "cc_count": _q_cc_count,
         "component_sizes": _q_component_sizes,
         "degree_histogram": _q_degree_histogram,
@@ -1140,6 +1224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed": _q_events_windowed,
         "events_hopping": _q_events_hopping,
         "events_asof_prev": _q_events_asof,
+        "events_asof_enrich": _q_events_asof_enrich,
         "events_sessionize": _q_events_sessionize,
         "top_tokens": _q_top_tokens,
         # multimodal plumbing
@@ -1154,6 +1239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_shuffle": _q_training_shuffle,
         "pack_sequences": _q_pack_sequences,
         "length_quantiles": _q_length_quantiles,
+        "ntile_deciles": _q_ntile,
         # cleaning / curation
         "scrub_pii": _q_scrub_pii,
         "source_stats": _q_source_stats,
@@ -1181,6 +1267,8 @@ def oracle_sql() -> dict[str, str]:
         "cc_labels_unionfind": cc_sql,
         "cc_checkpoint_resume": cc_sql,
         "cc_incremental": cc_sql,
+        "pagerank_weighted": _pagerank_weighted_sql(10),
+        "pagerank_weighted_shuffle": _pagerank_weighted_sql(4),
         "random_walks": (
             f"WITH {_EDGES_CTES}, "
             "s0 AS (SELECT v AS walk_id, v AS vertex FROM verts)"
@@ -1470,6 +1558,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, prev_event_id, "
             "coalesce(t - pt, -1)::BIGINT AS gap_us FROM o"
         ),
+        "events_asof_enrich": (
+            "WITH o AS (SELECT event_id, event_type, epoch_us(ts) AS t, "
+            "last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) "
+            "OVER w AS rid, "
+            "last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS) "
+            "OVER w AS rt "
+            "FROM events WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY epoch_us(ts), event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) "
+            "SELECT event_id, coalesce(rid, -1)::BIGINT AS ref_event_id, "
+            "coalesce(t - rt, -1)::BIGINT AS ref_gap_us FROM o "
+            "WHERE event_type = 'purchase'"
+        ),
         "events_sessionize": (
             "WITH o AS (SELECT user_id, epoch_us(ts) AS t, "
             "  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pt "
@@ -1497,6 +1598,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT round(q, 6) AS q, v::BIGINT AS value FROM "
             "(SELECT unnest([0.5, 0.9, 0.99]) AS q, unnest((SELECT l FROM v)) AS v)"
+        ),
+        "ntile_deciles": (
+            "SELECT doc_id, ntile(10) OVER (ORDER BY n_chars, doc_id)::BIGINT "
+            "AS tile FROM documents"
         ),
         "scrub_pii": (
             "WITH p AS (SELECT doc_id, coalesce(text, '') "

@@ -177,6 +177,68 @@ def asof_prev(
     )
 
 
+def asof_enrich(
+    events: Dataset,
+    *,
+    target_type: str,
+    ref_type: str,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> Dataset:
+    """Cross-type AS-OF enrichment: each `target_type` event joined to
+    the most recent STRICTLY-PRIOR `ref_type` event of the same key
+    ((ts, id) total order; -1 when none) — the streaming-enrichment
+    join (e.g. every purchase annotated with the last preceding click).
+
+    Same bucket-per-key shape as asof_prev; within a bucket the carry
+    is a segmented max-accumulate over reference indices (monotone row
+    indices make per-run resets a second max-accumulate of run
+    starts), so the whole pass is vectorized.
+    Output: (event_id, ref_event_id, ref_gap_us)."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([by, ts_col, id_col], kind="stable")
+        keys = g[by].to_numpy()
+        t = g[ts_col].to_numpy().astype("datetime64[us]").view(np.int64)
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        types = g[type_col].to_numpy()
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "ref_event_id": pd.Series([], dtype="int64"),
+                    "ref_gap_us": pd.Series([], dtype="int64"),
+                }
+            )
+        idx = np.arange(n, dtype=np.int64)
+        first = np.r_[True, keys[1:] != keys[:-1]]
+        run_base = np.maximum.accumulate(np.where(first, idx, -1))
+        marker = np.where(types == ref_type, idx, -1)
+        carried = np.maximum.accumulate(marker)
+        prev_carried = np.r_[np.int64(-1), carried[:-1]]
+        ref_idx = np.where(prev_carried >= run_base, prev_carried, -1)
+        is_tgt = types == target_type
+        ri = ref_idx[is_tgt]
+        has = ri >= 0
+        ri_c = np.maximum(ri, 0)
+        return pd.DataFrame(
+            {
+                "event_id": ids[is_tgt],
+                "ref_event_id": np.where(has, ids[ri_c], np.int64(-1)),
+                "ref_gap_us": np.where(has, t[is_tgt] - t[ri_c], np.int64(-1)),
+            }
+        )
+
+    return (
+        _bucket_by_key(events, by, [by, ts_col, id_col, type_col])
+        .groupby("_kb")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
 def sessionize(events: Dataset, gap_us: int = US_30_MIN) -> Dataset:
     """(user_id, n_sessions): a new session starts when the gap to the
     previous event of that user exceeds `gap_us`. Events within a user

@@ -61,6 +61,7 @@ __all__ = [
     "training_shuffle",
     "pack_sequences",
     "length_quantiles",
+    "ntile_buckets",
 ]
 
 
@@ -214,6 +215,50 @@ def pack_sequences(
                 "pack_id": cp // window,
                 "pack_offset": cp % window,
             }
+        )
+
+    return scanned.map_batches(finish, batch_format="pandas")
+
+
+def ntile_buckets(
+    ds: Dataset,
+    *,
+    n: int = 10,
+    order_col: str,
+    id_col: str = "doc_id",
+) -> Dataset:
+    """(id, tile): exact n-tile bucketing by (order_col, id) — the
+    stratified-sampling / difficulty-bucketing primitive. tile is
+    1-based, sized like SQL's ntile(): the first (total % n) tiles get
+    ceil(total/n) rows. Exact global rank comes from `ordered_scan`
+    (value 1), so no driver-side sort ever happens."""
+
+    def add_one(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].astype(np.int64),
+                "_ok": df[order_col].astype(np.int64),
+                "_one": np.ones(len(df), dtype=np.int64),
+            }
+        )
+
+    keyed = ds.select_columns([id_col, order_col]).map_batches(
+        add_one, batch_format="pandas"
+    )
+    scanned = ordered_scan(keyed, "_ok", "_one", tiebreak_col=id_col).materialize()
+    total = scanned.count()
+    q, r = divmod(total, n)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rank = df["cum_prev"].to_numpy(dtype=np.int64)  # 0-based
+        big = (q + 1) * r  # rows covered by the r larger tiles
+        tile = np.where(
+            rank < big,
+            rank // (q + 1) + 1 if q + 1 > 0 else 1,
+            ((rank - big) // q + r + 1) if q > 0 else r,
+        )
+        return pd.DataFrame(
+            {id_col: df[id_col].astype(np.int64), "tile": tile.astype(np.int64)}
         )
 
     return scanned.map_batches(finish, batch_format="pandas")

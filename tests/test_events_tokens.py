@@ -106,3 +106,34 @@ def test_asof_prev_brute():
     want = df.sort_values("event_id")
     assert np.array_equal(out["prev_event_id"].to_numpy(), want["prev"].to_numpy())
     assert np.array_equal(out["gap_us"].to_numpy(), want["gap"].to_numpy())
+
+
+def test_asof_enrich_no_prior_ref(ray_session):
+    import pandas as pd
+
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import asof_enrich
+
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5],
+            "user_id": [7, 7, 7, 8, 8],
+            "event_type": ["purchase", "click", "purchase", "click", "purchase"],
+            "ts": pd.to_datetime(
+                ["2025-01-01 10:00", "2025-01-01 10:05", "2025-01-01 10:10",
+                 "2025-01-01 09:00", "2025-01-01 09:30"]
+            ),
+        }
+    )
+    out = (
+        asof_enrich(rd.from_pandas(ev), target_type="purchase", ref_type="click")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # event 1: no prior click -> -1; event 3: click id 2, gap 5 min;
+    # event 5 (user 8): click id 4, gap 30 min -- user 7's clicks invisible
+    assert list(out["event_id"]) == [1, 3, 5]
+    assert list(out["ref_event_id"]) == [-1, 2, 4]
+    assert list(out["ref_gap_us"]) == [-1, 300000000, 1800000000]

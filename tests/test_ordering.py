@@ -99,3 +99,22 @@ def test_length_quantiles_matches_numpy_rank(ray_session):
     for q, v in zip(out["q"], out["value"]):
         idx = max(0, int(np.ceil(q * len(s))) - 1)
         assert v == s[idx], q
+
+
+def test_ntile_matches_sql_sizing(ray_session):
+    import duckdb
+
+    rng = np.random.default_rng(2)
+    lens = rng.integers(0, 100, 437).astype(np.int64)
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(437, dtype=np.int64), "n_chars": lens})
+    )
+    from pds_hw2_mpi_connected_components_ray.pipelines.ordering import ntile_buckets
+
+    out = ntile_buckets(docs, n=7, order_col="n_chars").to_pandas().sort_values("doc_id")
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame({"doc_id": np.arange(437), "n_chars": lens}))
+    exp = con.sql(
+        "SELECT doc_id, ntile(7) OVER (ORDER BY n_chars, doc_id) AS tile FROM d"
+    ).df().sort_values("doc_id")
+    assert (out["tile"].to_numpy() == exp["tile"].to_numpy()).all()
