@@ -186,7 +186,24 @@ def bench_suite() -> dict:
         "events_hopping",
         "events_asof_prev",
         "events_sessionize",
+        "events_asof_enrich",
         "media_decode",
+        "media_decode_png",
+        "media_decode_wav",
+        # round-3 training-data / graph operators
+        "training_shuffle",
+        "pack_sequences",
+        "dataset_split",
+        "scrub_pii",
+        "source_stats",
+        "kmeans_clusters",
+        "top_bigrams",
+        "top_docs_per_source",
+        "cc_incremental",
+        "link_prediction",
+        "random_walks",
+        "pagerank_weighted",
+        "ntile_deciles",
     ]:
         qtimes[name] = run(name)
     return qtimes

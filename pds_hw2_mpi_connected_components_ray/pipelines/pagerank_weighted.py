@@ -114,6 +114,9 @@ def _local(wedges, verts, n, damping, iters) -> Dataset:
 
 def _shuffle(wedges, verts, n, damping, iters, num_partitions) -> Dataset:
     npart = num_partitions or default_parallelism()
+    # clamp partitions to data size (same as pipelines.triangles): tiny
+    # partitions only add per-iteration shuffle-actor fixed cost
+    npart = max(2, min(npart, wedges.count() // 100_000 + 2))
     pe = _normalized_edges(wedges)
     # vertices with out-edges (for the dangling term): summary-sized
     outs = pe.groupby("src").aggregate(Sum("p", alias_name="_one"))
