@@ -96,14 +96,17 @@ def _local(wedges, verts, n, damping, iters) -> Dataset:
             nz = np.nonzero(acc)[0]
             return pa.table({"i": nz.astype(np.int64), "c": acc[nz]})
 
-        parts = (
-            pe.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("i")
-            .aggregate(Sum("c", alias_name="c"))
-            .to_pandas()
-        )
+        # stream partials to the driver (n <= broadcast threshold by
+        # mode selection), accumulate with one scatter-add per block —
+        # a per-iteration groupby here cost ~4x the whole iteration at
+        # bench scale (same structure as the unweighted _pagerank_local)
         inc = np.zeros(n, dtype=np.float64)
-        inc[parts["i"].to_numpy(dtype=np.int64)] = parts["c"].to_numpy(np.float64)
+        for b in pe.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=None):
+            bi = b["i"].to_numpy(zero_copy_only=False)
+            if len(bi):
+                np.add.at(inc, bi, b["c"].to_numpy(zero_copy_only=False))
         dang = float(r[~has_out].sum())
         r = (1 - damping) / n + damping * (inc + dang / n)
     out = pd.DataFrame({"vertex": vid, "pr": np.round(r, 6)})
