@@ -103,3 +103,123 @@ def read_partitioned(root: str):
     parts = sorted(finished_partitions(root))
     paths = [os.path.join(_part_dir(root, p), "data.parquet") for p in parts]
     return rd.read_parquet(paths)
+
+
+# ----------------------------------------------------- zone-map layout
+
+
+def write_sorted_zonemap(
+    ds: Dataset,
+    root: str,
+    key: str,
+    num_files: int = 32,
+) -> dict:
+    """Range-layout writer with per-file zone maps: rows are range-
+    bucketed on `key` (equi-width over the observed [min, max] — exact
+    for any bucketing, balanced for the uniform keys this engine
+    mints), each bucket sorted and written as one file, and a manifest
+    records every file's (min, max) of `key`. `read_zonemap_range`
+    then opens ONLY files whose zone intersects the predicate — the
+    storage-pruning path that makes point/range lookups on a 100-TB
+    table read file-count-proportional bytes, not table-proportional.
+
+    Atomic like write_partitioned: tmp dir -> rename, _SUCCESS last.
+    """
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Max, Min
+
+    stats = ds.aggregate(Min(key), Max(key))
+    kmin = int(stats[f"min({key})"])
+    kmax = int(stats[f"max({key})"])
+    width = max(1, (kmax - kmin) // num_files + 1)
+
+    tmp = root + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_zb", pa.array(((k - kmin) // width).astype(np.int64))
+        )
+
+    def write_group(g):
+        import pandas as pd_
+
+        b = int(g["_zb"].iloc[0])
+        out = g.drop(columns=["_zb"]).sort_values(key, kind="stable")
+        pq.write_table(
+            pa.Table.from_pandas(out, preserve_index=False),
+            os.path.join(tmp, f"zone-{b:05d}.parquet"),
+        )
+        return pd_.DataFrame(
+            {
+                "zone": [b],
+                "rows": [len(out)],
+                "zmin": [int(out[key].iloc[0])],
+                "zmax": [int(out[key].iloc[-1])],
+            }
+        )
+
+    report = (
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_zb")
+        .map_groups(write_group, batch_format="pandas")
+        .to_pandas()  # num_files rows
+        .sort_values("zone")
+    )
+    manifest = {
+        "key": key,
+        "files": [
+            {
+                "file": f"zone-{int(r.zone):05d}.parquet",
+                "min": int(r.zmin),
+                "max": int(r.zmax),
+                "rows": int(r.rows),
+            }
+            for r in report.itertuples()
+        ],
+    }
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write("")
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    os.rename(tmp, root)
+    return manifest
+
+
+def read_zonemap_range(root: str, lo: int, hi: int):
+    """Dataset of rows with key in [lo, hi], reading ONLY intersecting
+    files (returns (dataset, n_files_read, n_files_total)); the residual
+    in-file filter still applies (zones bound, they don't partition
+    exactly at the predicate edges)."""
+    import ray.data as rd
+
+    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+        raise FileNotFoundError(f"no complete zonemap layout at {root}")
+    with open(os.path.join(root, "manifest.json")) as f:
+        manifest = json.load(f)
+    key = manifest["key"]
+    hit = [
+        fi["file"]
+        for fi in manifest["files"]
+        if fi["min"] <= hi and fi["max"] >= lo
+    ]
+    if not hit:
+        empty = rd.from_items([])
+        return empty, 0, len(manifest["files"])
+    ds = rd.read_parquet([os.path.join(root, h) for h in hit])
+
+    def residual(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((k >= lo) & (k <= hi)))
+
+    return (
+        ds.map_batches(residual, batch_format="pyarrow", zero_copy_batch=True),
+        len(hit),
+        len(manifest["files"]),
+    )
