@@ -529,6 +529,15 @@ def _q_bfs_hops(sf_dir: str):
     return bfs_hops(_canon_edges(sf_dir), mode="broadcast")
 
 
+def _q_multi_bfs_hops(sf_dir: str):
+    """k=4 landmark BFS waves batched into ONE pinned relaxation loop
+    (sources = the 4 smallest vertex ids, mirrored in the oracle)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.bfs import multi_bfs_hops
+
+    return multi_bfs_hops(_canon_edges(sf_dir), k=4)
+
+
 def _q_bfs_hops_pinned(sf_dir: str):
     # the web-scale mode: decentralized (min,+1) relaxation over the
     # pinned dst-sharded pool; no O(n) driver state
@@ -1199,6 +1208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_assortativity": _q_assortativity,
         "bfs_hops": _q_bfs_hops,
         "bfs_hops_pinned": _q_bfs_hops_pinned,
+        "multi_bfs_hops": _q_multi_bfs_hops,
         # extraction front-end
         "extract_text_roundtrip": _q_extract_text,
         "extract_links_planted": _q_extract_links,
@@ -1340,6 +1350,17 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT e.dst AS v, w.h + 1 AS h FROM walk w JOIN edges e ON e.src = w.v "
             "  WHERE w.h < 64) "
             "SELECT v AS vertex, min(h)::BIGINT AS hops FROM walk GROUP BY v"
+        ),
+        "multi_bfs_hops": (
+            f"WITH RECURSIVE {_EDGES_CTES}, "
+            "seeds AS MATERIALIZED (SELECT v AS s FROM verts ORDER BY v LIMIT 4), "
+            "walk AS (SELECT s AS source, s AS v, 0 AS h FROM seeds "
+            "  UNION "
+            "  SELECT w.source, e.dst AS v, w.h + 1 AS h "
+            "  FROM walk w JOIN edges e ON e.src = w.v "
+            "  WHERE w.h < 64) "
+            "SELECT source, v AS vertex, min(h)::BIGINT AS hops "
+            "FROM walk GROUP BY source, v"
         ),
         "degree_assortativity": (
             f"WITH {_EDGES_CTES}, "

@@ -135,6 +135,93 @@ def bfs_hops_pinned(
                 ray.kill(a)
 
 
+def multi_bfs_hops(
+    edges: Dataset | None = None,
+    sources=None,
+    *,
+    k: int = 4,
+    max_rounds: int = 512,
+    nshards: int | None = None,
+    actors: list | None = None,
+) -> Dataset:
+    """(source, vertex, hops) for k simultaneous BFS waves run in ONE
+    decentralized relaxation loop over the pinned shard pool (landmark
+    distances -- the input to harmonic/closeness centrality estimates).
+
+    ``sources`` defaults to the k smallest vertex ids in the graph
+    (deterministic, oracle-mirrorable). Requires SYMMETRIZED edges,
+    same as pinned CC/BFS. Each superstep relaxes all k sources with a
+    single (E_shard, k) reduceat pass per shard, so k BFS runs cost
+    roughly one run plus the k-times-wider frontier payload -- the
+    point of batching landmarks instead of looping ``bfs_hops``."""
+    import ray.data as rd
+
+    from ..state.shards import build_shard_pool
+
+    own_pool = actors is None
+    if own_pool:
+        ncpus = int(ray.cluster_resources().get("CPU", 8))
+        acts = build_shard_pool(edges, nshards or max(2, ncpus))
+    else:
+        acts = actors
+    try:
+        ns = len(acts)
+        if sources is None:
+            # k smallest owned ids per shard -> k smallest global
+            parts = [p for p in ray.get([a.smallest_owned.remote(k) for a in acts]) if len(p)]
+            if not parts:
+                return rd.from_arrow(
+                    pa.table(
+                        {
+                            "source": pa.array([], pa.int64()),
+                            "vertex": pa.array([], pa.int64()),
+                            "hops": pa.array([], pa.int64()),
+                        }
+                    )
+                )
+            sources = np.unique(np.concatenate(parts))[:k]
+        sources = np.asarray(sources, dtype=np.int64)
+        inits = ray.get(
+            [a.msbfs_init.remote(i, ns, sources) for i, a in enumerate(acts)]
+        )
+        if sum(o for o, _r in inits) != len(sources):
+            raise ValueError(
+                f"{len(sources) - sum(o for o, _r in inits)} of {len(sources)} "
+                "source vertices not in the graph (pinned multi-BFS requires "
+                "symmetrized edges: every vertex appears as a dst)"
+            )
+        if not all(r for _o, r in inits):
+            from ..state.shards import establish_subscriptions
+
+            establish_subscriptions(acts)
+        rounds = 0
+        while rounds < max_rounds:
+            if ns > 1:
+                fs = [
+                    a.msbfs_frontier_slices.options(num_returns=ns).remote()
+                    for a in acts
+                ]
+                counts = ray.get(
+                    [
+                        acts[s].msbfs_relax.remote([fs[p][s] for p in range(ns)])
+                        for s in range(ns)
+                    ]
+                )
+            else:
+                fs0 = [a.msbfs_frontier_slices.remote() for a in acts]
+                counts = ray.get([acts[0].msbfs_relax.remote(fs0)])
+            rounds += 1
+            if sum(counts) == 0:
+                break
+        refs = [a.msbfs_table.remote() for a in acts]
+        ray.wait(refs, num_returns=len(refs), fetch_local=False)
+        return rd.from_arrow_refs(refs)
+    finally:
+        if own_pool:
+            for a in acts:
+                ray.kill(a)
+
+
 def bfs_hops(
     edges: Dataset,
     source: int | None = None,

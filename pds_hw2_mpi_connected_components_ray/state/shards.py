@@ -378,6 +378,100 @@ class GraphShardActor:
             }
         )
 
+    # --------------------------------------------- multi-source BFS
+    # k simultaneous BFS waves in ONE relaxation loop: dist is an
+    # (owned, k) matrix and every superstep relaxes all k sources at
+    # once over the same CSC pass (landmark distances / harmonic-
+    # centrality input). Unlike single-source unit BFS, a vertex can
+    # re-enter the frontier (it may improve on source j after source i
+    # settled), so a frontier push ships the vertex's FULL k-row --
+    # monotone under the (min, +1) semiring, hence always safe. Total
+    # exchange is O(V * k) worst case; k is meant to be small (4..64
+    # landmarks). Memory: the relax pass materializes an (E_shard, k)
+    # gather, so size k against shard edge counts.
+
+    def smallest_owned(self, k: int) -> np.ndarray:
+        """k smallest owned vertex ids (udst is sorted)."""
+        return self.udst[: int(k)]
+
+    def msbfs_init(self, sid: int, nshards: int, sources) -> tuple:
+        """Reset multi-source state; returns (#sources owned here,
+        subscriptions-cached). Shares the CC/BFS subscription exchange."""
+        self.sid = sid
+        self.cc_nshards = nshards
+        self.own = self.udst
+        srcs = np.asarray(sources, dtype=np.int64)
+        self.ms_sources = srcs
+        self.ms_dist = np.full((len(self.udst), len(srcs)), _I64MAX, dtype=np.int64)
+        self.ms_fr_mask = np.zeros(len(self.udst), dtype=bool)
+        owns = 0
+        if len(self.udst) and len(srcs):
+            pos = np.searchsorted(self.udst, srcs)
+            posc = np.minimum(pos, len(self.udst) - 1)
+            ok = self.udst[posc] == srcs
+            self.ms_dist[posc[ok], np.flatnonzero(ok)] = 0
+            self.ms_fr_mask[posc[ok]] = True
+            owns = int(ok.sum())
+        return owns, getattr(self, "_subs_ns", None) == nshards
+
+    def msbfs_frontier_slices(self):
+        """Improved (request-index, k-dist-row) blocks PER SUBSCRIBER --
+        the cc/bfs edge-cut-proportional push with a matrix payload."""
+        ns = self.cc_nshards
+        m = self.ms_fr_mask
+        d = self.ms_dist
+        kk = d.shape[1]
+        e32 = np.array([], dtype=np.int32)
+        out = []
+        for pos in self.sub_pos:
+            if len(pos) == 0 or len(m) == 0:
+                out.append((e32, np.empty((0, kk), dtype=np.int64)))
+                continue
+            idx = np.flatnonzero(m[pos])
+            if len(pos) < 2**31:
+                idx = idx.astype(np.int32)
+            out.append((idx, d[pos[idx]]))
+        return tuple(out) if ns > 1 else out[0]
+
+    def msbfs_relax(self, frontier_refs: list) -> int:
+        """dist[dst, :] <- min(dist[dst, :], frontier[src, :] + 1) over
+        the local CSC for all k sources in one reduceat pass. Returns
+        the count of owned vertices improved on ANY source."""
+        kk = len(self.ms_sources)
+        self.ms_fr_mask = np.zeros(len(self.udst), dtype=bool)
+        if len(self.udst) == 0 or len(self.usrc) == 0 or kk == 0:
+            return 0
+        dmap = np.full((len(self.usrc), kk), _I64MAX, dtype=np.int64)
+        any_seen = False
+        for o, r in enumerate(frontier_refs):
+            idx, fd = ray.get(r)
+            if len(idx) == 0:
+                continue
+            any_seen = True
+            # owners partition the vertex space -> targets disjoint per o
+            dmap[self.req_pos[o][idx]] = fd
+        if not any_seen:
+            return 0
+        per_edge = dmap[self.src_local]  # (E_shard, k)
+        mins = np.minimum.reduceat(per_edge, self.offsets[:-1], axis=0)
+        cand = np.where(mins == _I64MAX, _I64MAX, mins + 1)
+        imp_rows = (cand < self.ms_dist).any(axis=1)
+        if imp_rows.any():
+            np.minimum(self.ms_dist, cand, out=self.ms_dist)
+            self.ms_fr_mask = imp_rows
+        return int(imp_rows.sum())
+
+    def msbfs_table(self) -> pa.Table:
+        """(source, vertex, hops) rows for every reached (seed, vertex)."""
+        rr, cc_ = np.nonzero(self.ms_dist != _I64MAX)
+        return pa.table(
+            {
+                "source": pa.array(self.ms_sources[cc_]),
+                "vertex": pa.array(self.udst[rr]),
+                "hops": pa.array(self.ms_dist[rr, cc_]),
+            }
+        )
+
     # --------------------------------------------------------- PageRank
 
     def push_sum(self, weights) -> tuple[np.ndarray, np.ndarray]:

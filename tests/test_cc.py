@@ -179,3 +179,70 @@ def test_bfs_pinned_rejects_unowned_source():
     edges = canonical_edges(from_numpy_edges(g, num_blocks=1))
     with pytest.raises(ValueError, match="not in the graph"):
         bfs_hops(edges, source=99, mode="pinned")
+
+
+def test_multi_bfs_matches_per_seed_bfs():
+    """k batched landmark waves == k independent single-source BFS runs
+    on a random multi-component graph; default seeds = k smallest ids."""
+    from pds_hw2_mpi_connected_components_ray.pipelines.bfs import (
+        bfs_hops,
+        multi_bfs_hops,
+    )
+    from pds_hw2_mpi_connected_components_ray.sources.edges import from_numpy_edges
+    from pds_hw2_mpi_connected_components_ray.stages.graph import canonical_edges
+
+    rng = np.random.RandomState(11)
+    n = 2500
+    src = rng.randint(0, n, size=7000)
+    dst = (src + rng.randint(1, 60, size=7000)) % n
+    edges = canonical_edges(
+        from_numpy_edges(np.stack([src, dst], axis=1), num_blocks=5)
+    ).materialize()
+
+    out = (
+        multi_bfs_hops(edges, k=4)
+        .to_pandas()
+        .sort_values(["source", "vertex"])
+        .reset_index(drop=True)
+    )
+    verts = np.unique(np.concatenate([src, dst]))
+    seeds = verts[:4]
+    assert np.array_equal(np.unique(out["source"]), seeds)
+    for s in seeds:
+        single = (
+            bfs_hops(edges, source=int(s), mode="broadcast")
+            .to_pandas()
+            .sort_values("vertex")
+            .reset_index(drop=True)
+        )
+        got = (
+            out[out["source"] == s][["vertex", "hops"]]
+            .reset_index(drop=True)
+            .astype({"vertex": np.int64, "hops": np.int64})
+        )
+        assert got.equals(single.astype({"vertex": np.int64, "hops": np.int64}))
+
+
+def test_multi_bfs_explicit_sources_and_bad_source():
+    import pytest as _pytest
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.bfs import multi_bfs_hops
+    from pds_hw2_mpi_connected_components_ray.sources.edges import from_numpy_edges
+    from pds_hw2_mpi_connected_components_ray.stages.graph import canonical_edges
+
+    g = np.array([[0, 1], [1, 2], [3, 4]])
+    edges = canonical_edges(from_numpy_edges(g, num_blocks=1)).materialize()
+    out = (
+        multi_bfs_hops(edges, sources=[0, 3])
+        .to_pandas()
+        .sort_values(["source", "vertex"])
+        .reset_index(drop=True)
+    )
+    want = {(0, 0): 0, (0, 1): 1, (0, 2): 2, (3, 3): 0, (3, 4): 1}
+    got = {
+        (int(r["source"]), int(r["vertex"])): int(r["hops"])
+        for _, r in out.iterrows()
+    }
+    assert got == want
+    with _pytest.raises(ValueError, match="not in the graph"):
+        multi_bfs_hops(edges, sources=[0, 99])
