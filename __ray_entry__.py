@@ -670,6 +670,15 @@ def _q_top_tokens(sf_dir: str):
     return top_tokens(_docs(sf_dir), k=50)
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import (
+        tfidf_top_terms,
+    )
+
+    return tfidf_top_terms(_docs(sf_dir), k=3)
+
+
 def _q_events_asof(sf_dir: str):
     _configure()
     import ray.data as rd
@@ -1237,6 +1246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_enrich": _q_events_asof_enrich,
         "events_sessionize": _q_events_sessionize,
         "top_tokens": _q_top_tokens,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         # multimodal plumbing
         "media_decode": _q_media_decode,
         "media_decode_png": _q_media_decode_png,
@@ -1570,6 +1580,22 @@ def oracle_sql() -> dict[str, str]:
             "AS token FROM documents) "
             "SELECT token, count(*)::BIGINT AS n FROM toks GROUP BY token "
             "ORDER BY n DESC, token ASC LIMIT 50"
+        ),
+        "tfidf_top_terms": (
+            "WITH nn AS (SELECT count(*)::DOUBLE AS n FROM documents), "
+            "toks AS (SELECT doc_id, "
+            "  unnest(regexp_extract_all(coalesce(text,''), '\\S+')) AS token "
+            "  FROM documents), "
+            "tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks "
+            "  GROUP BY doc_id, token), "
+            "df AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM toks "
+            "  GROUP BY token), "
+            "sc AS (SELECT tf.doc_id, tf.token, "
+            "  round(tf.tf * ln(nn.n / df.df), 6) AS score "
+            "  FROM tf JOIN df USING (token) CROSS JOIN nn), "
+            "rk AS (SELECT doc_id, token, score, row_number() OVER ("
+            "  PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rnk FROM sc) "
+            "SELECT doc_id, token, score, rnk::BIGINT AS rnk FROM rk WHERE rnk <= 3"
         ),
         "events_asof_prev": (
             "WITH o AS (SELECT event_id, epoch_us(ts) AS t, "

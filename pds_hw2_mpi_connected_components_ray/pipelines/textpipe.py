@@ -175,6 +175,96 @@ def top_bigrams(docs: Dataset, k: int = 30) -> Dataset:
     return agg.sort(["n", "bigram"], descending=[True, False]).limit(k)
 
 
+def tfidf_top_terms(docs: Dataset, k: int = 3) -> Dataset:
+    """(doc_id, token, score, rnk): top-k tf-idf terms per document.
+
+    Distributed plan (two corpus passes, both column-pruned to
+    (doc_id, text)):
+      1. tf -- each Ray row IS a whole document, so per-(doc, token)
+         counts are exact within one vectorized pandas groupby per
+         batch; no shuffle.
+      2. df -- per-batch DISTINCT (doc, token) -> per-token partial doc
+         counts (a combiner: each batch ships its vocabulary, not its
+         token stream) -> one token-keyed groupby-sum.
+      3. tf x df hash-shuffle join on token (both sides can be large:
+         tf is corpus-sized, df is vocabulary-sized), then
+         score = round(tf * ln(N/df), 6) vectorized.
+      4. per-doc top-k via the bucket-per-group window (one keyed
+         all-to-all whose fan-in scales with the cluster, not with the
+         number of documents).
+
+    Rounding BEFORE ranking keeps the (score desc, token asc) order in
+    lockstep with the SQL oracle across numpy/DuckDB ln ulp noise.
+    Tokenizer = whitespace split, identical to top_tokens / '\\S+'."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import hash_join
+    from .window import top_k_per_group
+
+    n_docs = float(docs.count())
+    base = docs.select_columns(["doc_id", "text"])
+
+    def _explode(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.split()
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        ids = np.repeat(batch["doc_id"].to_numpy(dtype=np.int64), lens)
+        if lens.sum() == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "token": pd.Series([], dtype=str),
+                }
+            )
+        flat = np.concatenate(
+            [np.asarray(x, dtype=object) for x in toks.to_numpy() if len(x)]
+        ).astype(str)
+        return pd.DataFrame({"doc_id": ids, "token": flat})
+
+    def tf_count(batch: pd.DataFrame) -> pd.DataFrame:
+        e = _explode(batch)
+        g = e.groupby(["doc_id", "token"], sort=False).size()
+        out = g.reset_index(name="tf")
+        out["tf"] = out["tf"].astype(np.int64)
+        return out
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        e = _explode(batch).drop_duplicates(["doc_id", "token"])
+        vc = e["token"].value_counts()
+        return pd.DataFrame(
+            {"token": vc.index.astype(str), "n": vc.to_numpy(dtype=np.int64)}
+        )
+
+    tf = base.map_batches(tf_count, batch_format="pandas")
+    df = (
+        base.map_batches(df_partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="df"))
+    )
+    joined = hash_join(tf, df, on=("token",))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["tf"].to_numpy(dtype=np.float64) * np.log(
+            n_docs / batch["df"].to_numpy(dtype=np.float64)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+                "token": batch["token"].astype(str),
+                "score": np.round(s, 6),
+            }
+        )
+
+    scored = joined.map_batches(score, batch_format="pandas")
+    return top_k_per_group(
+        scored,
+        key="doc_id",
+        order_cols=["score", "token"],
+        descending=[True, False],
+        k=k,
+        cols=["doc_id", "token", "score"],
+    )
+
+
 def doc_fingerprints(docs: Dataset) -> Dataset:
     """(doc_id, fp) stable 63-bit content fingerprint per document."""
 

@@ -137,3 +137,54 @@ def test_asof_enrich_no_prior_ref(ray_session):
     assert list(out["event_id"]) == [1, 3, 5]
     assert list(out["ref_event_id"]) == [-1, 2, 4]
     assert list(out["ref_gap_us"]) == [-1, 300000000, 1800000000]
+
+
+def test_tfidf_top_terms_brute():
+    """Engine tf-idf == brute-force numpy tf-idf on a hand corpus,
+    including the rank tie-break (score desc, token asc) and empty/null
+    text handling."""
+    import math
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import (
+        tfidf_top_terms,
+    )
+
+    texts = [
+        "apple banana apple cherry",
+        "banana banana date",
+        "cherry date date apple",
+        "",  # no tokens -> absent from output
+        None,
+        "elephant elephant elephant",
+    ]
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    )
+    out = (
+        tfidf_top_terms(docs, k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "rnk"])
+        .reset_index(drop=True)
+    )
+
+    n = float(len(texts))
+    tf: dict[tuple[int, str], int] = {}
+    df: dict[str, set] = {}
+    for i, t in enumerate(texts):
+        for tok in (t or "").split():
+            tf[(i, tok)] = tf.get((i, tok), 0) + 1
+            df.setdefault(tok, set()).add(i)
+    rows = []
+    for (i, tok), c in tf.items():
+        rows.append((i, tok, round(c * math.log(n / len(df[tok])), 6)))
+    want = []
+    for i in sorted({r[0] for r in rows}):
+        mine = sorted(
+            [r for r in rows if r[0] == i], key=lambda r: (-r[2], r[1])
+        )[:2]
+        want.extend((i, t, s, j + 1) for j, (_, t, s) in enumerate(mine))
+    want_df = pd.DataFrame(want, columns=["doc_id", "token", "score", "rnk"])
+    assert out[["doc_id", "token", "score", "rnk"]].astype(
+        {"rnk": np.int64}
+    ).equals(want_df.astype({"doc_id": np.int64, "rnk": np.int64}))
