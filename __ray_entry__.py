@@ -1072,6 +1072,17 @@ def _q_ntile(sf_dir: str):
     return ntile_buckets(_docs(sf_dir), n=10, order_col="n_chars")
 
 
+def _q_contamination_check(sf_dir: str):
+    """Benchmark-contamination: train docs sharing a word 3-gram with
+    the held-out slice (doc_id % 20 == 0)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.clean import (
+        contamination_check,
+    )
+
+    return contamination_check(_docs(sf_dir), test_mod=20)
+
+
 def _q_scrub_pii(sf_dir: str):
     """PII scrubbing with PLANTED ground truth: emails/phones are
     appended deterministically (doc_id % 3 / % 5) so real redactions are
@@ -1262,6 +1273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_deciles": _q_ntile,
         # cleaning / curation
         "scrub_pii": _q_scrub_pii,
+        "contamination_check": _q_contamination_check,
         "source_stats": _q_source_stats,
         "kmeans_clusters": _q_kmeans,
         "top_bigrams": _q_top_bigrams,
@@ -1663,6 +1675,20 @@ def oracle_sql() -> dict[str, str]:
             f"regexp_replace(t2, '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text, "
             "n_emails, "
             f"len(regexp_extract_all(t2, '{_PHONE_RE}'))::BIGINT AS n_phones FROM e"
+        ),
+        "contamination_check": (
+            "WITH toks AS (SELECT doc_id, "
+            "  regexp_extract_all(coalesce(text,''), '\\S+') AS w FROM documents), "
+            "gr AS MATERIALIZED ("
+            "  SELECT doc_id, unnest(list_distinct("
+            "    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')] "
+            "         ELSE list_transform(range(1, len(w) - 1), "
+            "              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END)) AS g "
+            "  FROM toks WHERE len(w) > 0), "
+            "tg AS (SELECT DISTINCT g FROM gr WHERE doc_id % 20 = 0) "
+            "SELECT gr.doc_id, count(*)::BIGINT AS n_shared "
+            "FROM gr JOIN tg USING (g) WHERE gr.doc_id % 20 <> 0 "
+            "GROUP BY gr.doc_id"
         ),
         "top_bigrams": (
             "WITH toks AS (SELECT regexp_extract_all(coalesce(text, ''), '\\S+') AS w "

@@ -58,6 +58,123 @@ def scrub_pii(docs: Dataset, *, text_col: str = "text") -> Dataset:
     )
 
 
+def _doc_grams(df: pd.DataFrame) -> pd.DataFrame:
+    """Distinct word 3-grams per document -> (doc_id, g) rows.
+
+    Same gram semantics as the ngram-jaccard dedup oracle: whitespace
+    tokens; docs with 1-2 tokens contribute their whole text as one
+    gram; empty docs contribute nothing. Vectorized over the batch's
+    flattened token stream with cross-document positions masked (the
+    top_bigrams trick, widened to 3)."""
+    toks = df["text"].fillna("").astype(str).str.split()
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    ids = df["doc_id"].to_numpy(dtype=np.int64)
+    out_ids: list[np.ndarray] = []
+    out_g: list[np.ndarray] = []
+    short = (lens > 0) & (lens < 3)
+    if short.any():
+        out_ids.append(ids[short])
+        out_g.append(toks[short].str.join(" ").to_numpy(dtype=object))
+    if (lens >= 3).any():
+        flat = np.concatenate(
+            [np.asarray(x, dtype=object) for x in toks.to_numpy() if len(x)]
+        ).astype(str)
+        docpos = np.repeat(ids, lens)
+        valid = docpos[:-2] == docpos[2:]
+        g3 = np.char.add(
+            np.char.add(np.char.add(np.char.add(flat[:-2], " "), flat[1:-1]), " "),
+            flat[2:],
+        )[valid]
+        out_ids.append(docpos[:-2][valid])
+        out_g.append(g3.astype(object))
+    if not out_ids:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"), "g": pd.Series([], dtype=str)}
+        )
+    return pd.DataFrame(
+        {"doc_id": np.concatenate(out_ids), "g": np.concatenate(out_g)}
+    ).drop_duplicates(["doc_id", "g"])
+
+
+_BROADCAST_TEST_GRAMS = 2_000_000  # ~small benchmark sets broadcast
+
+
+def contamination_check(
+    docs: Dataset, *, test_mod: int = 20, force_join: bool = False
+) -> Dataset:
+    """(doc_id, n_shared): train documents sharing at least one word
+    3-gram with the held-out set (doc_id % test_mod == 0) and how many
+    distinct grams they share -- the benchmark-contamination pass a
+    training corpus needs before evaluation claims.
+
+    Scale posture: two column-pruned corpus passes (the held-out side
+    is read with its filter pushed into the scan, so the typically-tiny
+    benchmark set never expands the full corpus's grams twice). The
+    held-out gram vocabulary is counted first: below the broadcast
+    threshold it ships once via ray.put and train batches membership-
+    test with a sorted-array searchsorted (no shuffle); above it the
+    op falls back to a gram-keyed hash-shuffle join. Both paths end in
+    one doc_id-keyed groupby-count."""
+    import pyarrow as pa
+
+    import ray
+
+    from ..stages.joins import hash_join
+
+    base = docs.select_columns(["doc_id", "text"])
+
+    # no pc.modulo kernel in pyarrow -- numpy mask, zero-copy ints
+    def _is_test(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % test_mod == 0))
+
+    def _is_train(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % test_mod != 0))
+
+    test_grams = (
+        base.map_batches(_is_test, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(_doc_grams, batch_format="pandas")
+        .groupby("g")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["g"])
+    ).materialize()  # benchmark-set vocabulary: the provably small side
+    train_grams = base.map_batches(
+        _is_train, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(_doc_grams, batch_format="pandas")
+
+    n_test = test_grams.count()
+    if n_test <= _BROADCAST_TEST_GRAMS and not force_join:
+        vocab = np.sort(
+            np.concatenate(
+                [
+                    b["g"].to_numpy(zero_copy_only=False).astype(str)
+                    for b in test_grams.iter_batches(
+                        batch_format="pyarrow", batch_size=None
+                    )
+                ]
+            )
+            if n_test
+            else [np.array([], dtype=str)]
+        )
+        ref = ray.put(vocab)
+
+        def member(df: pd.DataFrame) -> pd.DataFrame:
+            v = ray.get(ref)
+            g = df["g"].to_numpy(dtype=str)
+            if len(v) == 0 or len(g) == 0:
+                return df.iloc[:0][["doc_id"]]
+            pos = np.minimum(np.searchsorted(v, g), len(v) - 1)
+            return df.loc[v[pos] == g, ["doc_id"]]
+
+        hits = train_grams.map_batches(member, batch_format="pandas")
+    else:
+        hits = hash_join(train_grams, test_grams, on=("g",)).select_columns(
+            ["doc_id"]
+        )
+    return hits.groupby("doc_id").aggregate(Count(alias_name="n_shared"))
+
+
 def source_stats(docs: Dataset) -> Dataset:
     """(source, n_docs, total_tokens, avg_chars): per-domain corpus
     profile. Token definition matches textpipe.doc_stats (whitespace)."""

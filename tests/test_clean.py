@@ -82,3 +82,62 @@ def test_source_stats_matches_pandas(ray_session):
     assert (out["n_docs"].to_numpy() == exp["n_docs"].to_numpy()).all()
     assert (out["total_tokens"].to_numpy() == exp["total_tokens"].to_numpy()).all()
     assert np.allclose(out["avg_chars"], np.round(exp["avg_chars"], 6))
+
+
+def _contam_brute(texts, mod=20):
+    """Brute-force contamination: distinct word 3-grams (whole text if
+    1-2 tokens), held-out = doc_id % mod == 0."""
+    grams = {}
+    for i, t in enumerate(texts):
+        w = (t or "").split()
+        if not w:
+            g = set()
+        elif len(w) < 3:
+            g = {" ".join(w)}
+        else:
+            g = {" ".join(w[j : j + 3]) for j in range(len(w) - 2)}
+        grams[i] = g
+    test_vocab = set().union(*(grams[i] for i in grams if i % mod == 0))
+    out = {}
+    for i, g in grams.items():
+        if i % mod == 0:
+            continue
+        n = len(g & test_vocab)
+        if n:
+            out[i] = n
+    return out
+
+
+def test_contamination_check_both_paths(ray_session):
+    """Broadcast-membership and hash-join paths both equal brute force
+    (short docs, empty docs, null text, overlapping grams)."""
+    from pds_hw2_mpi_connected_components_ray.pipelines.clean import (
+        contamination_check,
+    )
+
+    texts = []
+    for i in range(60):
+        if i % 7 == 0:
+            texts.append("the quick brown fox jumps over the lazy dog")
+        elif i % 7 == 1:
+            texts.append("the quick brown cat sits still")
+        elif i % 7 == 2:
+            texts.append("two words")
+        elif i % 7 == 3:
+            texts.append("")
+        elif i % 7 == 4:
+            texts.append(None)
+        else:
+            texts.append(f"unique text of document number {i} nothing shared here")
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+        )
+    ).repartition(4)
+    want = _contam_brute(texts, mod=20)
+    for force in (False, True):
+        out = contamination_check(docs, test_mod=20, force_join=force).to_pandas()
+        got = dict(
+            zip(out["doc_id"].astype(int), out["n_shared"].astype(int))
+        )
+        assert got == want, (force, got, want)
