@@ -204,6 +204,9 @@ def bench_suite() -> dict:
         "random_walks",
         "pagerank_weighted",
         "ntile_deciles",
+        "multi_bfs_hops",
+        "tfidf_top_terms",
+        "contamination_check",
     ]:
         qtimes[name] = run(name)
     return qtimes
