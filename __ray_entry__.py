@@ -130,6 +130,118 @@ r{k} AS MATERIALIZED (
     return "".join(parts)
 
 
+def _ppr_sql(iters: int, seed_mod: int) -> str:
+    """Personalized PageRank unroll: teleport AND dangling mass land on
+    p = uniform over the planted seed set {v : v % seed_mod = 0}; r0 = p
+    (lockstep with pipelines.pagerank.personalized_pagerank). On the
+    symmetric canonical graph the dangling term is exactly 0 — kept so
+    the oracle mirrors the engine's formulation, not a simplification."""
+    parts = [
+        f"WITH {_EDGES_CTES},",
+        "deg AS MATERIALIZED (SELECT src AS v, count(*)::DOUBLE AS d FROM edges GROUP BY src),",
+        f"sc AS MATERIALIZED (SELECT count(*)::DOUBLE AS ns FROM verts WHERE v % {seed_mod} = 0),",
+        f"pv AS MATERIALIZED (SELECT v, (CASE WHEN v % {seed_mod} = 0 "
+        "THEN 1.0/sc.ns ELSE 0.0 END) AS p FROM verts, sc),",
+        "r0 AS MATERIALIZED (SELECT v, p AS r FROM pv)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+d{k} AS MATERIALIZED (SELECT coalesce(sum(r.r), 0.0) AS m
+         FROM r{k-1} r LEFT JOIN deg ON deg.v = r.v WHERE deg.v IS NULL),
+r{k} AS MATERIALIZED (
+  SELECT pv.v AS v,
+         (1 - 0.85) * pv.p + 0.85 * (coalesce(inc.s, 0.0) + d{k}.m * pv.p) AS r
+  FROM pv CROSS JOIN d{k}
+  LEFT JOIN (
+    SELECT e.dst AS v, sum(r.r / deg.d) AS s
+    FROM r{k-1} r JOIN deg ON deg.v = r.v JOIN edges e ON e.src = r.v
+    GROUP BY e.dst
+  ) inc ON inc.v = pv.v
+)"""
+        )
+    parts.append(f"\nSELECT v AS vertex, round(r, 6) AS pr FROM r{iters}")
+    return "".join(parts)
+
+
+def _hits_sql(iters: int) -> str:
+    """HITS unroll over the DIRECTED distinct edge set (no symmetrize —
+    that would force hub == authority). L1-normalized synchronous
+    updates, lockstep with pipelines.hits. `verts` covers all endpoints
+    (the symmetric closure's src set = src ∪ dst of raw)."""
+    parts = [
+        f"WITH {_EDGES_CTES},",
+        "dedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw),",
+        "h0 AS MATERIALIZED (SELECT v, 1.0 AS h FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+ar{k} AS MATERIALIZED (SELECT e.dst AS v, sum(h.h) AS s
+        FROM h{k-1} h JOIN dedges e ON e.src = h.v GROUP BY e.dst),
+an{k} AS MATERIALIZED (SELECT sum(s) AS t FROM ar{k}),
+a{k} AS MATERIALIZED (SELECT verts.v, coalesce(r.s, 0.0) / n.t AS a
+        FROM verts CROSS JOIN an{k} n LEFT JOIN ar{k} r ON r.v = verts.v),
+hr{k} AS MATERIALIZED (SELECT e.src AS v, sum(a.a) AS s
+        FROM a{k} a JOIN dedges e ON e.dst = a.v GROUP BY e.src),
+hn{k} AS MATERIALIZED (SELECT sum(s) AS t FROM hr{k}),
+h{k} AS MATERIALIZED (SELECT verts.v, coalesce(r.s, 0.0) / n.t AS h
+        FROM verts CROSS JOIN hn{k} n LEFT JOIN hr{k} r ON r.v = verts.v)"""
+        )
+    parts.append(
+        f"\nSELECT a.v AS vertex, round(a.a, 6) AS auth, round(h.h, 6) AS hub "
+        f"FROM a{iters} a JOIN h{iters} h ON h.v = a.v"
+    )
+    return "".join(parts)
+
+
+_ADAMIC_ADAR_SQL = f"""
+WITH {_EDGES_CTES},
+simp AS MATERIALIZED (SELECT src, dst FROM edges WHERE src <> dst),
+deg AS MATERIALIZED (SELECT src AS v, count(*)::DOUBLE AS d FROM simp GROUP BY src),
+w AS MATERIALIZED (SELECT v, 1.0 / ln(d) AS w FROM deg WHERE d >= 2),
+wedge AS (SELECT e1.dst AS b, e2.dst AS c, w.w AS w
+          FROM simp e1 JOIN simp e2 ON e2.src = e1.src
+          JOIN w ON w.v = e1.src WHERE e1.dst < e2.dst),
+sc AS MATERIALIZED (SELECT b, c, round(sum(w), 6) AS aa_score FROM wedge GROUP BY b, c),
+adj AS (SELECT src AS b, dst AS c FROM simp WHERE src < dst)
+SELECT sc.b, sc.c, sc.aa_score FROM sc
+LEFT JOIN adj ON adj.b = sc.b AND adj.c = sc.c
+WHERE adj.b IS NULL AND sc.aa_score > 0
+ORDER BY sc.aa_score DESC, sc.b, sc.c LIMIT 20
+"""
+
+
+# floor(x*1e6 + 0.5)/1e6 on BOTH sides: these fractions are rational,
+# so exact ties like 1/128 = 0.0078125 are reachable and np.round
+# (half-to-even) vs DuckDB round() (half-away) would diverge there.
+_REPETITION_SQL = """
+WITH L AS (SELECT doc_id, string_split(coalesce(text,''), chr(10)) AS ls FROM documents),
+lf AS (SELECT doc_id,
+       floor(((len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls)) * 1e6 + 0.5) / 1e6
+         AS dup_line_frac FROM L),
+toks AS (SELECT doc_id, regexp_extract_all(coalesce(text,''), '\\S+') AS w FROM documents),
+bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                                            i -> w[i] || ' ' || w[i+1])) AS g
+       FROM toks WHERE len(w) >= 2),
+bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+bm AS (SELECT doc_id, max(c)::DOUBLE AS mx, sum(c)::DOUBLE AS tot FROM bc GROUP BY doc_id)
+SELECT lf.doc_id, lf.dup_line_frac,
+       floor(coalesce(bm.mx / bm.tot, 0.0) * 1e6 + 0.5) / 1e6 AS top_bigram_frac
+FROM lf LEFT JOIN bm ON bm.doc_id = lf.doc_id
+"""
+
+
+_STRATIFIED_SQL = """
+WITH h AS (SELECT doc_id, source,
+           ('0x' || substr(md5(concat(7, ':', doc_id)), 1, 15))::BIGINT AS h
+           FROM documents),
+r AS (SELECT doc_id, source,
+      row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rnk FROM h)
+SELECT source, doc_id, rnk FROM r WHERE rnk <= 10
+"""
+
+
 def _kcore_sql(k: int, rounds: int = 8) -> str:
     """Unrolled k-core peel: N rounds of (degree filter -> induce).
     Extra rounds beyond convergence are no-ops, so the unrolled result
@@ -470,6 +582,55 @@ def _q_pagerank(sf_dir: str):
     res = pagerank(_canon_edges(sf_dir), max_iters=20, tol=None, mode="pinned")
     df = res.ranks.to_pandas()
     return pd.DataFrame({"vertex": df["vertex"], "pr": np.round(df["rank"].to_numpy(), 6)})
+
+
+def _q_pagerank_personalized(sf_dir: str, mode: str = "local"):
+    """Personalized PageRank (10 iters): teleport/dangling mass on the
+    planted seed set {v : v % 16 == 0}; local and pinned modes share
+    one kernel with classic PageRank (p = 1/n is the special case)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.pagerank import (
+        personalized_pagerank,
+    )
+
+    res = personalized_pagerank(
+        _canon_edges(sf_dir), seed_mod=16, max_iters=10, mode=mode
+    )
+
+    def round6(t):
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "vertex": t["vertex"],
+                "pr": np.round(t["rank"].to_numpy(zero_copy_only=False), 6),
+            }
+        )
+
+    return res.ranks.map_batches(round6, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_hits(sf_dir: str, mode: str = "local", iters: int = 8):
+    """HITS hubs/authorities over the DIRECTED distinct edge table
+    (symmetrizing would collapse hub == authority by construction)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.hits import hits
+    from pds_hw2_mpi_connected_components_ray.sources.edges import derive_raw_edges
+    from pds_hw2_mpi_connected_components_ray.stages.graph import dedup_edges
+
+    dedges = dedup_edges(derive_raw_edges(sf_dir))
+    return hits(dedges, iters=iters, mode=mode).scores
+
+
+def _q_adamic_adar(sf_dir: str):
+    """Adamic–Adar link prediction: top-20 non-adjacent pairs by
+    Σ 1/ln(deg(a)) over shared neighbors a (hub centers discounted)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.linkpred import (
+        adamic_adar_candidates,
+    )
+
+    return adamic_adar_candidates(_canon_edges(sf_dir), k=20)
 
 
 def _q_pagerank_top10(sf_dir: str):
@@ -1032,6 +1193,26 @@ def _q_top_bigrams(sf_dir: str):
     return top_bigrams(_docs(sf_dir), k=30)
 
 
+def _q_repetition_signals(sf_dir: str):
+    """Gopher-style repetition quality signals: duplicate-line fraction
+    + top-bigram mass per document, one shuffle-free vectorized pass."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import (
+        repetition_signals,
+    )
+
+    return repetition_signals(_docs(sf_dir))
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic 10-per-source stratified sample: seeded md5-int60
+    rank + the bucket-per-group window top-k."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.split import stratified_sample
+
+    return stratified_sample(_docs(sf_dir), key="source", n_per_group=10, seed=7)
+
+
 def _q_top_docs_per_source(sf_dir: str):
     """Per-key windowed rank (Ray Data has no window functions): top-3
     docs per source by (n_chars desc, doc_id) via the bucket-per-group
@@ -1220,6 +1401,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_histogram": _q_degree_histogram,
         "pagerank20": _q_pagerank,
         "pagerank_top10": _q_pagerank_top10,
+        "pagerank_personalized": _q_pagerank_personalized,
+        "pagerank_personalized_pinned": lambda sf: _q_pagerank_personalized(
+            sf, mode="pinned"
+        ),
+        "hits": _q_hits,
+        # shuffle mode at 3 iters: verifies the scale path's semantics
+        # while keeping the gate wall bounded (4 joins/iteration)
+        "hits_shuffle": lambda sf: _q_hits(sf, mode="shuffle", iters=3),
+        "adamic_adar": _q_adamic_adar,
         "labelprop4": _q_labelprop,
         "triangle_total": _q_triangle_total,
         "triangles_by_vertex": _q_triangles_by_vertex,
@@ -1278,6 +1468,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans,
         "top_bigrams": _q_top_bigrams,
         "top_docs_per_source": _q_top_docs_per_source,
+        "repetition_signals": _q_repetition_signals,
+        "stratified_sample": _q_stratified_sample,
     }
 
 
@@ -1344,6 +1536,13 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT vertex, pr FROM ({_pagerank_sql(20)}) "
             "ORDER BY pr DESC, vertex ASC LIMIT 10"
         ),
+        "pagerank_personalized": _ppr_sql(10, 16),
+        "pagerank_personalized_pinned": _ppr_sql(10, 16),
+        "hits": _hits_sql(8),
+        "hits_shuffle": _hits_sql(3),
+        "adamic_adar": _ADAMIC_ADAR_SQL,
+        "repetition_signals": _REPETITION_SQL,
+        "stratified_sample": _STRATIFIED_SQL,
         "labelprop4": _labelprop_sql(4),
         "triangle_total": (
             f"WITH {_TRI_CTES} SELECT count(*)::BIGINT AS n_triangles FROM tri"

@@ -207,6 +207,11 @@ def bench_suite() -> dict:
         "multi_bfs_hops",
         "tfidf_top_terms",
         "contamination_check",
+        "hits",
+        "pagerank_personalized_pinned",
+        "adamic_adar",
+        "repetition_signals",
+        "stratified_sample",
     ]:
         qtimes[name] = run(name)
     return qtimes

@@ -1,0 +1,219 @@
+"""HITS (hubs & authorities) over the DIRECTED link graph.
+
+PageRank ranks by stationary visit probability; HITS (Kleinberg's
+hyperlink-induced topic search) ranks pages twice — a page is a good
+*authority* if good hubs point at it, a good *hub* if it points at
+good authorities. On a web link graph the two scores separate index
+pages from content pages, which one symmetric-PageRank number cannot.
+This runs on the directed, exactly-deduped edge table (symmetrizing
+would collapse hub == authority by construction).
+
+Semantics (fixed across modes and the DuckDB oracle):
+
+    h_0(v)  = 1.0
+    a'_k(v) = sum_{u->v} h_{k-1}(u);   a_k = a'_k / sum(a'_k)
+    h'_k(u) = sum_{u->v} a_k(v);       h_k = h'_k / sum(h'_k)
+
+Synchronous, L1 normalization, fixed iteration count (the unrolled
+SQL oracle mirrors it 1:1). Output: (vertex, auth, hub) rounded to 6
+decimals — rounding keeps numpy/DuckDB float-sum ulp noise out of the
+hash comparison (same contract as the PageRank oracles).
+
+Two modes, the engine's standard adaptive split:
+
+- ``local`` (n <= broadcast_threshold): the driver holds the O(n)
+  score vector, each iteration broadcasts it once (``ray.put`` ref,
+  read per task) and streams the edge table through a per-batch
+  scatter-combiner (sort + ``np.add.reduceat``) — per-iteration
+  traffic is one O(n) broadcast plus dst/src-distinct partials, and
+  the edge table itself never moves.
+- ``shuffle``: scores live in a hash-partitioned Dataset; each
+  half-step is one hash join (edges x scores on the emitting side)
+  plus one groupby-sum on the receiving side — all-to-alls are
+  score/contribution-proportional, never O(n x workers). The
+  normalizer is a scalar ``.sum()``.
+
+No reference analogue (the reference is CC-only); north-rule
+link-graph extension alongside pipelines.pagerank.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from ..context import default_parallelism
+
+
+@dataclass
+class HitsResult:
+    scores: Dataset  # (vertex:int64, auth:float64, hub:float64)
+    iterations: int
+    mode: str
+
+
+def _collect_vertices(edges: Dataset) -> np.ndarray:
+    """Sorted distinct vertex ids over src+dst (directed-safe). Driver
+    holds O(n) — local-mode precondition, gated by broadcast_threshold."""
+    from .pagerank import _all_vertices
+
+    parts = [
+        b["vertex"].to_numpy(zero_copy_only=False)
+        for b in _all_vertices(edges).iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    return np.sort(np.concatenate(parts))
+
+
+class _EdgeScatter:
+    """Per-batch scatter-combiner: weight each edge by the broadcast
+    score of its `from_col` endpoint, partial-sum by `to_col`. Each
+    batch ships at most its distinct receivers, not its edge stream."""
+
+    def __init__(self, ref, from_col: str, to_col: str):
+        self._ref = ref
+        self._from = from_col
+        self._to = to_col
+        self._state = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._state is None:
+            self._state = ray.get(self._ref)
+        verts, w = self._state
+        f = batch[self._from].to_numpy(zero_copy_only=False)
+        t = batch[self._to].to_numpy(zero_copy_only=False)
+        contrib = w[np.searchsorted(verts, f)]
+        order = np.argsort(t, kind="stable")
+        tt = t[order]
+        c = contrib[order]
+        bounds = np.flatnonzero(np.r_[True, tt[1:] != tt[:-1]])
+        return pa.table({"vertex": tt[bounds], "s": np.add.reduceat(c, bounds)})
+
+
+def hits(
+    edges: Dataset,
+    *,
+    iters: int = 8,
+    mode: str = "auto",
+    broadcast_threshold: int = 2_000_000,
+    num_partitions: int | None = None,
+) -> HitsResult:
+    """(vertex, auth, hub) after `iters` synchronous HITS iterations
+    over a directed, deduped edge table."""
+    edges = edges.materialize()
+    if mode == "auto":
+        n = len(_collect_vertices(edges))
+        mode = "local" if n <= broadcast_threshold else "shuffle"
+    if mode == "local":
+        return _hits_local(edges, iters)
+    return _hits_shuffle(edges, iters, num_partitions)
+
+
+def _hits_local(edges: Dataset, iters: int) -> HitsResult:
+    verts = _collect_vertices(edges)
+    n = len(verts)
+    h = np.ones(n, dtype=np.float64)
+    a = np.zeros(n, dtype=np.float64)
+
+    def half_step(w: np.ndarray, from_col: str, to_col: str) -> np.ndarray:
+        ref = ray.put((verts, w))
+        out = np.zeros(n, dtype=np.float64)
+        partials = edges.map_batches(
+            _EdgeScatter(ref, from_col, to_col),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        for b in partials.iter_batches(batch_format="pyarrow", batch_size=None):
+            v = b["vertex"].to_numpy(zero_copy_only=False)
+            if len(v):
+                np.add.at(out, np.searchsorted(verts, v), b["s"].to_numpy(zero_copy_only=False))
+        tot = out.sum()
+        return out / tot if tot > 0 else out
+
+    for _ in range(iters):
+        a = half_step(h, "src", "dst")  # hubs endorse authorities
+        h = half_step(a, "dst", "src")  # authorities credit hubs
+
+    import ray.data as rd
+
+    scores = rd.from_arrow(
+        pa.table({"vertex": verts, "auth": np.round(a, 6), "hub": np.round(h, 6)})
+    )
+    return HitsResult(scores=scores, iterations=iters, mode="local")
+
+
+def _hits_shuffle(edges: Dataset, iters: int, num_partitions: int | None) -> HitsResult:
+    """Scores stay a hash-partitioned Dataset end to end; each half-step
+    is one keyed join + one groupby-sum (contribution-proportional)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+    from ..stages.joins import hash_join
+    from .pagerank import _all_vertices
+
+    npart = num_partitions or default_parallelism()
+    verts = _all_vertices(edges).materialize()
+
+    scores = verts.map_batches(
+        lambda t: pa.table(
+            {"vertex": t["vertex"], "h": np.ones(len(t), dtype=np.float64)}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    def half_step(scores: Dataset, col: str, from_col: str, to_col: str, out: str) -> Dataset:
+        emit = scores.map_batches(
+            lambda t: pa.table({from_col: t["vertex"], "w": t[col]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        joined = hash_join(edges, emit, on=(from_col,), num_partitions=npart)
+        sums = (
+            joined.map_batches(
+                lambda t: pa.table({"vertex": t[to_col], "s": t["w"]}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .groupby("vertex")
+            .aggregate(Sum("s", alias_name="s"))
+        ).materialize()
+        tot = sums.sum("s") or 0.0
+        merged = hash_join(
+            verts, sums, on=("vertex",), join_type="left_outer", num_partitions=npart
+        )
+        return merged.map_batches(
+            lambda t: pa.table(
+                {
+                    "vertex": t["vertex"],
+                    out: pc.divide(pc.coalesce(t["s"], 0.0), tot)
+                    if tot > 0
+                    else pc.coalesce(t["s"], 0.0),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+
+    auths = None
+    for _ in range(iters):
+        auths = half_step(scores, "h", "src", "dst", "a")
+        scores = half_step(auths, "a", "dst", "src", "h")
+
+    merged = hash_join(auths, scores, on=("vertex",), num_partitions=npart)
+    out = merged.map_batches(
+        lambda t: pa.table(
+            {
+                "vertex": t["vertex"],
+                "auth": np.round(t["a"].to_numpy(zero_copy_only=False), 6),
+                "hub": np.round(t["h"].to_numpy(zero_copy_only=False), 6),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return HitsResult(scores=out, iterations=iters, mode="shuffle")

@@ -78,7 +78,11 @@ def pagerank(
 
 
 def _pagerank_pinned(
-    edges: Dataset, damping: float, max_iters: int, tol: float | None
+    edges: Dataset,
+    damping: float,
+    max_iters: int,
+    tol: float | None,
+    seed_mod: int | None = None,
 ) -> PageRankResult:
     """DECENTRALIZED actor-pool power iteration over pinned dst-hash CSC
     shards: each shard owns the ranks of its vertex partition, peers
@@ -93,7 +97,15 @@ def _pagerank_pinned(
     try:
         n = init_vertex_ownership(actors)
         ns = len(actors)
-        ray.get([a.pr_start.remote(n) for a in actors])
+        if seed_mod is not None:
+            # each shard derives its own p slice from the modulus; only
+            # the global seed COUNT crosses the wire (two scalars/shard)
+            n_seeds = int(sum(ray.get([a.pr_seed_count.remote(seed_mod) for a in actors])))
+            if n_seeds == 0:
+                raise ValueError(f"no seeds: no vertex id divisible by {seed_mod}")
+            ray.get([a.pr_start_personalized.remote(n_seeds) for a in actors])
+        else:
+            ray.get([a.pr_start.remote(n) for a in actors])
         it = 0
         l1 = float("inf")
         for it in range(1, max_iters + 1):
@@ -134,7 +146,8 @@ def _pagerank_pinned(
         for a in actors:
             ray.kill(a)
 
-    return PageRankResult(ranks=ranks, iterations=it, mode="pinned", l1_delta=l1)
+    mode = "pinned" if seed_mod is None else "ppr-pinned"
+    return PageRankResult(ranks=ranks, iterations=it, mode=mode, l1_delta=l1)
 
 
 # ---------------------------------------------------------------- local
@@ -163,7 +176,11 @@ class _ContribProp:
 
 
 def _pagerank_local(
-    edges: Dataset, damping: float, max_iters: int, tol: float | None
+    edges: Dataset,
+    damping: float,
+    max_iters: int,
+    tol: float | None,
+    seed_mod: int | None = None,
 ) -> PageRankResult:
     # vertex set + out-degrees, collected once (n <= broadcast threshold)
     vparts = [
@@ -185,7 +202,18 @@ def _pagerank_local(
         v = b["vertex"].to_numpy(zero_copy_only=False)
         np.add.at(deg, np.searchsorted(verts, v), b["cnt"].to_numpy(zero_copy_only=False))
 
-    r = np.full(n, 1.0 / n)
+    # preference vector: uniform 1/n for classic PageRank, the seed
+    # distribution for personalized (r0 = p; teleport AND dangling mass
+    # both land on p — the standard PPR formulation)
+    if seed_mod is not None:
+        seed_mask = verts % seed_mod == 0
+        n_seeds = int(seed_mask.sum())
+        if n_seeds == 0:
+            raise ValueError(f"no seeds: no vertex id divisible by {seed_mod}")
+        p = seed_mask.astype(np.float64) / n_seeds
+    else:
+        p = np.full(n, 1.0 / n)
+    r = p.copy()
     dangling_mask = deg == 0
     it = 0
     l1 = float("inf")
@@ -206,7 +234,7 @@ def _pagerank_local(
                 b["contrib"].to_numpy(zero_copy_only=False),
             )
         dangling = float(r[dangling_mask].sum())
-        r_new = (1 - damping) / n + damping * (contrib + dangling / n)
+        r_new = (1 - damping) * p + damping * (contrib + dangling * p)
         l1 = float(np.abs(r_new - r).sum())
         r = r_new
         if tol is not None and l1 < tol:
@@ -214,8 +242,45 @@ def _pagerank_local(
 
     import ray.data as rd
 
+    mode = "local" if seed_mod is None else "ppr-local"
     ranks = rd.from_arrow(pa.table({"vertex": verts, "rank": r}))
-    return PageRankResult(ranks=ranks, iterations=it, mode="local", l1_delta=l1)
+    return PageRankResult(ranks=ranks, iterations=it, mode=mode, l1_delta=l1)
+
+
+def personalized_pagerank(
+    edges: Dataset,
+    *,
+    seed_mod: int,
+    damping: float = _DAMPING,
+    max_iters: int = 10,
+    tol: float | None = None,
+    mode: str = "local",
+    broadcast_threshold: int = 2_000_000,
+) -> PageRankResult:
+    """Personalized PageRank: teleport (and dangling mass) land on the
+    planted seed set {v : v % seed_mod == 0} instead of uniformly —
+    the standard seeded-relevance ranking for link graphs ("rank pages
+    near these trusted roots").
+
+        r_0      = p
+        r_{k+1}  = (1-d)·p + d·(Σ_{u→v} r_k(u)/deg(u) + D_k·p(v))
+        p(v)     = 1/|S| for seeds, else 0
+
+    Classic PageRank is the p = 1/n special case — both share one
+    iteration kernel, so every scale property of `pagerank` (broadcast
+    ref per iteration, per-batch scatter combiner, edge table never
+    moves; or the decentralized pinned pool) carries over verbatim.
+    The seed set is defined by a modulus rather than an explicit list
+    so each pinned shard derives its own p slice locally — only the
+    global seed COUNT crosses the wire, never a seed vector.
+    """
+    edges = edges.materialize()
+    if mode == "auto":
+        n = _all_vertices(edges).count()
+        mode = "local" if n <= broadcast_threshold else "pinned"
+    if mode == "pinned":
+        return _pagerank_pinned(edges, damping, max_iters, tol, seed_mod=seed_mod)
+    return _pagerank_local(edges, damping, max_iters, tol, seed_mod=seed_mod)
 
 
 # -------------------------------------------------------------- shuffle

@@ -144,3 +144,44 @@ def group_safe_split(
         return _assign(ids, keys, seed, b1, b2)
 
     return with_key.map_batches(assign, batch_format="pandas")
+
+
+def stratified_sample(
+    docs: Dataset,
+    *,
+    key: str = "source",
+    n_per_group: int = 40,
+    seed: int = 7,
+    id_col: str = "doc_id",
+) -> Dataset:
+    """(key, doc_id, rnk): a deterministic n-per-stratum sample — the
+    corpus-curation "cap every domain at N docs" operator. Each group's
+    sample is the first `n_per_group` rows under (md5-int60(seed:id),
+    id): a seeded uniform draw that is reproducible across runs,
+    repartitioning, and cluster sizes, and mirrored bit-exactly by the
+    SQL oracle (same md5-hex[0:15] integerization as dataset_split).
+
+    Plan: per-batch hash column (embarrassingly parallel) + the
+    bucket-per-group window top-k — ONE keyed all-to-all whose fan-in
+    scales with the cluster, never with the number of strata."""
+    from .window import top_k_per_group
+
+    def add_h(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                key: batch[key].astype(str),
+                "h": _split_hash(ids, seed),
+            }
+        )
+
+    hds = docs.select_columns([id_col, key]).map_batches(add_h, batch_format="pandas")
+    out = top_k_per_group(
+        hds,
+        key=key,
+        order_cols=["h", id_col],
+        k=n_per_group,
+        cols=[key, id_col, "h"],
+    )
+    return out.drop_columns(["h"])

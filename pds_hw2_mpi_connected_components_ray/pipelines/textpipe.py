@@ -265,6 +265,94 @@ def tfidf_top_terms(docs: Dataset, k: int = 3) -> Dataset:
     )
 
 
+def repetition_signals(docs: Dataset) -> Dataset:
+    """(doc_id, dup_line_frac, top_bigram_frac): Gopher-style repetition
+    quality signals — boilerplate/spam pages repeat themselves, and the
+    two cheapest detectors are the fraction of repeated lines and the
+    mass of the single most frequent word bigram.
+
+        dup_line_frac   = (lines - distinct_lines) / lines
+                          (lines = '\\n' split, so every doc has >= 1)
+        top_bigram_frac = max bigram count / total bigrams
+                          (0.0 for docs with < 2 tokens)
+
+    One pass, embarrassingly parallel: every Ray row IS a whole
+    document, so both signals are exact per batch — no shuffle at all.
+    Inside the batch everything is one flat exploded stream (row-id
+    repeat + boundary mask, the top_bigrams shape) fed to vectorized
+    pandas groupbys — no per-row python loop.
+
+    Rounding: fractions here are RATIONAL, so exact decimal ties like
+    1/128 = 0.0078125 are reachable — np.round (half-to-even) and
+    DuckDB round() (half-away) would disagree on them. Both sides
+    therefore round as floor(x*1e6 + 0.5)/1e6 (identical IEEE ops,
+    identical result); tfidf's plain round-6 contract is safe only
+    because ln() makes its scores irrational."""
+
+    def _round6(x: np.ndarray) -> np.ndarray:
+        return np.floor(x * 1e6 + 0.5) / 1e6
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        text = batch["text"].fillna("")
+        nrows = len(batch)
+
+        # --- duplicate-line fraction ---------------------------------
+        lines = text.str.split("\n")
+        nl = lines.str.len().to_numpy(dtype=np.int64)  # >= 1 always
+        lrows = np.repeat(np.arange(nrows), nl)
+        lflat = np.concatenate(
+            [np.asarray(x, dtype=object) for x in lines.to_numpy()]
+        )
+        dist = (
+            pd.DataFrame({"r": lrows, "l": lflat})
+            .drop_duplicates()
+            .groupby("r", sort=False)
+            .size()
+        )
+        ndist = np.zeros(nrows, dtype=np.int64)
+        ndist[dist.index.to_numpy()] = dist.to_numpy()
+        dup_line = _round6((nl - ndist) / nl)
+
+        # --- top-bigram fraction -------------------------------------
+        toks = text.str.split()
+        tl = toks.str.len().to_numpy(dtype=np.int64)
+        tot = np.maximum(tl - 1, 0).astype(np.float64)
+        mx = np.zeros(nrows, dtype=np.float64)
+        if tl.sum() >= 2:
+            tflat = np.concatenate(
+                [np.asarray(x, dtype=object) for x in toks.to_numpy() if len(x)]
+            ).astype(str)
+            trows = np.repeat(np.arange(nrows), tl)
+            same = trows[1:] == trows[:-1]  # mask cross-document pairs
+            if same.any():
+                big = np.char.add(np.char.add(tflat[:-1], " "), tflat[1:])[same]
+                brows = trows[:-1][same]
+                per = (
+                    pd.DataFrame({"r": brows, "g": big})
+                    .groupby(["r", "g"], sort=False)
+                    .size()
+                    .groupby(level=0)
+                    .max()
+                )
+                mx[per.index.to_numpy()] = per.to_numpy(dtype=np.float64)
+        top_bigram = _round6(
+            np.divide(mx, tot, out=np.zeros_like(mx), where=tot > 0)
+        )
+
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "dup_line_frac": dup_line,
+                "top_bigram_frac": top_bigram,
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
 def doc_fingerprints(docs: Dataset) -> Dataset:
     """(doc_id, fp) stable 63-bit content fingerprint per document."""
 

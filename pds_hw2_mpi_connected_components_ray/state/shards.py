@@ -969,7 +969,21 @@ class GraphShardActor:
 
     def pr_start(self, n_global: int) -> None:
         self.pr_n = n_global
+        self.pr_p = None  # uniform preference (classic PageRank)
         self.pr_r = np.full(len(self.vx_own), 1.0 / n_global, dtype=np.float64)
+
+    def pr_seed_count(self, seed_mod: int) -> int:
+        """Personalized-PageRank seed discovery: cache my owned seed
+        mask, return its size (the driver sums one scalar per shard —
+        no seed vector ever crosses the wire)."""
+        self._pr_seed_mask = self.vx_own % seed_mod == 0
+        return int(self._pr_seed_mask.sum())
+
+    def pr_start_personalized(self, n_seeds_global: int) -> None:
+        """r0 = p, p = seed_mask/|S|; teleport and dangling mass both
+        land on p (see pipelines.pagerank.personalized_pagerank)."""
+        self.pr_p = self._pr_seed_mask.astype(np.float64) / n_seeds_global
+        self.pr_r = self.pr_p.copy()
 
     def pr_emit(self):
         """(own vertices, rank/outdeg weights) -- pulled by peers."""
@@ -1007,8 +1021,12 @@ class GraphShardActor:
             per_edge = wmap[self.src_local]
             sums = np.add.reduceat(per_edge, self.offsets[:-1])
             contrib[self.vx_dst_pos] += sums
-        n = self.pr_n
-        r_new = (1 - damping) / n + damping * (contrib + dangling_total / n)
+        # preference term: uniform 1/n (classic) or the seed slice (PPR)
+        if self.pr_p is None:
+            p = 1.0 / self.pr_n
+        else:
+            p = self.pr_p
+        r_new = (1 - damping) * p + damping * (contrib + dangling_total * p)
         l1 = float(np.abs(r_new - self.pr_r).sum())
         self.pr_r = r_new
         return l1
