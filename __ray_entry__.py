@@ -708,6 +708,41 @@ def _q_bfs_hops_pinned(sf_dir: str):
     return bfs_hops(_canon_edges(sf_dir), mode="pinned")
 
 
+def _q_harmonic_centrality(sf_dir: str):
+    """Landmark harmonic centrality: Σ 1/hops over the 4 smallest-id
+    landmarks' BFS waves (one pinned relaxation loop) + groupby-sum."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.bfs import (
+        landmark_harmonic_centrality,
+    )
+
+    return landmark_harmonic_centrality(_canon_edges(sf_dir), k=4)
+
+
+def _q_diameter(sf_dir: str):
+    """Double-sweep diameter lower bound: two pinned BFS runs over one
+    shared shard pool (load once, solve twice)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.bfs import (
+        double_sweep_diameter,
+    )
+
+    return double_sweep_diameter(_canon_edges(sf_dir))
+
+
+def _q_reciprocity(sf_dir: str):
+    """Link reciprocity of the DIRECTED distinct edge table (the
+    symmetric table would be 1.0 by construction)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.sources.edges import derive_raw_edges
+    from pds_hw2_mpi_connected_components_ray.stages.graph import (
+        dedup_edges,
+        reciprocity,
+    )
+
+    return reciprocity(dedup_edges(derive_raw_edges(sf_dir)))
+
+
 def _q_assortativity(sf_dir: str):
     _configure()
     from pds_hw2_mpi_connected_components_ray.stages.graph import degree_assortativity
@@ -1193,6 +1228,28 @@ def _q_top_bigrams(sf_dir: str):
     return top_bigrams(_docs(sf_dir), k=30)
 
 
+def _q_duplicate_ngram_stats(sf_dir: str):
+    """Per-doc repeated-span stats: fraction of distinct word 3-grams
+    shared with at least one other document (gram-keyed groupby+join)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.clean import (
+        duplicate_ngram_stats,
+    )
+
+    return duplicate_ngram_stats(_docs(sf_dir))
+
+
+def _q_length_percentile_filter(sf_dir: str):
+    """Corpus-relative length gate: docs at/above the exact 25th
+    percentile of n_chars (distributed histogram quantile + filter)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.clean import (
+        length_percentile_filter,
+    )
+
+    return length_percentile_filter(_docs(sf_dir), q=0.25)
+
+
 def _q_repetition_signals(sf_dir: str):
     """Gopher-style repetition quality signals: duplicate-line fraction
     + top-bigram mass per document, one shuffle-free vectorized pass."""
@@ -1419,6 +1476,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_hops": _q_bfs_hops,
         "bfs_hops_pinned": _q_bfs_hops_pinned,
         "multi_bfs_hops": _q_multi_bfs_hops,
+        "harmonic_centrality": _q_harmonic_centrality,
+        "diameter_lb": _q_diameter,
+        "reciprocity": _q_reciprocity,
         # extraction front-end
         "extract_text_roundtrip": _q_extract_text,
         "extract_links_planted": _q_extract_links,
@@ -1470,6 +1530,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_source": _q_top_docs_per_source,
         "repetition_signals": _q_repetition_signals,
         "stratified_sample": _q_stratified_sample,
+        "duplicate_ngram_stats": _q_duplicate_ngram_stats,
+        "length_percentile_filter": _q_length_percentile_filter,
     }
 
 
@@ -1582,6 +1644,60 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE w.h < 64) "
             "SELECT source, v AS vertex, min(h)::BIGINT AS hops "
             "FROM walk GROUP BY source, v"
+        ),
+        "harmonic_centrality": (
+            f"WITH RECURSIVE {_EDGES_CTES}, "
+            "seeds AS MATERIALIZED (SELECT v AS s FROM verts ORDER BY v LIMIT 4), "
+            "walk AS (SELECT s AS source, s AS v, 0 AS h FROM seeds "
+            "  UNION "
+            "  SELECT w.source, e.dst AS v, w.h + 1 AS h "
+            "  FROM walk w JOIN edges e ON e.src = w.v "
+            "  WHERE w.h < 64), "
+            "mh AS (SELECT source, v, min(h) AS h FROM walk GROUP BY source, v) "
+            "SELECT v AS vertex, round(sum(1.0 / h), 6) AS harmonic "
+            "FROM mh WHERE h > 0 GROUP BY v"
+        ),
+        "diameter_lb": (
+            f"WITH RECURSIVE {_EDGES_CTES}, "
+            "s1 AS (SELECT min(v) AS sv FROM verts), "
+            "w1 AS (SELECT sv AS v, 0 AS h FROM s1 "
+            "  UNION SELECT e.dst, w.h + 1 FROM w1 w JOIN edges e ON e.src = w.v "
+            "  WHERE w.h < 64), "
+            "h1 AS (SELECT v, min(h) AS h FROM w1 GROUP BY v), "
+            "far AS (SELECT v AS fv FROM h1 ORDER BY h DESC, v ASC LIMIT 1), "
+            "w2 AS (SELECT fv AS v, 0 AS h FROM far "
+            "  UNION SELECT e.dst, w.h + 1 FROM w2 w JOIN edges e ON e.src = w.v "
+            "  WHERE w.h < 64) "
+            "SELECT max(mh)::BIGINT AS diameter_lb "
+            "FROM (SELECT v, min(h) AS mh FROM w2 GROUP BY v)"
+        ),
+        "reciprocity": (
+            f"WITH {_EDGES_CTES}, "
+            "dedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw WHERE src <> dst), "
+            "m AS (SELECT count(*)::DOUBLE AS c FROM dedges a "
+            "  JOIN dedges b ON b.src = a.dst AND b.dst = a.src WHERE a.src < a.dst), "
+            "t AS (SELECT count(*)::DOUBLE AS c FROM dedges) "
+            "SELECT floor((2.0 * m.c / t.c) * 1e6 + 0.5) / 1e6 AS reciprocity FROM m, t"
+        ),
+        "duplicate_ngram_stats": """
+WITH toks AS (SELECT doc_id, regexp_extract_all(coalesce(text,''), '\\S+') AS w FROM documents),
+gr AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         ELSE list_transform(range(1, len(w) - 1),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END)) AS g
+  FROM toks WHERE len(w) > 0),
+gc AS MATERIALIZED (SELECT g, count(*) AS nd FROM gr GROUP BY g),
+per AS (SELECT gr.doc_id, count(*) AS n_grams,
+        sum(CASE WHEN gc.nd >= 2 THEN 1 ELSE 0 END) AS shared_grams
+        FROM gr JOIN gc USING (g) GROUP BY gr.doc_id)
+SELECT doc_id, n_grams::BIGINT AS n_grams, shared_grams::BIGINT AS shared_grams,
+       floor((shared_grams::DOUBLE / n_grams) * 1e6 + 0.5) / 1e6 AS dup_gram_frac
+FROM per
+""",
+        "length_percentile_filter": (
+            "WITH t AS (SELECT quantile_disc(n_chars, 0.25) AS th FROM documents) "
+            "SELECT doc_id, n_chars FROM documents, t WHERE n_chars >= t.th"
         ),
         "degree_assortativity": (
             f"WITH {_EDGES_CTES}, "

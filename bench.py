@@ -212,6 +212,11 @@ def bench_suite() -> dict:
         "adamic_adar",
         "repetition_signals",
         "stratified_sample",
+        "harmonic_centrality",
+        "diameter_lb",
+        "reciprocity",
+        "duplicate_ngram_stats",
+        "length_percentile_filter",
     ]:
         qtimes[name] = run(name)
     return qtimes

@@ -207,3 +207,163 @@ def source_stats(docs: Dataset) -> Dataset:
         return df
 
     return agg.map_batches(round6, batch_format="pandas")
+
+
+def duplicate_ngram_stats(docs: Dataset, *, force_join: bool = False) -> Dataset:
+    """(doc_id, n_grams, shared_grams, dup_gram_frac): per-document
+    repeated-span statistics — the fraction of a document's DISTINCT
+    word 3-grams that appear in at least one OTHER document (the
+    gram-level "how much of this page is boilerplate shared across the
+    corpus" signal behind span-level training-data dedup, Lee et al.).
+
+    Gram semantics are `_doc_grams` — identical to contamination_check
+    and the ngram-dedup oracle (whitespace tokens, 1-2-token docs
+    contribute their whole text, empty docs contribute nothing; docs
+    with no grams are absent from the output).
+
+    Plan — the contamination_check adaptive shape:
+      1. distinct (doc, gram) rows — exact per batch because row==doc;
+      2. gram-keyed groupby count, filtered to SHARED grams (nd >= 2);
+      3. membership attach: below the broadcast threshold the shared
+         vocabulary ships once via ray.put and every batch does a
+         vectorized sorted-array membership test (NO corpus-scale
+         string shuffle, and because row==doc the whole per-doc stat
+         falls out of one pass with no doc-keyed groupby either);
+         above it, a gram-keyed hash join + doc-keyed groupby-sum.
+      4. frac rounds half-up (rational ratio, same tie contract as
+         repetition_signals)."""
+    import ray
+
+    from ray.data.aggregate import Sum
+    from ..stages.joins import hash_join
+
+    base = docs.select_columns(["doc_id", "text"])
+    grams = base.map_batches(_doc_grams, batch_format="pandas")
+    # shared vocabulary via the bucket-per-group pattern: hash grams
+    # into ~parallelism buckets (ONE keyed all-to-all on a small int
+    # key), value_counts + nd>=2 filter inside each bucket — a direct
+    # groupby("g") pays Ray's string-sort aggregate (measured 13s for
+    # 26k gram rows vs ~1s bucketed)
+    from .events import _bucket_by_key
+
+    def bucket_shared(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["g"].value_counts()
+        return pd.DataFrame({"g": vc.index[vc.to_numpy() >= 2].astype(str)})
+
+    shared_g = (
+        _bucket_by_key(grams, "g", ["g"])
+        .groupby("_kb")
+        .map_groups(bucket_shared, batch_format="pandas")
+        .materialize()
+    )
+
+    def _finalize_frame(ids, tot, sh) -> pd.DataFrame:
+        frac = np.floor((sh / np.maximum(tot, 1)) * 1e6 + 0.5) / 1e6
+        return pd.DataFrame(
+            {
+                "doc_id": ids.astype(np.int64),
+                "n_grams": tot.astype(np.int64),
+                "shared_grams": sh.astype(np.int64),
+                "dup_gram_frac": frac,
+            }
+        )
+
+    if shared_g.count() <= _BROADCAST_TEST_GRAMS and not force_join:
+        vocab = np.sort(
+            np.concatenate(
+                [
+                    b["g"].to_numpy(zero_copy_only=False).astype(str)
+                    for b in shared_g.iter_batches(
+                        batch_format="pyarrow", batch_size=None
+                    )
+                ]
+                or [np.array([], dtype=str)]
+            )
+        )
+        ref = ray.put(vocab)
+
+        def stats(df: pd.DataFrame) -> pd.DataFrame:
+            v = ray.get(ref)
+            e = _doc_grams(df)
+            if len(e) == 0:
+                return _finalize_frame(*(np.array([], dtype=np.int64),) * 3)
+            ids = e["doc_id"].to_numpy(dtype=np.int64)
+            g = e["g"].to_numpy(dtype=str)
+            if len(v):
+                pos = np.minimum(np.searchsorted(v, g), len(v) - 1)
+                hit = (v[pos] == g).astype(np.int64)
+            else:
+                hit = np.zeros(len(g), dtype=np.int64)
+            # rows are (doc, gram) sorted by doc construction order --
+            # run-boundary reduceat, no pandas groupby needed
+            order = np.argsort(ids, kind="stable")
+            ids_s, hit_s = ids[order], hit[order]
+            bounds = np.flatnonzero(np.r_[True, ids_s[1:] != ids_s[:-1]])
+            tot = np.diff(np.r_[bounds, len(ids_s)])
+            sh = np.add.reduceat(hit_s, bounds)
+            return _finalize_frame(ids_s[bounds], tot, sh)
+
+        return base.map_batches(stats, batch_format="pandas")
+
+    # scale fallback: gram-keyed join + doc-keyed groupby-sum
+    tagged = shared_g.map_batches(
+        lambda df: df.assign(_sh=np.int64(1)), batch_format="pandas"
+    )
+    attached = hash_join(grams, tagged, on=("g",), join_type="left_outer")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        sh = df["_sh"].fillna(0).to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids_s, sh_s = ids[order], sh[order]
+        bounds = np.flatnonzero(np.r_[True, ids_s[1:] != ids_s[:-1]])
+        return pd.DataFrame(
+            {
+                "doc_id": ids_s[bounds],
+                "n_grams": np.diff(np.r_[bounds, len(ids_s)]).astype(np.int64),
+                "shared_grams": np.add.reduceat(sh_s, bounds).astype(np.int64),
+            }
+        )
+
+    per = (
+        attached.map_batches(partial, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_grams", alias_name="n_grams"),
+            Sum("shared_grams", alias_name="shared_grams"),
+        )
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return _finalize_frame(
+            df["doc_id"].to_numpy(dtype=np.int64),
+            df["n_grams"].to_numpy(dtype=np.int64),
+            df["shared_grams"].to_numpy(dtype=np.int64),
+        )
+
+    return per.map_batches(finalize, batch_format="pandas")
+
+
+def length_percentile_filter(docs: Dataset, *, q: float = 0.25) -> Dataset:
+    """(doc_id, n_chars) of documents at or above the corpus's exact
+    q-quantile of n_chars — percentile-based gating, the corpus-level
+    complement to doc_quality's absolute thresholds ("drop the
+    shortest quarter" instead of "drop under 100 chars").
+
+    The threshold comes from the distributed exact-histogram quantile
+    (ordering.length_quantiles, quantile_disc semantics): one bounded
+    groupby over the value vocabulary, a scalar to the driver, then a
+    streaming vectorized filter — the corpus itself is never collected."""
+    from .ordering import length_quantiles
+
+    th = int(length_quantiles(docs, qs=(q,), col="n_chars")["value"].iloc[0])
+
+    def keep(t):
+        import pyarrow as pa
+
+        n = t["n_chars"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(n >= th))
+
+    return docs.select_columns(["doc_id", "n_chars"]).map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -226,3 +226,66 @@ def drop_self_loops(edges: Dataset) -> Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def reciprocity(directed_edges: Dataset) -> Dataset:
+    """Single row (reciprocity): the fraction of non-loop DIRECTED
+    edges whose reverse edge also exists — the classic web-graph
+    link-symmetry statistic (symmetrizing first would make it 1.0 by
+    construction, so this runs on the distinct directed table).
+
+    Plan: one unordered-pair keyed groupby. Each edge emits
+    (lo, hi, f, b) with f/b marking its direction; per-pair sums land
+    in {0, 1} (input is exactly deduped), so a pair is mutual iff both
+    sums are positive. The per-batch tail emits two scalars per block
+    (mutual-pair count, edge count) — driver reduces a handful of
+    rows, never the edge table. Rounds half-up via floor(x*1e6 + 0.5)
+    (the repetition_signals contract: the ratio is rational, so exact
+    decimal ties are reachable and np.round half-to-even would diverge
+    from the SQL oracle).
+    """
+    from ray.data.aggregate import Sum
+
+    def tag(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        fwd = (s < d).astype(np.int64)
+        return pa.table(
+            {
+                "lo": np.minimum(s, d),
+                "hi": np.maximum(s, d),
+                "f": fwd,
+                "b": 1 - fwd,
+            }
+        )
+
+    pairs = (
+        directed_edges.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lo", "hi"])
+        .aggregate(Sum("f", alias_name="f"), Sum("b", alias_name="b"))
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = t["f"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        both = int(((f > 0) & (b > 0)).sum())
+        return pa.table(
+            {
+                "mutual": pa.array([both], pa.int64()),
+                "total": pa.array([int(f.sum() + b.sum())], pa.int64()),
+            }
+        )
+
+    parts = pairs.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # one row per block — scalar-sized by construction
+    mutual = int(parts["mutual"].sum())
+    total = int(parts["total"].sum())
+    r = 2.0 * mutual / total if total else 0.0
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table({"reciprocity": pa.array([np.floor(r * 1e6 + 0.5) / 1e6])})
+    )
