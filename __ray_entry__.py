@@ -708,6 +708,16 @@ def _q_bfs_hops_pinned(sf_dir: str):
     return bfs_hops(_canon_edges(sf_dir), mode="pinned")
 
 
+def _q_sssp(sf_dir: str):
+    """Weighted SSSP from the min vertex: (min,+w) relaxation over the
+    pinned pool; planted weights (src+dst)%5+1 (pagerank_weighted's
+    convention), mirrored by a cumulative-cost recursive oracle."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.bfs import sssp_dist_pinned
+
+    return sssp_dist_pinned(_canon_edges(sf_dir))
+
+
 def _q_harmonic_centrality(sf_dir: str):
     """Landmark harmonic centrality: Σ 1/hops over the 4 smallest-id
     landmarks' BFS waves (one pinned relaxation loop) + groupby-sum."""
@@ -1476,6 +1486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_hops": _q_bfs_hops,
         "bfs_hops_pinned": _q_bfs_hops_pinned,
         "multi_bfs_hops": _q_multi_bfs_hops,
+        "sssp_weighted": _q_sssp,
         "harmonic_centrality": _q_harmonic_centrality,
         "diameter_lb": _q_diameter,
         "reciprocity": _q_reciprocity,
@@ -1644,6 +1655,17 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE w.h < 64) "
             "SELECT source, v AS vertex, min(h)::BIGINT AS hops "
             "FROM walk GROUP BY source, v"
+        ),
+        "sssp_weighted": (
+            f"WITH RECURSIVE {_EDGES_CTES}, "
+            "we AS MATERIALIZED (SELECT src, dst, ((src + dst) % 5 + 1)::BIGINT AS w "
+            "  FROM edges), "
+            "s AS (SELECT min(v) AS sv FROM verts), "
+            "walk AS (SELECT sv AS v, 0::BIGINT AS d FROM s "
+            "  UNION "
+            "  SELECT e.dst AS v, w.d + e.w AS d FROM walk w JOIN we e ON e.src = w.v "
+            "  WHERE w.d + e.w < 320) "
+            "SELECT v AS vertex, min(d)::BIGINT AS dist FROM walk GROUP BY v"
         ),
         "harmonic_centrality": (
             f"WITH RECURSIVE {_EDGES_CTES}, "

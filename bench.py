@@ -217,6 +217,7 @@ def bench_suite() -> dict:
         "reciprocity",
         "duplicate_ngram_stats",
         "length_percentile_filter",
+        "sssp_weighted",
     ]:
         qtimes[name] = run(name)
     return qtimes

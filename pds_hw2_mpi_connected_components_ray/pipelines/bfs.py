@@ -360,3 +360,92 @@ def double_sweep_diameter(
         for a in acts:
             ray.kill(a)
     return rd.from_arrow(pa.table({"diameter_lb": pa.array([d], pa.int64())}))
+
+
+def sssp_dist_pinned(
+    edges: Dataset | None = None,
+    source: int | None = None,
+    *,
+    weight_mod: int = 5,
+    weight_add: int = 1,
+    max_rounds: int = 4096,
+    nshards: int | None = None,
+    actors: list | None = None,
+) -> Dataset:
+    """(vertex, dist) weighted single-source shortest paths via the
+    decentralized (min, +w) relaxation over the pinned shard pool —
+    the third semiring on the same frontier machinery (CC = hash-min,
+    BFS = min/+1, SSSP = min/+w). Edge weights are positive ints
+    derived per shard from the endpoint ids ((src+dst) % weight_mod +
+    weight_add, the engine's planted-weight convention shared with
+    pagerank_weighted), so no weight column crosses the wire; carrying
+    a real weight column instead means threading it through the shard
+    load permutation — an extension, not a redesign.
+
+    Unlike unit BFS a vertex can re-enter the frontier (a cheaper
+    longer path can settle after an expensive direct one), so rounds
+    run to quiescence — Bellman-Ford style, bounded by the max hop
+    count of any shortest path. Exchange per round stays frontier-
+    proportional via the subscriber-filtered push."""
+    import ray.data as rd
+
+    from ..state.shards import build_shard_pool
+
+    own_pool = actors is None
+    if own_pool:
+        ncpus = int(ray.cluster_resources().get("CPU", 8))
+        acts = build_shard_pool(edges, nshards or max(2, ncpus))
+    else:
+        acts = actors
+    try:
+        if source is None:
+            mins = [m for m in ray.get([a.min_owned_vertex.remote() for a in acts]) if m is not None]
+            if not mins:
+                return rd.from_arrow(
+                    pa.table(
+                        {"vertex": pa.array([], pa.int64()), "dist": pa.array([], pa.int64())}
+                    )
+                )
+            source = min(mins)
+        ns = len(acts)
+        inits = ray.get(
+            [
+                a.sssp_init.remote(i, ns, int(source), weight_mod, weight_add)
+                for i, a in enumerate(acts)
+            ]
+        )
+        if sum(o for o, _r in inits) == 0:
+            raise ValueError(
+                f"source vertex {source} not in the graph (pinned SSSP "
+                "requires symmetrized edges: every vertex appears as a dst)"
+            )
+        if not all(r for _o, r in inits):
+            from ..state.shards import establish_subscriptions
+
+            establish_subscriptions(acts)
+        rounds = 0
+        while rounds < max_rounds:
+            if ns > 1:
+                fs = [
+                    a.bfs_frontier_slices.options(num_returns=ns).remote()
+                    for a in acts
+                ]
+                counts = ray.get(
+                    [
+                        acts[s].sssp_relax.remote([fs[p][s] for p in range(ns)])
+                        for s in range(ns)
+                    ]
+                )
+            else:
+                fs0 = [a.bfs_frontier_slices.remote() for a in acts]
+                counts = ray.get([acts[0].sssp_relax.remote(fs0)])
+            rounds += 1
+            if sum(counts) == 0:
+                break
+        refs = [a.sssp_table.remote() for a in acts]
+        ray.wait(refs, num_returns=len(refs), fetch_local=False)
+        return rd.from_arrow_refs(refs)
+    finally:
+        if own_pool:
+            for a in acts:
+                ray.kill(a)

@@ -378,6 +378,70 @@ class GraphShardActor:
             }
         )
 
+    # ------------------------------------------- decentralized SSSP
+    # The (min, +w) generalization of the BFS loop: positive integer
+    # edge weights derived per shard from the endpoint ids ((src + dst)
+    # % wmod + wadd -- the engine's planted-weight convention, same as
+    # pagerank_weighted), so no weight column crosses the wire. Unlike
+    # unit BFS a vertex can re-enter the frontier (a cheaper multi-hop
+    # path can arrive after a direct expensive one); the push/ingest
+    # machinery is the BFS one (state shares its attribute names),
+    # monotone under min so always safe.
+
+    def sssp_init(
+        self, sid: int, nshards: int, source: int, wmod: int = 5, wadd: int = 1
+    ) -> tuple:
+        out = self.bfs_init(sid, nshards, source)
+        if len(self.usrc):
+            src_ids = self.usrc[self.src_local]
+            dst_ids = np.repeat(self.udst, np.diff(self.offsets))
+            self.sssp_w = (src_ids + dst_ids) % wmod + wadd
+        else:
+            self.sssp_w = np.array([], dtype=np.int64)
+        return out
+
+    def sssp_relax(self, frontier_refs: list) -> int:
+        """dist[dst] <- min(dist[dst], frontier_dist[src] + w(src,dst));
+        same wire shape as bfs_relax."""
+        e = np.array([], dtype=np.int64)
+        self.bfs_fr_v, self.bfs_fr_d = e, e
+        self.bfs_fr_mask = np.zeros(len(self.udst), dtype=bool)
+        if len(self.udst) == 0 or len(self.usrc) == 0:
+            return 0
+        dmap = np.full(len(self.usrc), _I64MAX, dtype=np.int64)
+        any_seen = False
+        for o, r in enumerate(frontier_refs):
+            idx, fd = ray.get(r)
+            if len(idx) == 0:
+                continue
+            any_seen = True
+            dmap[self.req_pos[o][idx]] = fd
+        if not any_seen:
+            return 0
+        per_edge = dmap[self.src_local]
+        # the +w lane wraps for unreached srcs (I64MAX + w); the where
+        # mask discards those lanes before they can win a min
+        with np.errstate(over="ignore"):
+            pe = np.where(per_edge == _I64MAX, _I64MAX, per_edge + self.sssp_w)
+        mins = np.minimum.reduceat(pe, self.offsets[:-1])
+        imp = mins < self.bfs_dist
+        if imp.any():
+            self.bfs_dist[imp] = mins[imp]
+            self.bfs_fr_mask = imp
+            self.bfs_fr_v = self.udst[imp]
+            self.bfs_fr_d = mins[imp]
+        return int(imp.sum())
+
+    def sssp_table(self) -> pa.Table:
+        """Owned (vertex, dist) rows for REACHED vertices."""
+        reached = self.bfs_dist != _I64MAX
+        return pa.table(
+            {
+                "vertex": pa.array(self.udst[reached]),
+                "dist": pa.array(self.bfs_dist[reached]),
+            }
+        )
+
     # --------------------------------------------- multi-source BFS
     # k simultaneous BFS waves in ONE relaxation loop: dist is an
     # (owned, k) matrix and every superstep relaxes all k sources at

@@ -115,3 +115,59 @@ def test_length_percentile_filter_quantile_disc(ray_session):
     out = length_percentile_filter(_docs(texts), q=0.25).to_pandas()
     # quantile_disc(0.25) over 1..10 = element at ceil(0.25*10)-1 = idx 2 -> 3
     assert sorted(out["n_chars"]) == list(range(3, 11))
+
+
+def _dijkstra_brute(pairs, wmod, wadd):
+    import heapq
+
+    E: dict[int, list[tuple[int, int]]] = {}
+    vs = set()
+    for a, b in pairs:
+        for s, d in ((a, b), (b, a)):
+            E.setdefault(s, []).append((d, (s + d) % wmod + wadd))
+        vs.update((a, b))
+    src = min(vs)
+    dist = {src: 0}
+    pq = [(0, src)]
+    while pq:
+        d, v = heapq.heappop(pq)
+        if d > dist.get(v, 1 << 62):
+            continue
+        for u, w in E.get(v, []):
+            nd = d + w
+            if nd < dist.get(u, 1 << 62):
+                dist[u] = nd
+                heapq.heappush(pq, (nd, u))
+    return dist
+
+
+def test_sssp_matches_dijkstra(ray_session):
+    from pds_hw2_mpi_connected_components_ray.pipelines.bfs import sssp_dist_pinned
+
+    rng = np.random.default_rng(23)
+    pairs = [tuple(e) for e in rng.integers(0, 50, size=(130, 2)) if e[0] != e[1]]
+    want = _dijkstra_brute(pairs, 5, 1)
+    out = sssp_dist_pinned(_sym_ds(pairs)).to_pandas()
+    got = dict(zip(out["vertex"].astype(int), out["dist"].astype(int)))
+    assert got == want
+
+
+def test_sssp_unit_weights_equal_bfs(ray_session):
+    # (min,+w) with w == 1 must reproduce unit BFS exactly
+    from pds_hw2_mpi_connected_components_ray.pipelines.bfs import (
+        bfs_hops_pinned,
+        sssp_dist_pinned,
+    )
+
+    rng = np.random.default_rng(29)
+    pairs = [tuple(e) for e in rng.integers(0, 40, size=(90, 2)) if e[0] != e[1]]
+    ds = _sym_ds(pairs)
+    hops = bfs_hops_pinned(ds).to_pandas().sort_values("vertex").reset_index(drop=True)
+    dist = (
+        sssp_dist_pinned(ds, weight_mod=1, weight_add=1)
+        .to_pandas()
+        .sort_values("vertex")
+        .reset_index(drop=True)
+    )
+    assert hops["vertex"].tolist() == dist["vertex"].tolist()
+    assert hops["hops"].tolist() == dist["dist"].tolist()
