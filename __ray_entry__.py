@@ -1260,6 +1260,27 @@ def _q_length_percentile_filter(sf_dir: str):
     return length_percentile_filter(_docs(sf_dir), q=0.25)
 
 
+def _q_rate_anomalies(sf_dir: str):
+    """Per-user windowed-count z-score anomalies (|z| >= 2, sample
+    stddev over the user's own windows)."""
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import rate_anomalies
+
+    return rate_anomalies(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_lexical_diversity(sf_dir: str):
+    """Type-token ratio per document (shuffle-free vectorized pass)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import (
+        lexical_diversity,
+    )
+
+    return lexical_diversity(_docs(sf_dir))
+
+
 def _q_repetition_signals(sf_dir: str):
     """Gopher-style repetition quality signals: duplicate-line fraction
     + top-bigram mass per document, one shuffle-free vectorized pass."""
@@ -1543,6 +1564,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "duplicate_ngram_stats": _q_duplicate_ngram_stats,
         "length_percentile_filter": _q_length_percentile_filter,
+        "events_rate_anomalies": _q_rate_anomalies,
+        "lexical_diversity": _q_lexical_diversity,
     }
 
 
@@ -1720,6 +1743,24 @@ FROM per
         "length_percentile_filter": (
             "WITH t AS (SELECT quantile_disc(n_chars, 0.25) AS th FROM documents) "
             "SELECT doc_id, n_chars FROM documents, t WHERE n_chars >= t.th"
+        ),
+        "events_rate_anomalies": (
+            "WITH c AS (SELECT user_id, (epoch_us(ts) // 3600000000)::BIGINT AS win, "
+            "  count(*)::BIGINT AS n FROM events GROUP BY 1, 2), "
+            "s AS (SELECT user_id, avg(n::DOUBLE) AS m, stddev(n::DOUBLE) AS sd, "
+            "  count(*) AS nw FROM c GROUP BY user_id) "
+            "SELECT c.user_id, c.win, c.n, round((c.n - s.m) / s.sd, 6) AS z "
+            "FROM c JOIN s USING (user_id) "
+            "WHERE s.nw >= 2 AND s.sd > 0 AND abs((c.n - s.m) / s.sd) >= 2.0"
+        ),
+        "lexical_diversity": (
+            "WITH t AS (SELECT doc_id, "
+            "  regexp_extract_all(coalesce(text,''), '\\S+') AS w FROM documents) "
+            "SELECT doc_id, len(w)::BIGINT AS n_tokens, "
+            "  len(list_distinct(w))::BIGINT AS n_types, "
+            "  CASE WHEN len(w) > 0 THEN "
+            "    floor((len(list_distinct(w))::DOUBLE / len(w)) * 1e6 + 0.5) / 1e6 "
+            "  ELSE 0.0 END AS ttr FROM t"
         ),
         "degree_assortativity": (
             f"WITH {_EDGES_CTES}, "

@@ -218,6 +218,8 @@ def bench_suite() -> dict:
         "duplicate_ngram_stats",
         "length_percentile_filter",
         "sssp_weighted",
+        "events_rate_anomalies",
+        "lexical_diversity",
     ]:
         qtimes[name] = run(name)
     return qtimes

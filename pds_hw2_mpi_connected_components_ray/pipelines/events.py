@@ -272,3 +272,73 @@ def sessionize(events: Dataset, gap_us: int = US_30_MIN) -> Dataset:
         .groupby("_kb")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def rate_anomalies(
+    events: Dataset,
+    *,
+    window_us: int = US_PER_HOUR,
+    z_threshold: float = 2.0,
+) -> Dataset:
+    """(user_id, win, n, z): per-user windowed event counts whose
+    z-score against that user's own window history is anomalous
+    (|z| >= threshold) — the bot/burst detector a web event log needs.
+
+    Statistics are over the windows in which the user HAD events (no
+    zero-fill — absent windows are absent on both sides of the oracle);
+    users with < 2 windows or zero variance cannot score. Sample
+    stddev (ddof=1) matches DuckDB's stddev. Plan: two keyed groupbys
+    ((user, win) counts, then per-user moments) + one user-keyed hash
+    join back — every all-to-all is key-proportional.
+    """
+    from ray.data.aggregate import Count, Mean, Std
+
+    from ..stages.joins import hash_join
+
+    def add_win(batch: pa.Table) -> pa.Table:
+        ts = (
+            batch["ts"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view(np.int64)
+        )
+        return pa.table({"user_id": batch["user_id"], "win": ts // window_us})
+
+    counts = (
+        events.select_columns(["user_id", "ts"])
+        .map_batches(add_win, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "win"])
+        .aggregate(Count(alias_name="n"))
+    ).materialize()
+    stats = counts.groupby("user_id").aggregate(
+        Mean("n", alias_name="m"),
+        Std("n", ddof=1, alias_name="sd"),
+        Count(alias_name="nw"),
+    )
+    # clamp partitions to data size: Ray's per-partition acero join
+    # chokes on empty shuffle partitions (the linkpred/weighted-shuffle
+    # clamp)
+    from ..context import default_parallelism
+
+    npart = max(2, min(default_parallelism(), counts.count() // 100_000 + 2))
+    joined = hash_join(counts, stats, on=("user_id",), num_partitions=npart)
+
+    def score(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        m = t["m"].to_numpy(zero_copy_only=False)
+        sd = t["sd"].to_numpy(zero_copy_only=False)
+        nw = t["nw"].to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (n - m) / sd
+        keep = (nw >= 2) & (sd > 0) & (np.abs(z) >= z_threshold)
+        idx = np.nonzero(keep)[0]
+        return pa.table(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False)[idx],
+                "win": t["win"].to_numpy(zero_copy_only=False)[idx],
+                "n": t["n"].to_numpy(zero_copy_only=False)[idx],
+                "z": np.round(z[idx], 6),
+            }
+        )
+
+    return joined.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

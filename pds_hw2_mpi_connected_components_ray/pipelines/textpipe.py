@@ -365,3 +365,47 @@ def doc_fingerprints(docs: Dataset) -> Dataset:
         )
 
     return docs.select_columns(["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+
+
+def lexical_diversity(docs: Dataset) -> Dataset:
+    """(doc_id, n_tokens, n_types, ttr): type-token ratio per document
+    — the classic lexical-diversity quality signal (machine-generated
+    and keyword-stuffed pages sit at the extremes). One shuffle-free
+    vectorized pass (row == document); distinct-type counting is the
+    exploded (row, token) drop_duplicates trick from repetition_signals.
+    ttr = types/tokens rounds half-up (rational-ratio tie contract)."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        toks = batch["text"].fillna("").str.split()
+        tl = toks.str.len().to_numpy(dtype=np.int64)
+        nrows = len(batch)
+        ntypes = np.zeros(nrows, dtype=np.int64)
+        if tl.sum() > 0:
+            flat = np.concatenate(
+                [np.asarray(x, dtype=object) for x in toks.to_numpy() if len(x)]
+            )
+            rows = np.repeat(np.arange(nrows), tl)
+            per = (
+                pd.DataFrame({"r": rows, "t": flat})
+                .drop_duplicates()
+                .groupby("r", sort=False)
+                .size()
+            )
+            ntypes[per.index.to_numpy()] = per.to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ttr = np.where(
+                tl > 0, np.floor((ntypes / np.maximum(tl, 1)) * 1e6 + 0.5) / 1e6, 0.0
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_tokens": tl,
+                "n_types": ntypes,
+                "ttr": ttr,
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    )

@@ -81,3 +81,46 @@ def test_stratified_sample_monotone_in_n(ray_session):
     sset = set(map(tuple, small[["source", "doc_id"]].to_numpy()))
     bset = set(map(tuple, big[["source", "doc_id"]].to_numpy()))
     assert sset < bset
+
+
+def test_lexical_diversity_handcrafted(ray_session):
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import (
+        lexical_diversity,
+    )
+
+    out = (
+        lexical_diversity(_docs(["a a a b", "x y z", "", "w w"]))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "n_tokens"] == 4 and out.loc[0, "n_types"] == 2
+    assert out.loc[0, "ttr"] == 0.5
+    assert out.loc[1, "ttr"] == 1.0
+    assert out.loc[2, "n_tokens"] == 0 and out.loc[2, "ttr"] == 0.0
+    assert out.loc[3, "ttr"] == 0.5
+
+
+def test_rate_anomalies_handcrafted(ray_session):
+    import pandas as pd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import rate_anomalies
+
+    # user 1: window counts [1]*8 + [10] -> z = (10-2)/3 = 2.667 spike
+    # (a single outlier among n windows caps at (n-1)/sqrt(n), so the
+    # baseline must be wide enough for |z| >= 2 to be reachable);
+    # user 2: constant counts -> zero variance, never scores
+    rows = []
+    eid = 0
+    for w in range(8):
+        rows.append((eid, np.datetime64(3600_000_000 * w, "us"), 1)); eid += 1
+    for _ in range(10):
+        rows.append((eid, np.datetime64(3600_000_000 * 8 + 5, "us"), 1)); eid += 1
+    for w in range(3):
+        rows.append((eid, np.datetime64(3600_000_000 * w, "us"), 2)); eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+    out = rate_anomalies(rd.from_pandas(df)).to_pandas()
+    assert set(out["user_id"]) == {1}
+    assert out.loc[out["user_id"] == 1, "win"].tolist() == [8]
+    z = (10 - 2.0) / np.std([1] * 8 + [10], ddof=1)
+    assert out["z"].iloc[0] == round(z, 6)
