@@ -1249,6 +1249,16 @@ def _q_duplicate_ngram_stats(sf_dir: str):
     return duplicate_ngram_stats(_docs(sf_dir))
 
 
+def _q_dedup_lines(sf_dir: str):
+    """CCNet-style line scrub: lines appearing verbatim in >=2 distinct
+    documents are removed everywhere; docs reassembled in order
+    (bucketed shared-line vocabulary + adaptive broadcast membership)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.clean import dedup_lines
+
+    return dedup_lines(_docs(sf_dir))
+
+
 def _q_length_percentile_filter(sf_dir: str):
     """Corpus-relative length gate: docs at/above the exact 25th
     percentile of n_chars (distributed histogram quantile + filter)."""
@@ -1563,6 +1573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_signals": _q_repetition_signals,
         "stratified_sample": _q_stratified_sample,
         "duplicate_ngram_stats": _q_duplicate_ngram_stats,
+        "dedup_lines": _q_dedup_lines,
         "length_percentile_filter": _q_length_percentile_filter,
         "events_rate_anomalies": _q_rate_anomalies,
         "lexical_diversity": _q_lexical_diversity,
@@ -1739,6 +1750,24 @@ per AS (SELECT gr.doc_id, count(*) AS n_grams,
 SELECT doc_id, n_grams::BIGINT AS n_grams, shared_grams::BIGINT AS shared_grams,
        floor((shared_grams::DOUBLE / n_grams) * 1e6 + 0.5) / 1e6 AS dup_gram_frac
 FROM per
+""",
+        "dedup_lines": """
+WITH ls AS MATERIALIZED (
+  SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS lns FROM documents),
+ex AS MATERIALIZED (
+  SELECT doc_id, unnest(lns) AS line, unnest(range(1, len(lns) + 1)) AS pos FROM ls),
+dup AS MATERIALIZED (
+  SELECT line FROM (SELECT DISTINCT doc_id, line FROM ex) GROUP BY line
+  HAVING count(*) >= 2),
+kept AS (
+  SELECT e.doc_id, e.pos, e.line FROM ex e LEFT JOIN dup d ON d.line = e.line
+  WHERE d.line IS NULL)
+SELECT l.doc_id,
+       coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text,
+       count(k.line)::BIGINT AS kept_lines,
+       any_value(len(l.lns))::BIGINT AS total_lines
+FROM ls l LEFT JOIN kept k ON k.doc_id = l.doc_id
+GROUP BY l.doc_id
 """,
         "length_percentile_filter": (
             "WITH t AS (SELECT quantile_disc(n_chars, 0.25) AS th FROM documents) "

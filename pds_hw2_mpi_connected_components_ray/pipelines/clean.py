@@ -367,3 +367,159 @@ def length_percentile_filter(docs: Dataset, *, q: float = 0.25) -> Dataset:
     return docs.select_columns(["doc_id", "n_chars"]).map_batches(
         keep, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def dedup_lines(docs: Dataset, *, min_docs: int = 2, force_join: bool = False) -> Dataset:
+    """(doc_id, text, kept_lines, total_lines): corpus-level LINE
+    deduplication — every line that appears (verbatim) in at least
+    `min_docs` DISTINCT documents is removed from every document, and
+    the survivors are reassembled in original order (the CCNet-style
+    boilerplate scrub: headers, footers, nav bars and cookie banners
+    are exactly the lines shared across many pages).
+
+    Line semantics are locked to DuckDB ``string_split(text, chr(10))``:
+    python ``str.split("\\n")`` — an empty/null doc is ONE empty line,
+    and the empty line is itself dedupable (it occurs in nearly every
+    multi-line doc, so blank lines vanish; that is the documented
+    contract, matching the oracle exactly).
+
+    Plan — the duplicate_ngram_stats adaptive shape:
+      1. distinct (doc, line) rows, exact per batch because row==doc;
+      2. shared-line vocabulary via the bucket-per-group pattern (hash
+         lines into ~parallelism buckets, ONE small-int keyed shuffle,
+         value_counts >= min_docs inside each bucket — never a direct
+         string groupby);
+      3. scrub: below the broadcast threshold the vocabulary ships once
+         via ray.put and each batch re-splits, membership-tests with a
+         vectorized sorted-array searchsorted, and reassembles per doc
+         (rows stay doc-contiguous after explode, so reassembly is a
+         run-boundary pass; the final "\\n".join per doc is inherently
+         a per-DOC string op, not per-line). Above the threshold: a
+         line-keyed hash join + doc-bucketed reassembly, so no single
+         worker ever holds the vocabulary.
+
+    No reference analogue (north-rule training-data extension)."""
+    import ray
+
+    from .events import _bucket_by_key
+
+    base = docs.select_columns(["doc_id", "text"])
+
+    def _doc_lines(df: pd.DataFrame) -> pd.DataFrame:
+        ex = (
+            df[["doc_id"]]
+            .assign(line=df["text"].fillna("").str.split("\n"))
+            .explode("line")
+        )
+        ex = ex.drop_duplicates(["doc_id", "line"])
+        return pd.DataFrame(
+            {
+                "doc_id": ex["doc_id"].to_numpy(dtype=np.int64),
+                "line": ex["line"].astype(str).to_numpy(dtype=object),
+            }
+        )
+
+    def bucket_shared(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["line"].value_counts()
+        return pd.DataFrame(
+            {"line": vc.index[vc.to_numpy() >= min_docs].astype(str)}
+        )
+
+    shared = (
+        _bucket_by_key(
+            base.map_batches(_doc_lines, batch_format="pandas"), "line", ["line"]
+        )
+        .groupby("_kb")
+        .map_groups(bucket_shared, batch_format="pandas")
+        .materialize()
+    )
+
+    def _explode_pos(df: pd.DataFrame) -> pd.DataFrame:
+        """(doc_id, pos, line) rows, doc-contiguous, 1-based pos."""
+        lns = df["text"].fillna("").str.split("\n")
+        counts = lns.str.len().to_numpy(dtype=np.int64)
+        ids = np.repeat(df["doc_id"].to_numpy(dtype=np.int64), counts)
+        pos = np.concatenate([np.arange(1, c + 1) for c in counts]) if len(counts) else np.array([], dtype=np.int64)
+        flat = lns.explode().astype(str).to_numpy(dtype=object) if counts.sum() else np.array([], dtype=object)
+        return pd.DataFrame({"doc_id": ids, "pos": pos.astype(np.int64), "line": flat})
+
+    def _rebuild(ids, pos, line, keep) -> pd.DataFrame:
+        """Run-boundary reassembly of doc-contiguous (sorted) rows."""
+        if len(ids) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": np.array([], dtype=np.int64),
+                    "text": pd.Series([], dtype=object),
+                    "kept_lines": np.array([], dtype=np.int64),
+                    "total_lines": np.array([], dtype=np.int64),
+                }
+            )
+        bounds = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        tot = np.diff(np.r_[bounds, len(ids)])
+        kept_n = np.add.reduceat(keep.astype(np.int64), bounds)
+        texts = []
+        for b, t in zip(bounds, tot):
+            sel = keep[b : b + t]
+            texts.append("\n".join(line[b : b + t][sel]))
+        return pd.DataFrame(
+            {
+                "doc_id": ids[bounds],
+                "text": pd.Series(texts, dtype=object),
+                "kept_lines": kept_n,
+                "total_lines": tot.astype(np.int64),
+            }
+        )
+
+    if shared.count() <= _BROADCAST_TEST_GRAMS and not force_join:
+        vocab = np.sort(
+            np.concatenate(
+                [
+                    b["line"].to_numpy(zero_copy_only=False).astype(str)
+                    for b in shared.iter_batches(batch_format="pyarrow", batch_size=None)
+                ]
+                or [np.array([], dtype=str)]
+            )
+        )
+        ref = ray.put(vocab)
+
+        def scrub(df: pd.DataFrame) -> pd.DataFrame:
+            v = ray.get(ref)
+            e = _explode_pos(df)
+            if len(e) == 0:
+                return _rebuild(*(np.array([], dtype=np.int64),) * 2, np.array([], dtype=object), np.array([], dtype=bool))
+            ids = e["doc_id"].to_numpy(dtype=np.int64)
+            pos = e["pos"].to_numpy(dtype=np.int64)
+            line = e["line"].to_numpy(dtype=object)
+            if len(v):
+                ls = e["line"].to_numpy(dtype=str)
+                p = np.minimum(np.searchsorted(v, ls), len(v) - 1)
+                keep = v[p] != ls
+            else:
+                keep = np.ones(len(ids), dtype=bool)
+            return _rebuild(ids, pos, line, keep)
+
+        return base.map_batches(scrub, batch_format="pandas")
+
+    # scale fallback: line-keyed hash join + doc-bucketed reassembly
+    from ..stages.joins import hash_join
+
+    exploded = base.map_batches(_explode_pos, batch_format="pandas")
+    tagged = shared.map_batches(
+        lambda df: df.assign(_dup=np.int64(1)), batch_format="pandas"
+    )
+    attached = hash_join(exploded, tagged, on=("line",), join_type="left_outer")
+
+    def rebuild_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "pos"], kind="stable")
+        return _rebuild(
+            df["doc_id"].to_numpy(dtype=np.int64),
+            df["pos"].to_numpy(dtype=np.int64),
+            df["line"].to_numpy(dtype=object),
+            df["_dup"].isna().to_numpy(),
+        )
+
+    return (
+        _bucket_by_key(attached, "doc_id", ["doc_id", "pos", "line", "_dup"])
+        .groupby("_kb")
+        .map_groups(rebuild_bucket, batch_format="pandas")
+    )

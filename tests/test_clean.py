@@ -141,3 +141,63 @@ def test_contamination_check_both_paths(ray_session):
             zip(out["doc_id"].astype(int), out["n_shared"].astype(int))
         )
         assert got == want, (force, got, want)
+
+
+# ---------------------------------------------------------------------------
+# dedup_lines (corpus-level line scrub)
+# ---------------------------------------------------------------------------
+
+
+def _dl(texts, **kw):
+    from pds_hw2_mpi_connected_components_ray.pipelines.clean import dedup_lines
+
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    )
+    return (
+        dedup_lines(docs, **kw)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_dedup_lines_removes_cross_doc_boilerplate(ray_session):
+    texts = [
+        "HEADER\nunique alpha\nFOOTER",
+        "HEADER\nunique beta\nFOOTER",
+        "totally original document",
+        "HEADER",  # doc that is ALL boilerplate
+    ]
+    out = _dl(texts)
+    assert list(out["text"]) == ["unique alpha", "unique beta", "totally original document", ""]
+    assert list(out["kept_lines"]) == [1, 1, 1, 0]
+    assert list(out["total_lines"]) == [3, 3, 1, 1]
+
+
+def test_dedup_lines_within_doc_repeat_kept(ray_session):
+    # a line repeated inside ONE doc is not cross-doc boilerplate
+    out = _dl(["same\nsame\nsame", "other text"])
+    assert out.loc[0, "text"] == "same\nsame\nsame"
+    assert out.loc[1, "text"] == "other text"
+
+
+def test_dedup_lines_empty_and_null_docs(ray_session):
+    # empty docs are one empty line; the empty line occurs in >=2 docs
+    # so it is scrubbed everywhere (documented contract)
+    out = _dl(["", None, "a\n\nb\n\nc", "x"])
+    assert out.loc[0, "text"] == "" and out.loc[0, "total_lines"] == 1
+    assert out.loc[1, "text"] == "" and out.loc[1, "kept_lines"] == 0
+    assert out.loc[2, "text"] == "a\nb\nc"  # blank lines vanished
+    assert out.loc[3, "text"] == "x"
+
+
+def test_dedup_lines_join_path_matches_broadcast(ray_session):
+    texts = [f"SHARED {i % 3}\nbody {i}\nSHARED tail" for i in range(40)] + [
+        "SHARED tail"
+    ]
+    a = _dl(texts)
+    b = _dl(texts, force_join=True)
+    pd.testing.assert_frame_equal(
+        a, b.astype(a.dtypes.to_dict()), check_like=True
+    )
