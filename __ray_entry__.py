@@ -264,11 +264,10 @@ e{r} AS MATERIALIZED (SELECT e.src, e.dst FROM e{r-1} e
     return "".join(parts)
 
 
-def _labelprop_sql(iters: int = 4) -> str:
-    parts = [
-        f"WITH {_EDGES_CTES},",
-        "l0 AS MATERIALIZED (SELECT v, v AS lab FROM verts)",
-    ]
+def _labelprop_chain(iters: int = 4) -> str:
+    """The l0..l{iters} sync-LPA CTE fragment (appends to _EDGES_CTES);
+    shared by the labelprop4 / modularity / community_graph oracles."""
+    parts = ["l0 AS MATERIALIZED (SELECT v, v AS lab FROM verts)"]
     for k in range(1, iters + 1):
         parts.append(
             f""",
@@ -280,8 +279,29 @@ w{k} AS MATERIALIZED (SELECT v, nl FROM (
 l{k} AS MATERIALIZED (SELECT p.v, coalesce(w.nl, p.lab) AS lab
          FROM l{k-1} p LEFT JOIN w{k} w ON w.v = p.v)"""
         )
-    parts.append(f"\nSELECT v AS vertex, lab AS label FROM l{iters}")
     return "".join(parts)
+
+
+def _labelprop_sql(iters: int = 4) -> str:
+    return (
+        f"WITH {_EDGES_CTES},"
+        + _labelprop_chain(iters)
+        + f"\nSELECT v AS vertex, lab AS label FROM l{iters}"
+    )
+
+
+# endpoint-community rows of the simple symmetric graph under the
+# 4-iteration LPA labeling (shared by modularity / community_graph)
+_COMM_EDGE_CTES = (
+    f"WITH {_EDGES_CTES},"
+    + _labelprop_chain(4)
+    + """,
+simp AS (SELECT src, dst FROM edges WHERE src <> dst),
+le AS MATERIALIZED (
+  SELECT ls.lab AS ca, ld.lab AS cb
+  FROM simp e JOIN l4 ls ON ls.v = e.src JOIN l4 ld ON ld.v = e.dst)
+"""
+)
 
 
 _TRI_CTES = f"""
@@ -1249,6 +1269,34 @@ def _q_duplicate_ngram_stats(sf_dir: str):
     return duplicate_ngram_stats(_docs(sf_dir))
 
 
+def _lpa_labels(sf_dir: str):
+    from pds_hw2_mpi_connected_components_ray.pipelines.labelprop import labelprop
+
+    return labelprop(_canon_edges(sf_dir), iterations=4, mode="pinned").labels
+
+
+def _q_modularity(sf_dir: str):
+    """Newman modularity of the 4-iteration sync-LPA communities:
+    integer-exact A/E - B/E^2 reduction over a label-keyed groupby of
+    per-batch pre-aggregated endpoint-community partials."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.communities import modularity
+
+    return modularity(_canon_edges(sf_dir), _lpa_labels(sf_dir))
+
+
+def _q_community_graph(sf_dir: str):
+    """Community quotient graph of the LPA labeling: unordered
+    community pair -> directed simple-edge row count (graph
+    contraction, the coarsening step of multilevel partitioners)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.communities import (
+        community_graph,
+    )
+
+    return community_graph(_canon_edges(sf_dir), _lpa_labels(sf_dir))
+
+
 def _q_dedup_lines(sf_dir: str):
     """CCNet-style line scrub: lines appearing verbatim in >=2 distinct
     documents are removed everywhere; docs reassembled in order
@@ -1509,6 +1557,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_shuffle": lambda sf: _q_hits(sf, mode="shuffle", iters=3),
         "adamic_adar": _q_adamic_adar,
         "labelprop4": _q_labelprop,
+        "modularity": _q_modularity,
+        "community_graph": _q_community_graph,
         "triangle_total": _q_triangle_total,
         "triangles_by_vertex": _q_triangles_by_vertex,
         "kcore7": _q_kcore,
@@ -1651,6 +1701,23 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": _REPETITION_SQL,
         "stratified_sample": _STRATIFIED_SQL,
         "labelprop4": _labelprop_sql(4),
+        "modularity": (
+            _COMM_EDGE_CTES
+            + """,
+d AS MATERIALIZED (SELECT ca, count(*)::BIGINT AS dc FROM le GROUP BY ca),
+s AS (SELECT sum(CASE WHEN ca = cb THEN 1 ELSE 0 END)::DOUBLE AS a,
+             count(*)::DOUBLE AS e FROM le),
+b AS (SELECT sum(dc * dc)::DOUBLE AS b, count(*)::BIGINT AS n FROM d)
+SELECT floor((s.a / s.e - b.b / (s.e * s.e)) * 1e6 + 0.5) / 1e6 AS modularity,
+       b.n AS n_communities
+FROM s, b"""
+        ),
+        "community_graph": (
+            _COMM_EDGE_CTES
+            + """
+SELECT least(ca, cb) AS ca, greatest(ca, cb) AS cb, count(*)::BIGINT AS weight
+FROM le GROUP BY 1, 2"""
+        ),
         "triangle_total": (
             f"WITH {_TRI_CTES} SELECT count(*)::BIGINT AS n_triangles FROM tri"
         ),
