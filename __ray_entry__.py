@@ -313,6 +313,30 @@ tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
 """
 
 
+def _truss_sql(k: int, rounds: int) -> str:
+    """Unrolled synchronous k-truss peel: per round, triangle support
+    over the surviving a<b edge set, keep edges with support >= k-2
+    (support-0 edges have no s-row, so the inner join drops them)."""
+    parts = [
+        f"WITH {_EDGES_CTES},",
+        "simp AS (SELECT src, dst FROM edges WHERE src <> dst),",
+        "e0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM simp WHERE src < dst)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+t{r} AS MATERIALIZED (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM e{r} e1 JOIN e{r} e2 ON e2.a = e1.b JOIN e{r} e3 ON e3.a = e1.a AND e3.b = e2.b),
+s{r} AS MATERIALIZED (SELECT x, y, count(*) AS sup FROM (
+  SELECT a AS x, b AS y FROM t{r} UNION ALL SELECT b, c FROM t{r}
+  UNION ALL SELECT a, c FROM t{r}) GROUP BY x, y),
+e{r+1} AS MATERIALIZED (SELECT e.a, e.b FROM e{r} e
+  JOIN s{r} s ON s.x = e.a AND s.y = e.b WHERE s.sup >= {k - 2})"""
+        )
+    parts.append(f"\nSELECT a, b FROM e{rounds}")
+    return "".join(parts)
+
+
 # Exact-similarity pair CTEs over `documents` (lockstep with the engine's
 # shingle semantics in functions/hashing.py: char k-shingles are the
 # substring windows; word n-grams are whitespace-token windows; docs
@@ -1269,6 +1293,24 @@ def _q_duplicate_ngram_stats(sf_dir: str):
     return duplicate_ngram_stats(_docs(sf_dir))
 
 
+def _q_edge_support(sf_dir: str):
+    """Per-edge triangle support (common-neighbor count per undirected
+    edge, support-0 edges included) — the k-truss peel quantity."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.triangles import edge_support
+
+    return edge_support(_canon_edges(sf_dir))
+
+
+def _q_ktruss(sf_dir: str):
+    """3 synchronous 5-truss peel rounds (bounded-round contract):
+    recompute support over survivors, drop edges with support < 3."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.triangles import truss_peel
+
+    return truss_peel(_canon_edges(sf_dir), k=5, rounds=3)
+
+
 def _lpa_labels(sf_dir: str):
     from pds_hw2_mpi_connected_components_ray.pipelines.labelprop import labelprop
 
@@ -1561,6 +1603,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "community_graph": _q_community_graph,
         "triangle_total": _q_triangle_total,
         "triangles_by_vertex": _q_triangles_by_vertex,
+        "edge_support": _q_edge_support,
+        "ktruss5_r3": _q_ktruss,
         "kcore7": _q_kcore,
         "clustering_coeff": _q_clustering_coeff,
         "degree_assortativity": _q_assortativity,
@@ -1727,6 +1771,15 @@ FROM le GROUP BY 1, 2"""
             "  UNION ALL SELECT c FROM tri) "
             "SELECT vertex, count(*)::BIGINT AS triangles FROM corners GROUP BY vertex"
         ),
+        "edge_support": (
+            f"WITH {_TRI_CTES}, cr AS ("
+            "  SELECT a AS x, b AS y FROM tri UNION ALL SELECT b, c FROM tri"
+            "  UNION ALL SELECT a, c FROM tri), "
+            "s AS (SELECT x, y, count(*) AS sup FROM cr GROUP BY x, y) "
+            "SELECT o.a, o.b, coalesce(s.sup, 0)::BIGINT AS support "
+            "FROM o LEFT JOIN s ON s.x = o.a AND s.y = o.b"
+        ),
+        "ktruss5_r3": _truss_sql(5, rounds=3),
         "kcore7": _kcore_sql(7, rounds=8),
         "bfs_hops": (
             f"WITH RECURSIVE {_EDGES_CTES}, "

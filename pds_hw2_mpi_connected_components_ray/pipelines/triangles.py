@@ -212,3 +212,163 @@ def triangles_per_vertex(
         .groupby("vertex")
         .aggregate(Sum("t", alias_name="triangles"))
     )
+
+
+def edge_support(
+    edges: Dataset,
+    *,
+    num_partitions: int | None = None,
+    broadcast_threshold: int = BROADCAST_DEGREE_THRESHOLD,
+) -> Dataset:
+    """(a, b, support) for every undirected simple edge a < b: the
+    number of triangles the edge participates in (= common neighbors
+    of its endpoints) — the per-EDGE analogue of triangles_per_vertex
+    and the quantity k-truss decomposition peels on.
+
+    Same degree-oriented wedge-closure plan (O(m^1.5) bound); each
+    closed triangle credits its three edges as unordered pairs, a
+    pair-keyed groupby sums credits, and a left join against the
+    unordered edge list keeps support-0 edges in the output."""
+    from ray.data.aggregate import Sum
+
+    simple = drop_self_loops(edges).materialize()
+    # clamp partitions HARD to the data size: beyond the usual
+    # task-overhead argument, a hash partition that receives right-side
+    # rows but no left-side rows crashes pyarrow's join ("no match for
+    # FieldRef" on the empty schema-less left block), which tiny
+    # truss-peel rounds actually hit
+    npart = num_partitions or default_parallelism()
+    npart = max(1, min(npart, simple.count() // 100_000 + 2))
+
+    und = simple.map_batches(
+        lambda t: t.filter(pc.less(t["src"], t["dst"])).rename_columns(["a", "b"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    oriented = _oriented_edges(simple, npart, broadcast_threshold)
+    right = oriented.map_batches(
+        lambda t: pa.table({"a2": t["a"], "c": t["b"], "dc": t["db"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    wedges = hash_join(oriented, right, on=("a",), right_on=("a2",), num_partitions=npart)
+    wedges = wedges.map_batches(
+        lambda t: t.filter(
+            pc.or_(
+                pc.less(t["db"], t["dc"]),
+                pc.and_(pc.equal(t["db"], t["dc"]), pc.less(t["b"], t["c"])),
+            )
+        ).select(["a", "b", "c"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    def zero(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "support", pa.array(np.zeros(len(t), dtype=np.int64), pa.int64())
+        )
+
+    wcnt = wedges.count()
+    if wcnt == 0:
+        return und.map_batches(zero, batch_format="pyarrow", zero_copy_batch=True)
+
+    closing = oriented.map_batches(
+        lambda t: pa.table({"b2": t["a"], "c2": t["b"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    tri = hash_join(
+        wedges,
+        closing,
+        on=("b", "c"),
+        right_on=("b2", "c2"),
+        num_partitions=max(1, min(npart, wcnt // 100_000 + 1)),
+    )
+
+    def edge_credits(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        x = np.concatenate([np.minimum(a, b), np.minimum(b, c), np.minimum(a, c)])
+        y = np.concatenate([np.maximum(a, b), np.maximum(b, c), np.maximum(a, c)])
+        key = np.stack([x, y], axis=1)
+        u, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table({"x": u[:, 0], "y": u[:, 1], "s": cnt.astype(np.int64)})
+
+    sup = (
+        tri.map_batches(edge_credits, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["x", "y"])
+        .aggregate(Sum("s", alias_name="s"))
+    )
+    joined = hash_join(
+        und, sup, on=("a", "b"), right_on=("x", "y"), join_type="left_outer",
+        num_partitions=max(1, min(npart, simple.count() // 200_000 + 1)),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        s = np.where(np.isnan(s.astype(np.float64)), 0, s).astype(np.int64)
+        return pa.table({"a": t["a"], "b": t["b"], "support": s})
+
+    return joined.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def truss_peel(
+    edges: Dataset,
+    *,
+    k: int = 5,
+    rounds: int = 3,
+    num_partitions: int | None = None,
+    broadcast_threshold: int = BROADCAST_DEGREE_THRESHOLD,
+) -> Dataset:
+    """(a, b): undirected edges surviving `rounds` synchronous k-truss
+    peel rounds — each round recomputes triangle support over the
+    surviving subgraph and drops every edge with support < k-2
+    (support-0 edges drop immediately, so trees/bridges vanish in
+    round 1). Bounded-round contract (the labelprop4/iterations
+    convention) keeps the result SQL-unrollable; run more rounds for a
+    fixpoint.
+
+    Scale note: this is the simple synchronous formulation — each
+    round pays a full O(m'^1.5) support recomputation over the
+    shrinking edge set. The incremental formulation (decrement support
+    of the two neighbors of every deleted edge) needs a mutable
+    edge-support index; at 100 TB that is the pinned-shard-pool shape,
+    left for when a truss workload actually needs it."""
+    import ray.data as rd
+
+    cur = edges
+    kept: Dataset | None = None
+    for _ in range(rounds):
+        sup = edge_support(
+            cur,
+            num_partitions=num_partitions,
+            broadcast_threshold=broadcast_threshold,
+        )
+        kept = sup.map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t["support"], k - 2)
+            ).select(["a", "b"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+        if kept.count() == 0:
+            return rd.from_arrow(
+                pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+            )
+        cur = kept.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": pa.concat_arrays(
+                        [t["a"].combine_chunks(), t["b"].combine_chunks()]
+                    ),
+                    "dst": pa.concat_arrays(
+                        [t["b"].combine_chunks(), t["a"].combine_chunks()]
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    return kept
