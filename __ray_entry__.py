@@ -1293,6 +1293,17 @@ def _q_duplicate_ngram_stats(sf_dir: str):
     return duplicate_ngram_stats(_docs(sf_dir))
 
 
+def _q_bigram_surprisal(sf_dir: str):
+    """Per-doc mean bigram surprisal under the corpus MLE bigram model
+    (integer-µnat quantized terms keep the sum order-independent)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import (
+        bigram_surprisal,
+    )
+
+    return bigram_surprisal(_docs(sf_dir))
+
+
 def _q_edge_support(sf_dir: str):
     """Per-edge triangle support (common-neighbor count per undirected
     edge, support-0 edges included) — the k-truss peel quantity."""
@@ -1663,6 +1674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_stats": _q_source_stats,
         "kmeans_clusters": _q_kmeans,
         "top_bigrams": _q_top_bigrams,
+        "bigram_surprisal": _q_bigram_surprisal,
         "top_docs_per_source": _q_top_docs_per_source,
         "repetition_signals": _q_repetition_signals,
         "stratified_sample": _q_stratified_sample,
@@ -2223,6 +2235,20 @@ GROUP BY l.doc_id
             "u AS (SELECT w, unnest(range(1, len(w))) AS i FROM toks) "
             "SELECT w[i] || ' ' || w[i+1] AS bigram, count(*)::BIGINT AS n "
             "FROM u GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 30"
+        ),
+        "bigram_surprisal": (
+            "WITH toks AS (SELECT doc_id, "
+            "  regexp_extract_all(coalesce(text,''), '\\S+') AS w FROM documents), "
+            "u AS (SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS bg "
+            "  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks) q), "
+            "c2 AS (SELECT bg, count(*)::BIGINT AS c2 FROM u GROUP BY bg), "
+            "c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM u GROUP BY w1), "
+            "t AS (SELECT u.doc_id, "
+            "  floor(ln(c1.c1::DOUBLE / c2.c2::DOUBLE) * 1e6 + 0.5)::BIGINT AS t "
+            "  FROM u JOIN c2 USING (bg) JOIN c1 USING (w1)) "
+            "SELECT doc_id, count(*)::BIGINT AS n_bigrams, "
+            "floor(sum(t)::DOUBLE / count(*) + 0.5) / 1e6 AS surprisal "
+            "FROM t GROUP BY doc_id"
         ),
         "top_docs_per_source": (
             "WITH r AS (SELECT source, n_chars, doc_id, "

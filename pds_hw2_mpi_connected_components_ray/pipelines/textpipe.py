@@ -409,3 +409,185 @@ def lexical_diversity(docs: Dataset) -> Dataset:
     return docs.select_columns(["doc_id", "text"]).map_batches(
         fn, batch_format="pandas"
     )
+
+
+_BROADCAST_BIGRAM_VOCAB = 2_000_000
+
+
+def bigram_surprisal(docs: Dataset, *, force_join: bool = False) -> Dataset:
+    """(doc_id, n_bigrams, surprisal): per-document mean bigram
+    surprisal −ln P(w2|w1) under the corpus's own MLE bigram model
+    (P = c2(w1 w2)/c1(w1), c1 summed over non-final token positions) —
+    the classic cheap LM-quality signal: boilerplate and templated
+    text scores low, token salad scores high. Docs with <2 tokens have
+    no bigrams and are absent.
+
+    Determinism contract: each bigram's term is quantized to integer
+    µnats t = floor(ln(c1/c2)·1e6 + 0.5) BEFORE aggregation, so the
+    per-doc sum is an exact int64 and summation order cannot shift the
+    result (summing raw doubles would diverge from the SQL oracle by
+    ulps); the final mean rounds half-up on the µnat scale. ln bit-
+    equality across numpy/DuckDB holds because both call the same
+    libm on the identical c1/c2 double quotient (the tfidf contract).
+
+    Plan — the duplicate_ngram_stats adaptive shape:
+      1. per-batch distinct (doc, bigram, multiplicity) combiner
+         (bigrams built in one masked pass over the flattened token
+         stream, never crossing doc boundaries — top_bigrams
+         semantics);
+      2. c2/c1 vocab counts via the bucket-per-group pattern (hash the
+         string key into ~parallelism int buckets, ONE small-int keyed
+         shuffle each — a direct string groupby pays Ray's string-sort
+         aggregate, measured 13s vs ~1s on this corpus shape);
+      3. attach: below the broadcast threshold both count tables ship
+         once via ray.put and each batch searchsorted-attaches,
+         quantizes, and — because row==doc — emits the finished per-doc
+         stat in the same pass with NO doc-keyed groupby; above it,
+         two hash-shuffle joins + one doc-keyed groupby-sum."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import hash_join
+    from .events import _bucket_by_key
+
+    base = docs.select_columns(["doc_id", "text"])
+
+    def doc_bigrams(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "bg": pd.Series([], dtype=str),
+                "w1": pd.Series([], dtype=str),
+                "m": pd.Series([], dtype="int64"),
+            }
+        )
+        toks = batch["text"].fillna("").str.split()
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        if lens.sum() < 2:
+            return empty
+        flat = np.concatenate(
+            [np.asarray(x, dtype=object) for x in toks.to_numpy() if len(x)]
+        ).astype(str)
+        ids = np.repeat(batch["doc_id"].to_numpy(dtype=np.int64), lens)
+        starts = np.cumsum(lens)[:-1]
+        valid = np.ones(len(flat) - 1, dtype=bool)
+        bnd = starts[(starts > 0) & (starts <= len(flat) - 1)]
+        valid[bnd - 1] = False
+        if not valid.any():
+            return empty
+        g = pd.DataFrame(
+            {
+                "doc_id": ids[:-1][valid],
+                "bg": np.char.add(np.char.add(flat[:-1], " "), flat[1:])[valid],
+                "w1": flat[:-1][valid],
+            }
+        )
+        out = g.groupby(["doc_id", "bg"], sort=False).agg(
+            w1=("w1", "first"), m=("w1", "size")
+        )
+        out = out.reset_index()
+        out["m"] = out["m"].astype(np.int64)
+        # rows stay doc-contiguous (groups ordered by first occurrence,
+        # and the stream is generated doc by doc) — the broadcast path's
+        # run-boundary reduction depends on this
+        return out[["doc_id", "bg", "w1", "m"]]
+
+    inst = base.map_batches(doc_bigrams, batch_format="pandas").materialize()
+
+    def _bucket_counts(key: str, alias: str) -> Dataset:
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            s = df.groupby(key, sort=False)["m"].sum()
+            return pd.DataFrame(
+                {key: s.index.astype(str), alias: s.to_numpy(dtype=np.int64)}
+            )
+
+        return (
+            _bucket_by_key(inst, key, [key, "m"])
+            .groupby("_kb")
+            .map_groups(per_bucket, batch_format="pandas")
+        )
+
+    c2 = _bucket_counts("bg", "c2").materialize()
+
+    if c2.count() <= _BROADCAST_BIGRAM_VOCAB and not force_join:
+        import ray
+
+        c1 = _bucket_counts("w1", "c1")
+
+        def _sorted_pair(ds: Dataset, key: str, val: str):
+            ks, vs = [], []
+            for b in ds.iter_batches(batch_format="pandas", batch_size=None):
+                ks.append(b[key].to_numpy(dtype=str))
+                vs.append(b[val].to_numpy(dtype=np.int64))
+            k = np.concatenate(ks) if ks else np.array([], dtype=str)
+            v = np.concatenate(vs) if vs else np.array([], dtype=np.int64)
+            o = np.argsort(k, kind="stable")
+            return k[o], v[o]
+
+        ref = ray.put((_sorted_pair(c2, "bg", "c2"), _sorted_pair(c1, "w1", "c1")))
+
+        def stats(batch: pd.DataFrame) -> pd.DataFrame:
+            (bgk, bgv), (w1k, w1v) = ray.get(ref)
+            e = doc_bigrams(batch)
+            if len(e) == 0:
+                return pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "n_bigrams": pd.Series([], dtype="int64"),
+                        "surprisal": pd.Series([], dtype="float64"),
+                    }
+                )
+            bg = e["bg"].to_numpy(dtype=str)
+            w1 = e["w1"].to_numpy(dtype=str)
+            cc2 = bgv[np.searchsorted(bgk, bg)].astype(np.float64)
+            cc1 = w1v[np.searchsorted(w1k, w1)].astype(np.float64)
+            t = np.floor(np.log(cc1 / cc2) * 1e6 + 0.5).astype(np.int64)
+            m = e["m"].to_numpy(dtype=np.int64)
+            ids = e["doc_id"].to_numpy(dtype=np.int64)
+            bounds = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+            n = np.add.reduceat(m, bounds)
+            s = np.add.reduceat(m * t, bounds).astype(np.float64)
+            return pd.DataFrame(
+                {
+                    "doc_id": ids[bounds],
+                    "n_bigrams": n,
+                    "surprisal": np.floor(s / n + 0.5) / 1e6,
+                }
+            )
+
+        return base.map_batches(stats, batch_format="pandas")
+
+    # scale fallback: vocab too large to broadcast — two hash joins
+    c1 = _bucket_counts("w1", "c1")
+    j = hash_join(hash_join(inst, c2, on=("bg",)), c1, on=("w1",))
+
+    def term(df: pd.DataFrame) -> pd.DataFrame:
+        cc1 = df["c1"].to_numpy(dtype=np.float64)
+        cc2 = df["c2"].to_numpy(dtype=np.float64)
+        t = np.floor(np.log(cc1 / cc2) * 1e6 + 0.5).astype(np.int64)
+        m = df["m"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "mt": m * t,
+                "m": m,
+            }
+        )
+
+    per = (
+        j.map_batches(term, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(Sum("mt", alias_name="mt"), Sum("m", alias_name="n_bigrams"))
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_bigrams"].to_numpy(dtype=np.int64)
+        s = df["mt"].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "n_bigrams": n,
+                "surprisal": np.floor(s / n + 0.5) / 1e6,
+            }
+        )
+
+    return per.map_batches(finalize, batch_format="pandas")

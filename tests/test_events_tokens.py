@@ -188,3 +188,62 @@ def test_tfidf_top_terms_brute():
     assert out[["doc_id", "token", "score", "rnk"]].astype(
         {"rnk": np.int64}
     ).equals(want_df.astype({"doc_id": np.int64, "rnk": np.int64}))
+
+
+# ---------------------------------------------------------------------------
+# bigram_surprisal
+# ---------------------------------------------------------------------------
+
+
+def _surprisal_brute(texts):
+    import math
+
+    toks = [t.split() for t in texts]
+    c2: dict = {}
+    c1: dict = {}
+    for ws in toks:
+        for a, b in zip(ws, ws[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    out = {}
+    for i, ws in enumerate(toks):
+        terms = [
+            math.floor(math.log(float(c1[a]) / float(c2[(a, b)])) * 1e6 + 0.5)
+            for a, b in zip(ws, ws[1:])
+        ]
+        if terms:
+            out[i] = (len(terms), math.floor(sum(terms) / len(terms) + 0.5) / 1e6)
+    return out
+
+
+def test_bigram_surprisal_brute(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import (
+        bigram_surprisal,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ran",
+        "the dog sat on the mat",
+        "one",  # no bigrams -> absent
+        "",
+        "repeat repeat repeat repeat",
+    ]
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    )
+    got = {
+        int(r.doc_id): (int(r.n_bigrams), float(r.surprisal))
+        for r in bigram_surprisal(docs).to_pandas().itertuples()
+    }
+    assert got == _surprisal_brute(texts)
+    # scale fallback (hash joins + doc groupby) must agree exactly
+    got_j = {
+        int(r.doc_id): (int(r.n_bigrams), float(r.surprisal))
+        for r in bigram_surprisal(docs, force_join=True).to_pandas().itertuples()
+    }
+    assert got_j == got
