@@ -1293,6 +1293,40 @@ def _q_duplicate_ngram_stats(sf_dir: str):
     return duplicate_ngram_stats(_docs(sf_dir))
 
 
+def _q_scc(sf_dir: str):
+    """Strongly connected components of the planted DIRECTED graph
+    (distinct raw edges + a reverse chain edge inside each 4-group run,
+    so SCCs span group boundaries) via FW-BW coloring over twin pinned
+    shard pools. Oracle: recursive mutual-reachability closure."""
+    _configure()
+    import pyarrow as pa
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.scc import scc_labels
+    from pds_hw2_mpi_connected_components_ray.sources.edges import derive_raw_edges
+    from pds_hw2_mpi_connected_components_ray.stages.graph import dedup_edges
+
+    d0 = dedup_edges(derive_raw_edges(sf_dir))
+
+    def with_reverse_chain(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        # chain edges are exactly src%8==0 and dst==src+8 (intra-group
+        # edges never cross a group boundary); reverse all but every
+        # 4th one -- lockstep with the rv CTE in oracle_sql()["scc_labels"]
+        ch = (s % 8 == 0) & (d == s + 8) & ((s // 8) % 4 != 3)
+        return pa.table(
+            {
+                "src": np.concatenate([s, d[ch]]),
+                "dst": np.concatenate([d, s[ch]]),
+            }
+        )
+
+    de = d0.map_batches(
+        with_reverse_chain, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return scc_labels(de)
+
+
 def _q_bigram_surprisal(sf_dir: str):
     """Per-doc mean bigram surprisal under the corpus MLE bigram model
     (integer-µnat quantized terms keep the sum order-independent)."""
@@ -1586,6 +1620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_labels_unionfind": lambda sf: _q_cc_labels(sf, method="unionfind"),
         "cc_checkpoint_resume": _q_cc_checkpointed,
         "cc_incremental": _q_cc_incremental,
+        "scc_labels": _q_scc,
         "link_prediction": _q_link_prediction,
         "random_walks": _q_walks,
         "pagerank_weighted": _q_pagerank_weighted,
@@ -1724,6 +1759,21 @@ def oracle_sql() -> dict[str, str]:
                 for k in range(1, 4)
             )
         ),
+        "scc_labels": f"""
+WITH RECURSIVE {_EDGES_CTES},
+d0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+rv AS (SELECT dst AS src, src AS dst FROM d0
+       WHERE src % 8 = 0 AND dst = src + 8 AND (src // 8) % 4 <> 3),
+de AS MATERIALIZED (SELECT src, dst FROM d0 UNION ALL SELECT src, dst FROM rv),
+dv AS MATERIALIZED (SELECT src AS v FROM de UNION SELECT dst FROM de),
+reach AS (SELECT src AS u, dst AS v FROM de
+          UNION
+          SELECT r.u, e.dst FROM reach r JOIN de e ON e.src = r.v),
+mut AS (SELECT a.u, a.v FROM reach a JOIN reach b ON b.u = a.v AND b.v = a.u)
+SELECT dv.v AS vertex, least(dv.v, coalesce(min(m.u), dv.v))::BIGINT AS label
+FROM dv LEFT JOIN mut m ON m.v = dv.v
+GROUP BY dv.v
+""",
         "link_prediction": (
             f"WITH {_EDGES_CTES}, "
             "simple AS (SELECT src, dst FROM edges WHERE src <> dst), "

@@ -1,0 +1,181 @@
+"""Strongly connected components of a DIRECTED edge table via
+decentralized FW-BW coloring over twin pinned shard pools.
+
+Algorithm (Fleischer/Hendrickson/Pinar FW-BW peeling in its coloring
+form, the standard distributed SCC formulation — e.g. Slota et al.'s
+Multistep; the hash-min fixpoint kernel is the same semiring as pinned
+CC/BFS, reference relax loop src/connected_components.c:109-128):
+
+  repeat until every vertex is assigned:
+    F(v) = min id of an ACTIVE vertex reaching v   (min-label fixpoint
+                                                    on the forward pool)
+    B(v) = min id of an ACTIVE vertex v reaches    (same, reversed pool)
+    every v with F(v) == B(v) = q is mutually reachable with q ⇒
+    scc(v) = q (canonical: q is the SCC's min id); peel those v.
+
+Each round peels at least SCC(min active vertex) — and in web graphs
+the giant SCC plus every "locally minimal" SCC go in round one; the
+round count is bounded by the longest chain in the SCC condensation
+DAG, the known cost profile of this algorithm family (a trim pass for
+cycle-free tails would cut it further; not needed at bench scale).
+
+Twin pools: the directed table loads one pool as-is and one reversed,
+BOTH padded with (v, v) self-loops so every vertex is an owned dst in
+each pool (the pinned ownership invariant); a self-loop is a no-op
+under strict-min relax and does not alter SCC semantics. Active masks
+and labels live shard-side; per superstep only improved frontier
+slices cross the object store, per round only the B-slices and peeled
+ids (both active-set-proportional) — the driver moves refs and scalar
+counts, never O(n) state.
+
+Self-loops in the INPUT are dropped (SCC is about cycles through
+distinct vertices; the vertex set is the self-loop-free table's).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+
+def _pad_with_self_loops(directed: Dataset, reverse: bool) -> Dataset:
+    """Self-loop-free directed edges (optionally reversed) unioned with
+    one (v, v) row per vertex (vertex set = src ∪ dst)."""
+    import ray.data as rd
+
+    def clean(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if reverse:
+            s, d = d, s
+        return pa.table({"src": s, "dst": d})
+
+    def vert_partial(t: pa.Table) -> pa.Table:
+        u = np.unique(
+            np.concatenate(
+                [
+                    t["src"].to_numpy(zero_copy_only=False),
+                    t["dst"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pa.table({"vertex": u})
+
+    base = directed.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
+    from ray.data.aggregate import Count
+
+    verts = (
+        base.map_batches(vert_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("vertex")
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    loops = verts.map_batches(
+        lambda t: pa.table({"src": t["vertex"], "dst": t["vertex"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return base.union(loops)
+
+
+def scc_labels(
+    directed_edges: Dataset,
+    *,
+    nshards: int | None = None,
+    max_peel_rounds: int = 256,
+    max_supersteps: int = 4096,
+) -> Dataset:
+    """(vertex, label) with label = min vertex id of v's strongly
+    connected component, over the self-loop-free directed graph."""
+    import ray.data as rd
+
+    from ..state.shards import build_shard_pool, establish_subscriptions
+
+    ncpus = int(ray.cluster_resources().get("CPU", 8))
+    ns = nshards or max(2, min(8, ncpus // 2))
+
+    fwd_tab = _pad_with_self_loops(directed_edges, reverse=False).materialize()
+    bwd_tab = _pad_with_self_loops(directed_edges, reverse=True).materialize()
+    acts_f = build_shard_pool(fwd_tab, ns)
+    acts_b = build_shard_pool(bwd_tab, ns)
+    try:
+        sizes_f = ray.get([a.scc_init.remote(i, ns) for i, a in enumerate(acts_f)])
+        ray.get([a.scc_init.remote(i, ns) for i, a in enumerate(acts_b)])
+        if not all(r for _s, r in sizes_f):
+            establish_subscriptions(acts_f)
+        establish_subscriptions(acts_b)
+        active = sum(s for s, _r in sizes_f)
+        total_steps = 0
+        rounds = 0
+        while active > 0 and rounds < max_peel_rounds:
+            for pool, is_fwd in ((acts_f, True), (acts_b, False)):
+                ray.get([a.scc_phase_init.remote() for a in pool])
+                converged = False
+                while not converged:
+                    if total_steps >= max_supersteps:
+                        raise RuntimeError(
+                            f"SCC superstep budget ({max_supersteps}) exhausted "
+                            "mid-fixpoint -- peeling on a stale fixpoint would "
+                            "be incorrect; raise max_supersteps"
+                        )
+                    if ns > 1:
+                        fs = [
+                            a.scc_frontier_slices.options(num_returns=ns).remote()
+                            for a in pool
+                        ]
+                        counts = ray.get(
+                            [
+                                pool[s].scc_relax.remote([fs[p][s] for p in range(ns)])
+                                for s in range(ns)
+                            ]
+                        )
+                    else:
+                        fs0 = [a.scc_frontier_slices.remote() for a in pool]
+                        counts = ray.get([pool[0].scc_relax.remote(fs0)])
+                    total_steps += 1
+                    converged = sum(counts) == 0
+                if is_fwd:
+                    ray.get([a.scc_store_f.remote() for a in pool])
+            b_slices = [a.scc_take_phase.remote() for a in acts_b]
+            peeled = [
+                acts_f[s].scc_merge_and_peel.remote(b_slices[s]) for s in range(ns)
+            ]
+            done = sum(
+                ray.get(
+                    [acts_b[s].scc_deactivate.remote(peeled[s]) for s in range(ns)]
+                )
+            )
+            if done == 0:
+                raise RuntimeError(
+                    "FW-BW peel made no progress -- the global-min active "
+                    "vertex must always peel; state is corrupt"
+                )
+            active -= done
+            rounds += 1
+        if active > 0:
+            raise RuntimeError(
+                f"SCC did not converge within {max_peel_rounds} peel rounds "
+                f"/ {max_supersteps} supersteps ({active} vertices left)"
+            )
+        refs = [a.scc_result_table.remote() for a in acts_f]
+        ray.wait(refs, num_returns=len(refs), fetch_local=False)
+        return rd.from_arrow_refs(refs)
+    finally:
+        for a in acts_f + acts_b:
+            ray.kill(a)
+
+
+def scc_counts(directed_edges: Dataset, **kw) -> Dataset:
+    """(label, size) per strongly connected component."""
+    from ray.data.aggregate import Count
+
+    return (
+        scc_labels(directed_edges, **kw)
+        .groupby("label")
+        .aggregate(Count(alias_name="size"))
+    )

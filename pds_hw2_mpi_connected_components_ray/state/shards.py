@@ -1136,6 +1136,130 @@ class GraphShardActor:
     def lp_table(self) -> pa.Table:
         return pa.table({"vertex": self.vx_own, "label": self.lp_labels})
 
+    # ------------------------------------------- decentralized SCC (FW-BW
+    # coloring). Two pools hold the DIRECTED graph (this pool = one
+    # direction; its twin holds the reverse), both padded with (v, v)
+    # self-loops so every vertex is an owned dst in BOTH pools (the
+    # ownership invariant pinned solves require; a self-loop is a no-op
+    # under strict-min relax). Per peel round each pool runs a min-label
+    # fixpoint restricted to ACTIVE vertices; a vertex with equal
+    # forward/backward fixpoint labels F(v) == B(v) = q is mutually
+    # reachable with q, so SCC(v) = q (and q is SCC(v)'s min id: the
+    # min m of the SCC is active and reaches v, forcing F(v) <= m).
+    # The round always peels at least the SCC of the globally smallest
+    # active vertex, so the loop terminates. Driver moves only refs and
+    # scalar counts; active masks and labels live shard-side.
+
+    def scc_init(self, sid: int, nshards: int) -> tuple:
+        self.sid = sid
+        self.cc_nshards = nshards
+        self.own = self.udst
+        self.scc_active = np.ones(len(self.udst), dtype=bool)
+        self.scc_label = np.full(len(self.udst), -1, dtype=np.int64)
+        return len(self.own), getattr(self, "_subs_ns", None) == nshards
+
+    def scc_phase_init(self) -> int:
+        """Start a min-label fixpoint over the active subgraph:
+        lab = v for active vertices (all of them form the first
+        frontier), +inf for peeled ones (their label never ships and
+        their in-edges contribute +inf)."""
+        self.ph_lab = np.where(self.scc_active, self.udst, _I64MAX)
+        self.ph_mask = self.scc_active.copy()
+        return int(self.scc_active.sum())
+
+    def scc_frontier_slices(self):
+        """Improved (request-index, label) rows per subscriber shard --
+        the bfs_frontier_slices shape over the phase state."""
+        ns = self.cc_nshards
+        m = self.ph_mask
+        d = self.ph_lab
+        e = np.array([], dtype=np.int64)
+        out = []
+        for pos in self.sub_pos:
+            if len(pos) == 0 or len(m) == 0:
+                out.append((e.astype(np.int32), e))
+                continue
+            idx = np.flatnonzero(m[pos])
+            if len(pos) < 2**31:
+                idx = idx.astype(np.int32)
+            out.append((idx, d[pos[idx]]))
+        return tuple(out) if ns > 1 else out[0]
+
+    def scc_relax(self, frontier_refs: list) -> int:
+        """lab[dst] <- min(lab[dst], min over in-neighbor labels) for
+        ACTIVE dsts (min over THIS pool's edge direction: the forward
+        pool computes min-reaching, the reversed pool min-reachable)."""
+        self.ph_mask = np.zeros(len(self.udst), dtype=bool)
+        if len(self.udst) == 0 or len(self.usrc) == 0:
+            return 0
+        dmap = np.full(len(self.usrc), _I64MAX, dtype=np.int64)
+        any_seen = False
+        for o, r in enumerate(frontier_refs):
+            idx, fl = ray.get(r)
+            if len(idx) == 0:
+                continue
+            any_seen = True
+            dmap[self.req_pos[o][idx]] = fl
+        if not any_seen:
+            return 0
+        per_edge = dmap[self.src_local]
+        mins = np.minimum.reduceat(per_edge, self.offsets[:-1])
+        imp = (mins < self.ph_lab) & self.scc_active
+        if imp.any():
+            self.ph_lab[imp] = mins[imp]
+            self.ph_mask = imp
+        return int(imp.sum())
+
+    def scc_store_f(self) -> None:
+        """Forward pool only: stash the F fixpoint before B runs."""
+        self.scc_F = self.ph_lab.copy()
+
+    def scc_take_phase(self):
+        """(vertex, label) fixpoint slice for active owned vertices --
+        fetched by the TWIN pool's peer, never by the driver."""
+        a = self.scc_active
+        return self.udst[a], self.ph_lab[a]
+
+    def scc_merge_and_peel(self, b_slice) -> np.ndarray:
+        """Forward-pool side of the peel: compare stored F with the
+        twin's B slice (identical active vertex order -- both pools own
+        the full padded residue class and deactivate in lockstep),
+        assign scc labels where F == B, deactivate, and return the
+        peeled ids (shipped BY REF to the twin's scc_deactivate)."""
+        bv, bl = b_slice
+        a = self.scc_active
+        fv = self.udst[a]
+        fl = self.scc_F[a]
+        if len(fv) != len(bv) or (len(fv) and not (fv == bv).all()):
+            raise ValueError(
+                f"shard {self.sid}: forward/backward active sets diverged "
+                "(pools must be loaded from the same padded edge table)"
+            )
+        done = fl == bl
+        ids = fv[done]
+        if len(ids):
+            pos = self._owned_positions(ids)
+            self.scc_label[pos] = fl[done]
+            self.scc_active[pos] = False
+        return ids
+
+    def scc_deactivate(self, ids: np.ndarray) -> int:
+        if len(ids):
+            self.scc_active[self._owned_positions(ids)] = False
+        return len(ids)
+
+    def scc_active_count(self) -> int:
+        return int(self.scc_active.sum())
+
+    def scc_result_table(self) -> pa.Table:
+        assigned = self.scc_label >= 0
+        return pa.table(
+            {
+                "vertex": pa.array(self.udst[assigned]),
+                "label": pa.array(self.scc_label[assigned]),
+            }
+        )
+
 
 def establish_subscriptions(actors: list) -> None:
     """One-time peer exchange of frontier subscriptions on a pool whose
