@@ -220,6 +220,14 @@ def bench_suite() -> dict:
         "sssp_weighted",
         "events_rate_anomalies",
         "lexical_diversity",
+        # round-3 continuation: curation / community / truss / SCC
+        "dedup_lines",
+        "modularity",
+        "community_graph",
+        "edge_support",
+        "ktruss5_r3",
+        "bigram_surprisal",
+        "scc_labels",
     ]:
         qtimes[name] = run(name)
     return qtimes

@@ -26,10 +26,11 @@ from ray.data import Dataset
 
 from ..context import default_parallelism
 from ..stages.graph import degrees, drop_self_loops
-from ..stages.joins import hash_join, put_lookup
+from ..stages.joins import broadcast_attach, hash_join, put_lookup
 
 
 BROADCAST_DEGREE_THRESHOLD = 5_000_000  # vertices; ~80 MB of (id, deg) pairs
+_BROADCAST_SUPPORT_PAIRS = 5_000_000  # (packed pair, support) rows; ~80 MB
 
 
 def _orient(edges: Dataset, deg_ref) -> Dataset:
@@ -227,8 +228,15 @@ def edge_support(
 
     Same degree-oriented wedge-closure plan (O(m^1.5) bound); each
     closed triangle credits its three edges as unordered pairs, a
-    pair-keyed groupby sums credits, and a left join against the
-    unordered edge list keeps support-0 edges in the output."""
+    pair-keyed groupby sums credits, and the unordered edge list gets
+    support attached (0 for triangle-free edges).
+
+    Pair keys PACK into one int64 ((lo << 31) | hi) whenever the max
+    vertex id fits 31 bits — 1-D int uniques + a single-int groupby
+    measured ~3× cheaper than 2-D lexsort uniques + a two-column
+    aggregate; the 63-bit minted-id space falls back to the wide path.
+    The support table attaches by broadcast below a threshold (it is
+    edges-with-triangles-sized) and by left hash join beyond it."""
     from ray.data.aggregate import Sum
 
     simple = drop_self_loops(edges).materialize()
@@ -286,7 +294,77 @@ def edge_support(
         num_partitions=max(1, min(npart, wcnt // 100_000 + 1)),
     )
 
-    def edge_credits(t: pa.Table) -> pa.Table:
+    vmax = simple.max("dst")
+    if vmax is not None and int(vmax) < 2**31:
+        shift = np.int64(31)
+
+        def edge_credits(t: pa.Table) -> pa.Table:
+            a = t["a"].to_numpy(zero_copy_only=False)
+            b = t["b"].to_numpy(zero_copy_only=False)
+            c = t["c"].to_numpy(zero_copy_only=False)
+            x = np.concatenate([np.minimum(a, b), np.minimum(b, c), np.minimum(a, c)])
+            y = np.concatenate([np.maximum(a, b), np.maximum(b, c), np.maximum(a, c)])
+            u, cnt = np.unique((x << shift) | y, return_counts=True)
+            return pa.table({"k": u, "s": cnt.astype(np.int64)})
+
+        # bucket-per-group sum: Ray's keyed aggregate on the raw packed
+        # key pays the full sort-aggregate (measured 10.5s for 750k
+        # credit rows); hashing into ~parallelism int buckets and
+        # reducing each bucket with one sort+reduceat pass is ~10x less
+        nb = max(8, default_parallelism())
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            k = t["k"].to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "_kb", pa.array((k * np.int64(0x9E3779B9)) % nb, pa.int64())
+            )
+
+        def bucket_sum(t: pa.Table) -> pa.Table:
+            k = t["k"].to_numpy(zero_copy_only=False)
+            s = t["s"].to_numpy(zero_copy_only=False)
+            order = np.argsort(k, kind="stable")
+            ks, ss = k[order], s[order]
+            bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            return pa.table(
+                {"k": ks[bounds], "s": np.add.reduceat(ss, bounds).astype(np.int64)}
+            )
+
+        sup = (
+            tri.map_batches(edge_credits, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_kb")
+            .map_groups(bucket_sum, batch_format="pyarrow")
+            .materialize()
+        )
+
+        def und_key(t: pa.Table) -> pa.Table:
+            a = t["a"].to_numpy(zero_copy_only=False)
+            b = t["b"].to_numpy(zero_copy_only=False)
+            return pa.table({"a": a, "b": b, "k": (a << shift) | b})
+
+        und_k = und.map_batches(und_key, batch_format="pyarrow", zero_copy_batch=True)
+        if sup.count() <= _BROADCAST_SUPPORT_PAIRS:
+            sup_tab = pa.concat_tables(
+                list(sup.iter_batches(batch_format="pyarrow", batch_size=None))
+            )
+            ref = put_lookup(sup_tab, "k", "s")
+            return broadcast_attach(
+                und_k, ref, "k", "support", keep_missing=True, missing_value=0
+            ).select_columns(["a", "b", "support"])
+        joined = hash_join(
+            und_k, sup, on=("k",), join_type="left_outer",
+            num_partitions=max(1, min(npart, simple.count() // 200_000 + 1)),
+        )
+
+        def fin_k(t: pa.Table) -> pa.Table:
+            s = t["s"].to_numpy(zero_copy_only=False)
+            s = np.where(np.isnan(s.astype(np.float64)), 0, s).astype(np.int64)
+            return pa.table({"a": t["a"], "b": t["b"], "support": s})
+
+        return joined.map_batches(fin_k, batch_format="pyarrow", zero_copy_batch=True)
+
+    # wide fallback: 63-bit id spaces cannot pack two ids into int64
+    def edge_credits_wide(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False)
         b = t["b"].to_numpy(zero_copy_only=False)
         c = t["c"].to_numpy(zero_copy_only=False)
@@ -297,7 +375,7 @@ def edge_support(
         return pa.table({"x": u[:, 0], "y": u[:, 1], "s": cnt.astype(np.int64)})
 
     sup = (
-        tri.map_batches(edge_credits, batch_format="pyarrow", zero_copy_batch=True)
+        tri.map_batches(edge_credits_wide, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["x", "y"])
         .aggregate(Sum("s", alias_name="s"))
     )
