@@ -1293,6 +1293,28 @@ def _q_duplicate_ngram_stats(sf_dir: str):
     return duplicate_ngram_stats(_docs(sf_dir))
 
 
+def _q_funnel(sf_dir: str):
+    """Ordered view→click→purchase funnel per user (stage k strictly
+    after stage k-1's first completion; bucketed one-sort formulation)."""
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import funnel_stages
+
+    return funnel_stages(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_cohort_retention(sf_dir: str):
+    """Retention triangle: first-signup-week cohorts x active-week
+    offsets, distinct users counted once per (cohort, offset)."""
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import cohort_retention
+
+    return cohort_retention(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_scc(sf_dir: str):
     """Strongly connected components of the planted DIRECTED graph
     (distinct raw edges + a reverse chain edge inside each 4-group run,
@@ -1688,6 +1710,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_prev": _q_events_asof,
         "events_asof_enrich": _q_events_asof_enrich,
         "events_sessionize": _q_events_sessionize,
+        "events_funnel": _q_funnel,
+        "cohort_retention": _q_cohort_retention,
         "top_tokens": _q_top_tokens,
         "tfidf_top_terms": _q_tfidf_top_terms,
         # multimodal plumbing
@@ -2197,6 +2221,35 @@ GROUP BY l.doc_id
             "rk AS (SELECT doc_id, token, score, row_number() OVER ("
             "  PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rnk FROM sc) "
             "SELECT doc_id, token, score, rnk::BIGINT AS rnk FROM rk WHERE rnk <= 3"
+        ),
+        "events_funnel": (
+            "WITH u AS (SELECT DISTINCT user_id FROM events), "
+            "v AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events "
+            "  WHERE event_type = 'view' GROUP BY user_id), "
+            "c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e "
+            "  JOIN v ON v.user_id = e.user_id "
+            "  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t GROUP BY e.user_id), "
+            "p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e "
+            "  JOIN c ON c.user_id = e.user_id "
+            "  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t GROUP BY e.user_id) "
+            "SELECT u.user_id, "
+            "(CASE WHEN p.t IS NOT NULL THEN 3 WHEN c.t IS NOT NULL THEN 2 "
+            "  WHEN v.t IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS funnel_stage, "
+            "coalesce(v.t, -1)::BIGINT AS t_view, "
+            "coalesce(c.t, -1)::BIGINT AS t_click, "
+            "coalesce(p.t, -1)::BIGINT AS t_purchase "
+            "FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) "
+            "LEFT JOIN p USING (user_id)"
+        ),
+        "cohort_retention": (
+            "WITH s AS (SELECT user_id, "
+            "  min(epoch_us(ts)) // 604800000000 AS cw FROM events "
+            "  WHERE event_type = 'signup' GROUP BY user_id), "
+            "a AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS w "
+            "  FROM events) "
+            "SELECT s.cw AS cohort_week, (a.w - s.cw)::BIGINT AS week_offset, "
+            "count(*)::BIGINT AS n_users "
+            "FROM a JOIN s USING (user_id) WHERE a.w >= s.cw GROUP BY 1, 2"
         ),
         "events_asof_prev": (
             "WITH o AS (SELECT event_id, epoch_us(ts) AS t, "

@@ -342,3 +342,148 @@ def rate_anomalies(
         )
 
     return joined.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def funnel_stages(
+    events: Dataset,
+    *,
+    stages: tuple = ("view", "click", "purchase"),
+    by: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> Dataset:
+    """Ordered-funnel analysis: per user, the first time each stage is
+    reached where stage k must happen STRICTLY after the user's first
+    completion of stage k-1 (first view, first click after that view,
+    first purchase after that click — the standard product-analytics
+    funnel, which no plain per-type min can express).
+
+    Batch formulation (the asof_prev shape): hash-bucket users (one
+    small-int keyed shuffle), sort each bucket once by (user, ts, id),
+    then one masked minimum.reduceat per stage over user-run
+    boundaries, threading the previous stage's time back per row — the
+    whole chain is vectorized, no per-user python.
+
+    Output: (user_id, funnel_stage, t_view, t_click, t_purchase) with
+    epoch-µs times, -1 where a stage was never reached."""
+    _INF = np.int64(2**62)
+    _NEG = np.int64(-(2**62))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([by, ts_col, id_col], kind="stable")
+        u = g[by].to_numpy(dtype=np.int64)
+        t = g[ts_col].to_numpy().astype("datetime64[us]").view(np.int64)
+        et = g["event_type"].to_numpy()
+        first = np.r_[True, u[1:] != u[:-1]]
+        bounds = np.flatnonzero(first)
+        runidx = np.cumsum(first) - 1
+        th = np.full(len(bounds), _NEG, dtype=np.int64)
+        reached = []
+        for s in stages:
+            cand = np.where((et == s) & (t > th[runidx]), t, _INF)
+            ts_s = np.minimum.reduceat(cand, bounds)
+            reached.append(ts_s)
+            th = ts_s  # missing stage -> +inf threshold kills the rest
+        stage_n = np.sum([r != _INF for r in reached], axis=0).astype(np.int64)
+        out = {"user_id": u[bounds], "funnel_stage": stage_n}
+        for name, r in zip(stages, reached):
+            out[f"t_{name}"] = np.where(r == _INF, np.int64(-1), r)
+        return pd.DataFrame(out)
+
+    return (
+        _bucket_by_key(events, by, [by, ts_col, id_col, "event_type"])
+        .groupby("_kb")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def cohort_retention(
+    events: Dataset,
+    *,
+    signup_type: str = "signup",
+    week_us: int = 7 * 24 * US_PER_HOUR,
+) -> Dataset:
+    """(cohort_week, week_offset, n_users): classic retention triangle —
+    users grouped by the week of their FIRST signup event, counted once
+    per later week in which they produced ANY event (offset >= 0;
+    pre-signup activity is out of the retention window by definition).
+
+    Plan: per-user first-signup week (filtered pass + user-keyed
+    groupby-min), distinct (user, week) activity pairs (per-batch
+    distinct combiner + one keyed groupby), a user-keyed hash join,
+    then one small (cohort, offset)-keyed count — every shuffle input
+    is pre-aggregated."""
+    from ray.data.aggregate import Count, Min
+
+    from ..stages.joins import hash_join
+
+    def signup_partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        keep = et == signup_type
+        u = t["user_id"].to_numpy(zero_copy_only=False)[keep]
+        ts = (
+            t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        )[keep]
+        order = np.argsort(u, kind="stable")
+        us, tss = u[order], ts[order]
+        b = np.flatnonzero(np.r_[True, us[1:] != us[:-1]]) if len(us) else np.array([], dtype=np.int64)
+        return pa.table(
+            {
+                "user_id": us[b],
+                "t0": np.minimum.reduceat(tss, b) if len(us) else tss,
+            }
+        )
+
+    su = (
+        events.select_columns(["user_id", "ts", "event_type"])
+        .map_batches(signup_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Min("t0", alias_name="t0"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "cw": t["t0"].to_numpy(zero_copy_only=False) // week_us,
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+    def week_partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        w = (
+            t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        ) // week_us
+        k = np.stack([u, w], axis=1)
+        uq = np.unique(k, axis=0)
+        return pa.table({"user_id": uq[:, 0], "w": uq[:, 1]})
+
+    aw = (
+        events.select_columns(["user_id", "ts"])
+        .map_batches(week_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "w"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+    # clamp join partitions to the signup-user count (an empty right
+    # block in a hash partition crashes pyarrow's join)
+    su = su.materialize()
+    npart = max(1, min(default_parallelism(), su.count() // 100_000 + 1))
+    j = hash_join(aw, su, on=("user_id",), num_partitions=npart)
+
+    def offset(t: pa.Table) -> pa.Table:
+        w = t["w"].to_numpy(zero_copy_only=False)
+        cw = t["cw"].to_numpy(zero_copy_only=False)
+        keep = w >= cw
+        return pa.table(
+            {"cohort_week": cw[keep], "week_offset": (w - cw)[keep]}
+        )
+
+    return (
+        j.map_batches(offset, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Count(alias_name="n_users"))
+    )

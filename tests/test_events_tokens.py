@@ -247,3 +247,66 @@ def test_bigram_surprisal_brute(ray_session):
         for r in bigram_surprisal(docs, force_join=True).to_pandas().itertuples()
     }
     assert got_j == got
+
+
+# ---------------------------------------------------------------------------
+# funnel / cohort retention
+# ---------------------------------------------------------------------------
+
+
+def _mk_events(rows):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "t"])
+    df["ts"] = pd.to_datetime(df.pop("t"), unit="us")
+    df["event_id"] = df["event_id"].astype(np.int64)
+    df["user_id"] = df["user_id"].astype(np.int64)
+    return rd.from_pandas(df)
+
+
+def test_funnel_requires_order(ray_session):
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import funnel_stages
+
+    ev = _mk_events(
+        [
+            # user 1: full ordered funnel
+            (0, 1, "view", 100), (1, 1, "click", 200), (2, 1, "purchase", 300),
+            # user 2: purchase BEFORE click -> stage stops at 2
+            (3, 2, "view", 100), (4, 2, "purchase", 150), (5, 2, "click", 200),
+            # user 3: click only, no view -> stage 0
+            (6, 3, "click", 100),
+            # user 4: view at same ts as click -> strict > fails, stage 1
+            (7, 4, "view", 500), (8, 4, "click", 500),
+            # user 5: second view opens no new chain (first-view contract)
+            (9, 5, "click", 50), (10, 5, "view", 100), (11, 5, "click", 80),
+        ]
+    )
+    out = funnel_stages(ev).to_pandas().set_index("user_id").sort_index()
+    assert list(out["funnel_stage"]) == [3, 2, 0, 1, 1]
+    assert out.loc[1, "t_purchase"] == 300
+    assert out.loc[2, "t_click"] == 200 and out.loc[2, "t_purchase"] == -1
+    assert out.loc[4, "t_click"] == -1
+
+
+def test_cohort_retention_triangle(ray_session):
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import cohort_retention
+
+    WK = 7 * 24 * 3600 * 10**6
+    ev = _mk_events(
+        [
+            (0, 1, "signup", 0), (1, 1, "click", 1 * WK + 5), (2, 1, "view", 2 * WK + 5),
+            (3, 2, "signup", 10), (4, 2, "click", 1 * WK + 6),
+            # user 3 active BEFORE signup: pre-signup week excluded
+            (5, 3, "view", 10), (6, 3, "signup", 1 * WK + 1), (7, 3, "view", 2 * WK + 2),
+            # user 4 never signs up: absent
+            (8, 4, "click", 20),
+        ]
+    )
+    out = cohort_retention(ev).to_pandas()
+    got = {
+        (int(r.cohort_week), int(r.week_offset)): int(r.n_users)
+        for r in out.itertuples()
+    }
+    assert got == {(0, 0): 2, (0, 1): 2, (0, 2): 1, (1, 0): 1, (1, 1): 1}
