@@ -1315,6 +1315,17 @@ def _q_cohort_retention(sf_dir: str):
     return cohort_retention(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_pmi(sf_dir: str):
+    """Top-30 PMI collocations (min bigram count 5): bucketed c2 counts,
+    marginals attached inside w1-/w2-bucketed passes, round-before-rank."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import (
+        pmi_collocations,
+    )
+
+    return pmi_collocations(_docs(sf_dir), k=30, min_count=5)
+
+
 def _q_scc(sf_dir: str):
     """Strongly connected components of the planted DIRECTED graph
     (distinct raw edges + a reverse chain edge inside each 4-group run,
@@ -1734,6 +1745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans,
         "top_bigrams": _q_top_bigrams,
         "bigram_surprisal": _q_bigram_surprisal,
+        "pmi_collocations": _q_pmi,
         "top_docs_per_source": _q_top_docs_per_source,
         "repetition_signals": _q_repetition_signals,
         "stratified_sample": _q_stratified_sample,
@@ -2338,6 +2350,22 @@ GROUP BY l.doc_id
             "u AS (SELECT w, unnest(range(1, len(w))) AS i FROM toks) "
             "SELECT w[i] || ' ' || w[i+1] AS bigram, count(*)::BIGINT AS n "
             "FROM u GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 30"
+        ),
+        "pmi_collocations": (
+            "WITH toks AS (SELECT doc_id, "
+            "  regexp_extract_all(coalesce(text,''), '\\S+') AS w FROM documents), "
+            "u AS (SELECT w[i] AS w1, w[i+1] AS w2, w[i] || ' ' || w[i+1] AS bg "
+            "  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM toks) q), "
+            "c2 AS (SELECT bg, any_value(w1) AS w1, any_value(w2) AS w2, "
+            "  count(*)::BIGINT AS n FROM u GROUP BY bg), "
+            "l AS (SELECT w1, sum(n)::BIGINT AS c1l FROM c2 GROUP BY w1), "
+            "r AS (SELECT w2, sum(n)::BIGINT AS c1r FROM c2 GROUP BY w2), "
+            "t AS (SELECT sum(n)::DOUBLE AS tt FROM c2) "
+            "SELECT c2.bg AS bigram, c2.n AS n, "
+            "floor(ln((c2.n::DOUBLE * t.tt) / (l.c1l::DOUBLE * r.c1r::DOUBLE)) "
+            "  * 1e6 + 0.5) / 1e6 AS pmi "
+            "FROM c2 JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t "
+            "WHERE c2.n >= 5 ORDER BY pmi DESC, bigram ASC LIMIT 30"
         ),
         "bigram_surprisal": (
             "WITH toks AS (SELECT doc_id, "

@@ -591,3 +591,114 @@ def bigram_surprisal(docs: Dataset, *, force_join: bool = False) -> Dataset:
         )
 
     return per.map_batches(finalize, batch_format="pandas")
+
+
+def pmi_collocations(docs: Dataset, *, k: int = 30, min_count: int = 5) -> Dataset:
+    """(bigram, n, pmi): top-k collocations by pointwise mutual
+    information PMI = ln(c2·T / (c1l·c1r)) over the corpus bigram model
+    (c1l/c1r = occurrences as bigram left/right; T = total bigrams;
+    bigrams never cross doc boundaries — top_bigrams semantics). The
+    min_count floor drops one-off pairings, the classic collocation
+    extraction (Church & Hanks).
+
+    Everything after the corpus pass is vocabulary-sized: c2 comes from
+    the per-batch bigram-count combiner + one bucketed sum, and c1l/c1r
+    are derived FROM the c2 table inside w1-/w2-bucketed passes (a
+    bucket holds every row of its key, so the marginal attaches with a
+    local groupby-transform — zero joins). PMI rounds half-up at 1e-6
+    before the (pmi desc, bigram asc) rank, the tfidf round-before-rank
+    contract."""
+    from .events import _bucket_by_key
+
+    base = docs.select_columns(["text"])
+
+    def bigram_count(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.split()
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        empty = pd.DataFrame(
+            {
+                "bg": pd.Series([], dtype=str),
+                "w1": pd.Series([], dtype=str),
+                "w2": pd.Series([], dtype=str),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+        if lens.sum() < 2:
+            return empty
+        flat = np.concatenate(
+            [np.asarray(x, dtype=object) for x in toks.to_numpy() if len(x)]
+        ).astype(str)
+        starts = np.cumsum(lens)[:-1]
+        valid = np.ones(len(flat) - 1, dtype=bool)
+        bnd = starts[(starts > 0) & (starts <= len(flat) - 1)]
+        valid[bnd - 1] = False
+        if not valid.any():
+            return empty
+        w1 = flat[:-1][valid]
+        w2 = flat[1:][valid]
+        big = np.char.add(np.char.add(w1, " "), w2)
+        vc = pd.Series(big).value_counts()
+        bgs = vc.index.to_numpy(dtype=str)
+        halves = np.char.partition(bgs, " ")
+        return pd.DataFrame(
+            {
+                "bg": bgs,
+                "w1": halves[:, 0],
+                "w2": halves[:, 2],
+                "n": vc.to_numpy(dtype=np.int64),
+            }
+        )
+
+    parts = base.map_batches(bigram_count, batch_format="pandas")
+
+    def bucket_c2(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bg", sort=False).agg(
+            w1=("w1", "first"), w2=("w2", "first"), n=("n", "sum")
+        )
+        g = g.reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return g[["bg", "w1", "w2", "n"]]
+
+    c2 = (
+        _bucket_by_key(parts, "bg", ["bg", "w1", "w2", "n"])
+        .groupby("_kb")
+        .map_groups(bucket_c2, batch_format="pandas")
+        .materialize()
+    )
+    total = float(c2.sum("n") or 0.0)
+
+    def attach_marginal(col: str, out: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df[out] = df.groupby(col, sort=False)["n"].transform("sum").astype(np.int64)
+            return df
+
+        return fn
+
+    with_l = (
+        _bucket_by_key(c2, "w1", ["bg", "w1", "w2", "n"])
+        .groupby("_kb")
+        .map_groups(attach_marginal("w1", "c1l"), batch_format="pandas")
+    )
+    with_lr = (
+        _bucket_by_key(with_l, "w2", ["bg", "w2", "n", "c1l"])
+        .groupby("_kb")
+        .map_groups(attach_marginal("w2", "c1r"), batch_format="pandas")
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n"] >= min_count]
+        n = df["n"].to_numpy(dtype=np.float64)
+        c1l = df["c1l"].to_numpy(dtype=np.float64)
+        c1r = df["c1r"].to_numpy(dtype=np.float64)
+        pmi = np.floor(np.log((n * total) / (c1l * c1r)) * 1e6 + 0.5) / 1e6
+        return pd.DataFrame(
+            {
+                "bigram": df["bg"].astype(str),
+                "n": df["n"].to_numpy(dtype=np.int64),
+                "pmi": pmi,
+            }
+        )
+
+    scored = with_lr.map_batches(score, batch_format="pandas")
+    return scored.sort(["pmi", "bigram"], descending=[True, False]).limit(k)

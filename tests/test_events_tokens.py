@@ -310,3 +310,55 @@ def test_cohort_retention_triangle(ray_session):
         for r in out.itertuples()
     }
     assert got == {(0, 0): 2, (0, 1): 2, (0, 2): 1, (1, 0): 1, (1, 1): 1}
+
+
+def test_pmi_collocations_brute(ray_session):
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import (
+        pmi_collocations,
+    )
+
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(12)] + ["york", "new"]
+    texts = []
+    for _ in range(60):
+        toks = list(rng.choice(vocab[:12], size=rng.randint(3, 12)))
+        if rng.rand() < 0.5:
+            toks += ["new", "york"]  # planted collocation
+        texts.append(" ".join(toks))
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    )
+    out = pmi_collocations(docs, k=10, min_count=3).to_pandas()
+
+    # brute force
+    c2, c1l, c1r = {}, {}, {}
+    for t in texts:
+        ws = t.split()
+        for a, b in zip(ws, ws[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+            c1l[a] = c1l.get(a, 0) + 1
+            c1r[b] = c1r.get(b, 0) + 1
+    T = float(sum(c2.values()))
+    rows = [
+        (
+            f"{a} {b}",
+            n,
+            math.floor(math.log((n * T) / (float(c1l[a]) * float(c1r[b]))) * 1e6 + 0.5)
+            / 1e6,
+        )
+        for (a, b), n in c2.items()
+        if n >= 3
+    ]
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    exp = pd.DataFrame(rows[:10], columns=["bigram", "n", "pmi"])
+    got = out.reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, exp.astype({"n": got["n"].dtype}), check_like=True
+    )
+    assert got.loc[0, "bigram"] == "new york"
