@@ -1293,6 +1293,18 @@ def _q_duplicate_ngram_stats(sf_dir: str):
     return duplicate_ngram_stats(_docs(sf_dir))
 
 
+def _q_neardup_contamination(sf_dir: str):
+    """Near-dup benchmark contamination: cross-set (test id%20==0 vs
+    train) pairs at exact char-5 Jaccard >= 0.5, LSH candidates."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.dedup import (
+        neardup_contamination,
+    )
+
+    out = neardup_contamination(_docs(sf_dir)).to_pandas()
+    return _round_cols(out, ["jaccard"])
+
+
 def _q_funnel(sf_dir: str):
     """Ordered view→click→purchase funnel per user (stage k strictly
     after stage k-1's first completion; bucketed one-sort formulation)."""
@@ -1415,6 +1427,15 @@ def _q_community_graph(sf_dir: str):
     )
 
     return community_graph(_canon_edges(sf_dir), _lpa_labels(sf_dir))
+
+
+def _q_conductance(sf_dir: str):
+    """Per-community conductance of the LPA labeling (integer-exact
+    cut/vol partials; one float division at the end)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.communities import conductance
+
+    return conductance(_canon_edges(sf_dir), _lpa_labels(sf_dir))
 
 
 def _q_dedup_lines(sf_dir: str):
@@ -1680,6 +1701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "labelprop4": _q_labelprop,
         "modularity": _q_modularity,
         "community_graph": _q_community_graph,
+        "conductance": _q_conductance,
         "triangle_total": _q_triangle_total,
         "triangles_by_vertex": _q_triangles_by_vertex,
         "edge_support": _q_edge_support,
@@ -1741,6 +1763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cleaning / curation
         "scrub_pii": _q_scrub_pii,
         "contamination_check": _q_contamination_check,
+        "neardup_contamination": _q_neardup_contamination,
         "source_stats": _q_source_stats,
         "kmeans_clusters": _q_kmeans,
         "top_bigrams": _q_top_bigrams,
@@ -1853,6 +1876,18 @@ b AS (SELECT sum(dc * dc)::DOUBLE AS b, count(*)::BIGINT AS n FROM d)
 SELECT floor((s.a / s.e - b.b / (s.e * s.e)) * 1e6 + 0.5) / 1e6 AS modularity,
        b.n AS n_communities
 FROM s, b"""
+        ),
+        "conductance": (
+            _COMM_EDGE_CTES
+            + """,
+d AS MATERIALIZED (SELECT ca, count(*)::BIGINT AS vol,
+  sum(CASE WHEN ca = cb THEN 1 ELSE 0 END)::BIGINT AS same FROM le GROUP BY ca),
+t AS (SELECT sum(vol)::DOUBLE AS e FROM d)
+SELECT ca AS community, (vol - same)::BIGINT AS cut, vol,
+  CASE WHEN least(vol::DOUBLE, t.e - vol) > 0
+       THEN floor(((vol - same)::DOUBLE / least(vol::DOUBLE, t.e - vol)) * 1e6 + 0.5) / 1e6
+       ELSE 0.0 END AS conductance
+FROM d, t"""
         ),
         "community_graph": (
             _COMM_EDGE_CTES
@@ -2087,6 +2122,13 @@ GROUP BY l.doc_id
         "doc_fingerprints": (
             "SELECT doc_id, ('0x' || substr(md5(coalesce(text,'')), 1, 15))::BIGINT AS fp "
             "FROM documents"
+        ),
+        "neardup_contamination": (
+            f"WITH {_CHAR5_PAIR_CTES} "
+            "SELECT CASE WHEN a % 20 = 0 THEN a ELSE b END AS test_doc_id, "
+            "CASE WHEN a % 20 = 0 THEN b ELSE a END AS train_doc_id, "
+            "round(j, 6) AS jaccard FROM jpairs "
+            "WHERE j >= 0.5 AND ((a % 20 = 0) <> (b % 20 = 0))"
         ),
         "minhash_pairs": (
             f"WITH {_CHAR5_PAIR_CTES} "

@@ -228,6 +228,11 @@ def bench_suite() -> dict:
         "ktruss5_r3",
         "bigram_surprisal",
         "scc_labels",
+        "neardup_contamination",
+        "conductance",
+        "events_funnel",
+        "cohort_retention",
+        "pmi_collocations",
     ]:
         qtimes[name] = run(name)
     return qtimes

@@ -181,3 +181,53 @@ def community_graph(edges: Dataset, labels: Dataset, **attach_kw) -> Dataset:
         .groupby(["ca", "cb"])
         .aggregate(Sum("weight", alias_name="weight"))
     )
+
+
+def conductance(edges: Dataset, labels: Dataset, **attach_kw) -> Dataset:
+    """(community, cut, vol, conductance): per-community conductance
+    φ(C) = cut(C) / min(vol(C), vol(complement)) over the symmetric
+    simple graph — the standard community-quality score (low = well
+    separated). cut counts directed rows leaving C, vol counts directed
+    rows originating in C (so every quantity is an exact int64 and only
+    the final division is floating point, the modularity contract);
+    a community with empty complement volume scores 0.0 by convention.
+    Same per-batch-partial + label-keyed-groupby plan as modularity."""
+    le = _endpoint_labels(edges, labels, **attach_kw)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ca = t["ca"].to_numpy(zero_copy_only=False)
+        cb = t["cb"].to_numpy(zero_copy_only=False)
+        u, cnt = np.unique(ca, return_counts=True)
+        same = np.zeros(len(u), dtype=np.int64)
+        eq = ca == cb
+        if eq.any():
+            us, cs = np.unique(ca[eq], return_counts=True)
+            same[np.searchsorted(u, us)] = cs
+        return pa.table({"ca": u, "vol": cnt.astype(np.int64), "same": same})
+
+    percomm = (
+        le.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ca")
+        .aggregate(Sum("vol", alias_name="vol"), Sum("same", alias_name="same"))
+        .materialize()
+    )
+    e = float(percomm.sum("vol") or 0.0)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        vol = t["vol"].to_numpy(zero_copy_only=False).astype(np.int64)
+        same = t["same"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cut = vol - same
+        denom = np.minimum(vol.astype(np.float64), e - vol)
+        phi = np.where(
+            denom > 0, np.floor((cut / np.where(denom > 0, denom, 1.0)) * 1e6 + 0.5) / 1e6, 0.0
+        )
+        return pa.table(
+            {
+                "community": t["ca"],
+                "cut": cut,
+                "vol": vol,
+                "conductance": phi,
+            }
+        )
+
+    return percomm.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)

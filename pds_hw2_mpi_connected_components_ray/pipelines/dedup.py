@@ -936,3 +936,50 @@ def duplicate_groups(pairs: Dataset, *, a_col: str = "a", b_col: str = "b") -> D
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def neardup_contamination(
+    docs: Dataset,
+    *,
+    test_mod: int = 20,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **lsh_kw,
+) -> Dataset:
+    """(test_doc_id, train_doc_id, jaccard): NEAR-duplicate benchmark
+    contamination — train documents whose exact char-5-shingle Jaccard
+    with a held-out doc (id % test_mod == 0, the contamination_check
+    split) reaches `threshold`. The exact-n-gram contamination_check
+    misses paraphrased/lightly-edited leaks; this is the fuzzy
+    complement every eval-decontamination pipeline runs (e.g. GPT-3's
+    13-gram + near-dup filtering).
+
+    Implementation: the minhash_lsh_pairs plan verbatim (banded LSH
+    candidates + EXACT Jaccard verify, so results stay oracle-equal)
+    with a vectorized cross-set filter on the verified pairs — a
+    same-set near-dup pair is dedup's business, not contamination's."""
+    pairs = minhash_lsh_pairs(
+        docs,
+        threshold=threshold,
+        id_col=id_col,
+        text_col=text_col,
+        **lsh_kw,
+    )
+
+    def cross(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        j = t["jaccard"].to_numpy(zero_copy_only=False)
+        at = a % test_mod == 0
+        bt = b % test_mod == 0
+        keep = at != bt
+        return pa.table(
+            {
+                "test_doc_id": np.where(at, a, b)[keep],
+                "train_doc_id": np.where(at, b, a)[keep],
+                "jaccard": j[keep],
+            }
+        )
+
+    return pairs.map_batches(cross, batch_format="pyarrow", zero_copy_batch=True)

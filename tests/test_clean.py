@@ -201,3 +201,31 @@ def test_dedup_lines_join_path_matches_broadcast(ray_session):
     pd.testing.assert_frame_equal(
         a, b.astype(a.dtypes.to_dict()), check_like=True
     )
+
+
+def test_neardup_contamination_cross_set_only(ray_session):
+    from pds_hw2_mpi_connected_components_ray.pipelines.dedup import (
+        neardup_contamination,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    texts = {
+        0: base,                      # test doc (id % 20 == 0)
+        1: base + "tail!",            # train near-dup of 0 -> reported
+        20: base + "tail!",           # test near-dup of 0/1: test-test pair dropped
+        2: "completely different content here " * 8,
+        3: "completely different content here " * 8 + "x",  # train-train pair dropped
+    }
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": np.array(list(texts), dtype=np.int64),
+                "text": list(texts.values()),
+            }
+        )
+    )
+    out = neardup_contamination(docs).to_pandas()
+    got = {(int(r.test_doc_id), int(r.train_doc_id)) for r in out.itertuples()}
+    # test ids are 0 and 20; train partners with jaccard >= 0.5
+    assert got == {(0, 1), (20, 1)}
+    assert (out["jaccard"] >= 0.5).all()

@@ -94,3 +94,28 @@ def test_modularity_matches_brute(ray_session):
     q = a / e - sum(v * v for v in dc.values()) / (e * e)
     assert out.loc[0, "modularity"] == np.floor(q * 1e6 + 0.5) / 1e6
     assert out.loc[0, "n_communities"] == len(dc)
+
+
+def test_conductance_two_triangles(ray_session):
+    from pds_hw2_mpi_connected_components_ray.pipelines.communities import conductance
+
+    out = (
+        conductance(_sym(_TRIS), _labels(_SPLIT))
+        .to_pandas()
+        .sort_values("community")
+        .reset_index(drop=True)
+    )
+    # each side: vol=7, cut=1 (the bridge), E=14 -> phi = 1/7
+    assert list(out["community"]) == [0, 3]
+    assert list(out["cut"]) == [1, 1]
+    assert list(out["vol"]) == [7, 7]
+    exp = np.floor(1 / 7 * 1e6 + 0.5) / 1e6
+    assert list(out["conductance"]) == [exp, exp]
+
+
+def test_conductance_whole_graph_zero(ray_session):
+    from pds_hw2_mpi_connected_components_ray.pipelines.communities import conductance
+
+    out = conductance(_sym(_TRIS), _labels({v: 0 for v in range(6)})).to_pandas()
+    # complement volume 0 -> 0.0 by convention
+    assert out.loc[0, "conductance"] == 0.0 and out.loc[0, "cut"] == 0
