@@ -1305,6 +1305,17 @@ def _q_neardup_contamination(sf_dir: str):
     return _round_cols(out, ["jaccard"])
 
 
+def _q_window_join(sf_dir: str):
+    """Range join: per purchase event, count + cent-sum of the same
+    user's events in the preceding hour (bucketed run-offset axis)."""
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import window_join
+
+    return window_join(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_funnel(sf_dir: str):
     """Ordered view→click→purchase funnel per user (stage k strictly
     after stage k-1's first completion; bucketed one-sort formulation)."""
@@ -1427,6 +1438,15 @@ def _q_community_graph(sf_dir: str):
     )
 
     return community_graph(_canon_edges(sf_dir), _lpa_labels(sf_dir))
+
+
+def _q_two_hop(sf_dir: str):
+    """Distinct two-hop neighborhood sizes (friend-of-friend reach):
+    edge self-join + packed-pair bucketed distinct + vertex groupby."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.stages.graph import two_hop_counts
+
+    return two_hop_counts(_canon_edges(sf_dir))
 
 
 def _q_conductance(sf_dir: str):
@@ -1687,6 +1707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_count": _q_cc_count,
         "component_sizes": _q_component_sizes,
         "degree_histogram": _q_degree_histogram,
+        "two_hop_counts": _q_two_hop,
         "pagerank20": _q_pagerank,
         "pagerank_top10": _q_pagerank_top10,
         "pagerank_personalized": _q_pagerank_personalized,
@@ -1744,6 +1765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_enrich": _q_events_asof_enrich,
         "events_sessionize": _q_events_sessionize,
         "events_funnel": _q_funnel,
+        "events_window_join": _q_window_join,
         "cohort_retention": _q_cohort_retention,
         "top_tokens": _q_top_tokens,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -1852,6 +1874,15 @@ GROUP BY dv.v
             f"WITH {_EDGES_CTES}, "
             "deg AS (SELECT src, count(*)::BIGINT AS degree FROM edges GROUP BY src) "
             "SELECT degree, count(*)::BIGINT AS n_vertices FROM deg GROUP BY degree"
+        ),
+        "two_hop_counts": (
+            f"WITH {_EDGES_CTES}, "
+            "simp AS (SELECT src, dst FROM edges WHERE src <> dst), "
+            "pairs AS (SELECT e1.src AS v, e2.dst AS u "
+            "  FROM simp e1 JOIN simp e2 ON e2.src = e1.dst "
+            "  UNION SELECT src, dst FROM simp) "
+            "SELECT v AS vertex, count(*)::BIGINT AS n_two_hop "
+            "FROM pairs WHERE u <> v GROUP BY v"
         ),
         "pagerank20": _pagerank_sql(20),
         "pagerank_top10": (
@@ -2275,6 +2306,16 @@ GROUP BY l.doc_id
             "rk AS (SELECT doc_id, token, score, row_number() OVER ("
             "  PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rnk FROM sc) "
             "SELECT doc_id, token, score, rnk::BIGINT AS rnk FROM rk WHERE rnk <= 3"
+        ),
+        "events_window_join": (
+            "WITH b AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type, "
+            "  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events), "
+            "p AS (SELECT * FROM b WHERE event_type = 'purchase') "
+            "SELECT p.event_id, count(x.t)::BIGINT AS n_prior, "
+            "coalesce(sum(x.cents), 0)::BIGINT AS prior_value_cents "
+            "FROM p LEFT JOIN b x ON x.user_id = p.user_id "
+            "AND x.t < p.t AND x.t >= p.t - 3600000000 "
+            "GROUP BY p.event_id"
         ),
         "events_funnel": (
             "WITH u AS (SELECT DISTINCT user_id FROM events), "

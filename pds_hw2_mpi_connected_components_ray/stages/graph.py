@@ -289,3 +289,99 @@ def reciprocity(directed_edges: Dataset) -> Dataset:
     return rd.from_arrow(
         pa.table({"reciprocity": pa.array([np.floor(r * 1e6 + 0.5) / 1e6])})
     )
+
+
+def two_hop_counts(edges: Dataset, num_partitions: int | None = None) -> Dataset:
+    """(vertex, n_two_hop): number of DISTINCT vertices within two hops
+    of v (direct neighbors ∪ neighbors-of-neighbors, self excluded) —
+    the friend-of-friend reach metric behind audience-size estimation
+    and sampling-free local clustering.
+
+    Plan: one edge self-join on the shared middle vertex gives 2-hop
+    pairs; the union with direct edges dedups via packed-int64-pair
+    bucketing (per-bucket np.unique — every copy of a pair hashes to
+    the same bucket, so per-bucket distinct is globally exact) and a
+    vertex-keyed groupby sums per-bucket partial counts. O(Σ deg²)
+    intermediate like every exact 2-hop formulation; ids wider than
+    31 bits fall back to a two-column distinct groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..context import default_parallelism
+    from .joins import hash_join
+
+    simple = drop_self_loops(edges).materialize()
+    npart = num_partitions or default_parallelism()
+    npart = max(1, min(npart, simple.count() // 100_000 + 2))
+
+    mid = simple.map_batches(
+        lambda t: t.rename_columns(["mid", "u"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    two = hash_join(
+        simple, mid, on=("dst",), right_on=("mid",), num_partitions=npart
+    ).map_batches(
+        lambda t: pa.table({"v": t["src"], "u": t["u"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    one = simple.map_batches(
+        lambda t: pa.table({"v": t["src"], "u": t["dst"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pairs = two.union(one)
+
+    vmax = simple.max("dst")
+    if vmax is not None and int(vmax) < 2**31:
+        shift = np.int64(31)
+        nb = max(8, default_parallelism())
+
+        def pack(t: pa.Table) -> pa.Table:
+            v = t["v"].to_numpy(zero_copy_only=False)
+            u = t["u"].to_numpy(zero_copy_only=False)
+            keep = v != u
+            k = np.unique((v[keep] << shift) | u[keep])  # per-batch pre-distinct
+            return pa.table({"k": k, "_kb": (k * np.int64(0x9E3779B9)) % nb})
+
+        def bucket_counts(t: pa.Table) -> pa.Table:
+            k = np.unique(t["k"].to_numpy(zero_copy_only=False))
+            v = k >> shift
+            b = np.flatnonzero(np.r_[True, v[1:] != v[:-1]])
+            return pa.table(
+                {
+                    "vertex": v[b],
+                    "c": np.diff(np.r_[b, len(v)]).astype(np.int64),
+                }
+            )
+
+        return (
+            pairs.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_kb")
+            .map_groups(bucket_counts, batch_format="pyarrow")
+            .groupby("vertex")
+            .aggregate(Sum("c", alias_name="n_two_hop"))
+        )
+
+    # wide fallback: two-column distinct via keyed groupby
+    def drop_self(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy(zero_copy_only=False)
+        u = t["u"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(v != u))
+
+    distinct = (
+        pairs.map_batches(drop_self, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["v", "u"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    return (
+        distinct.map_batches(
+            lambda t: pa.table(
+                {"vertex": t["v"], "c": np.ones(len(t), dtype=np.int64)}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("vertex")
+        .aggregate(Sum("c", alias_name="n_two_hop"))
+    )

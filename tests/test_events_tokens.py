@@ -362,3 +362,73 @@ def test_pmi_collocations_brute(ray_session):
         got, exp.astype({"n": got["n"].dtype}), check_like=True
     )
     assert got.loc[0, "bigram"] == "new york"
+
+
+def test_window_join_brute(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import window_join
+
+    rng = np.random.RandomState(9)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.randint(0, 12, n).astype(np.int64),
+            "event_type": rng.choice(["view", "click", "purchase"], n),
+            "value": np.round(rng.uniform(0, 50, n), 2),
+            "t": rng.randint(0, 10**10, n),
+        }
+    )
+    df["ts"] = pd.to_datetime(df["t"], unit="us")
+    ev = rd.from_pandas(df.drop(columns=["t"]).assign(ts=df["ts"]))
+    W = 3_600_000_000
+    out = window_join(ev, window_us=W).to_pandas()
+    got = {
+        int(r.event_id): (int(r.n_prior), int(r.prior_value_cents))
+        for r in out.itertuples()
+    }
+
+    t = df["t"].to_numpy()  # original microsecond ints (ts is ns-based)
+    cents = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    exp = {}
+    for i in range(n):
+        if df.loc[i, "event_type"] != "purchase":
+            continue
+        m = (
+            (df["user_id"].to_numpy() == df.loc[i, "user_id"])
+            & (t < t[i])
+            & (t >= t[i] - W)
+        )
+        exp[int(df.loc[i, "event_id"])] = (int(m.sum()), int(cents[m].sum()))
+    assert got == exp
+
+
+def test_two_hop_counts_brute(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.stages.graph import two_hop_counts
+
+    rng = np.random.RandomState(4)
+    pairs = {(int(a), int(b)) for a, b in rng.randint(0, 25, size=(60, 2)) if a != b}
+    rows = sorted({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
+    e = rd.from_pandas(pd.DataFrame(rows, columns=["src", "dst"]).astype(np.int64))
+    out = {
+        int(r.vertex): int(r.n_two_hop)
+        for r in two_hop_counts(e).to_pandas().itertuples()
+    }
+    adj = {}
+    for a, b in rows:
+        adj.setdefault(a, set()).add(b)
+    exp = {}
+    for v, ns in adj.items():
+        reach = set(ns)
+        for u in ns:
+            reach |= adj[u]
+        reach.discard(v)
+        exp[v] = len(reach)
+    assert out == exp
