@@ -1440,6 +1440,34 @@ def _q_community_graph(sf_dir: str):
     return community_graph(_canon_edges(sf_dir), _lpa_labels(sf_dir))
 
 
+def _q_label_centroids(sf_dir: str):
+    """Per-label embedding centroid norms (integer-µunit quantized
+    coordinate sums; sqrt of an exact integer sum of squares)."""
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.kmeans import label_centroids
+
+    return label_centroids(rd.read_parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+def _q_avg_neighbor_degree(sf_dir: str):
+    """Mean neighbor degree per vertex (adaptive degree attach +
+    per-batch integer partials)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.stages.graph import avg_neighbor_degree
+
+    return avg_neighbor_degree(_canon_edges(sf_dir))
+
+
+def _q_doc_entropy(sf_dir: str):
+    """Per-doc unigram Shannon entropy (shuffle-free, quantized µnats)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import doc_entropy
+
+    return doc_entropy(_docs(sf_dir))
+
+
 def _q_two_hop(sf_dir: str):
     """Distinct two-hop neighborhood sizes (friend-of-friend reach):
     edge self-join + packed-pair bucketed distinct + vertex groupby."""
@@ -1708,6 +1736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "component_sizes": _q_component_sizes,
         "degree_histogram": _q_degree_histogram,
         "two_hop_counts": _q_two_hop,
+        "avg_neighbor_degree": _q_avg_neighbor_degree,
         "pagerank20": _q_pagerank,
         "pagerank_top10": _q_pagerank_top10,
         "pagerank_personalized": _q_pagerank_personalized,
@@ -1788,6 +1817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_contamination": _q_neardup_contamination,
         "source_stats": _q_source_stats,
         "kmeans_clusters": _q_kmeans,
+        "label_centroids": _q_label_centroids,
         "top_bigrams": _q_top_bigrams,
         "bigram_surprisal": _q_bigram_surprisal,
         "pmi_collocations": _q_pmi,
@@ -1799,6 +1829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_percentile_filter": _q_length_percentile_filter,
         "events_rate_anomalies": _q_rate_anomalies,
         "lexical_diversity": _q_lexical_diversity,
+        "doc_entropy": _q_doc_entropy,
     }
 
 
@@ -1874,6 +1905,41 @@ GROUP BY dv.v
             f"WITH {_EDGES_CTES}, "
             "deg AS (SELECT src, count(*)::BIGINT AS degree FROM edges GROUP BY src) "
             "SELECT degree, count(*)::BIGINT AS n_vertices FROM deg GROUP BY degree"
+        ),
+        "avg_neighbor_degree": (
+            f"WITH {_EDGES_CTES}, "
+            "simp AS (SELECT src, dst FROM edges WHERE src <> dst), "
+            "deg AS (SELECT src AS v, count(*)::BIGINT AS d FROM simp GROUP BY src) "
+            "SELECT e.src AS vertex, "
+            "floor(sum(deg.d)::DOUBLE / count(*) * 1e6 + 0.5) / 1e6 AS avg_ndeg "
+            "FROM simp e JOIN deg ON deg.v = e.dst GROUP BY e.src"
+        ),
+        "label_centroids": (
+            "WITH e AS (SELECT label::BIGINT AS label, embedding::DOUBLE[] AS v "
+            "  FROM embeddings), "
+            "u AS (SELECT label, g.ord, "
+            "  CAST(floor(v[g.ord] * 1e6 + 0.5) AS BIGINT) AS q "
+            "  FROM e, (SELECT unnest(range(1, 65))::BIGINT AS ord) g), "
+            "s AS (SELECT label, ord, sum(q)::BIGINT AS s FROM u GROUP BY label, ord), "
+            "n AS (SELECT label, count(*)::BIGINT AS n FROM e GROUP BY label), "
+            "m AS (SELECT s.label, "
+            "  CAST(floor((s.s::DOUBLE / (n.n * 1e6)) * 1e6 + 0.5) AS BIGINT) AS mq "
+            "  FROM s JOIN n USING (label)) "
+            "SELECT m.label, any_value(n.n) AS n_vecs, "
+            "round(sqrt(sum(mq * mq)::DOUBLE) / 1e6, 6) AS centroid_norm "
+            "FROM m JOIN n USING (label) GROUP BY m.label"
+        ),
+        "doc_entropy": (
+            "WITH toks AS (SELECT doc_id, "
+            "  unnest(regexp_extract_all(coalesce(text,''), '\\S+')) AS tok "
+            "  FROM documents), "
+            "c AS (SELECT doc_id, tok, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2), "
+            "t AS (SELECT doc_id, sum(c)::BIGINT AS tot FROM c GROUP BY doc_id), "
+            "q AS (SELECT c.doc_id, c.c * CAST(floor(ln(t.tot::DOUBLE / c.c::DOUBLE) "
+            "  * 1e6 + 0.5) AS BIGINT) AS s FROM c JOIN t USING (doc_id)) "
+            "SELECT q.doc_id, any_value(t.tot) AS n_tokens, "
+            "floor(sum(q.s)::DOUBLE / any_value(t.tot) + 0.5) / 1e6 AS entropy "
+            "FROM q JOIN t USING (doc_id) GROUP BY q.doc_id"
         ),
         "two_hop_counts": (
             f"WITH {_EDGES_CTES}, "

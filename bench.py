@@ -233,6 +233,11 @@ def bench_suite() -> dict:
         "events_funnel",
         "cohort_retention",
         "pmi_collocations",
+        "two_hop_counts",
+        "events_window_join",
+        "label_centroids",
+        "avg_neighbor_degree",
+        "doc_entropy",
     ]:
         qtimes[name] = run(name)
     return qtimes

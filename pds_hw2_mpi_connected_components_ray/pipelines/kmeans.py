@@ -121,3 +121,86 @@ def kmeans_assign(
         )
 
     return emb.map_batches(final_assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def label_centroids(emb: Dataset, *, dim: int | None = None) -> Dataset:
+    """(label, n_vecs, centroid_norm): per-label mean-embedding norms —
+    the class-centroid primitive behind embedding-space data curation
+    (cluster quality checks, centroid-distance outlier pruning).
+
+    Determinism contract (the bigram_surprisal integer-quantization
+    pattern, applied per coordinate): every element is quantized to
+    integer micro-units BEFORE summation, so per-(label, coordinate)
+    sums are exact int64 in any order; the mean re-quantizes and the
+    norm is sqrt of an exact integer sum of squares — the only
+    irrational op is the final sqrt, which numpy/DuckDB agree on
+    bit-for-bit. Reduction volume is labels × dim rows (vocabulary-
+    sized), never the corpus."""
+    from ray.data.aggregate import Sum
+
+    if dim is None:
+        first = emb.take(1)
+        dim = len(first[0]["embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "label": pd.Series([], dtype="int64"),
+                    "ord": pd.Series([], dtype="int64"),
+                    "s": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        lab = df["label"].to_numpy(dtype=np.int64)
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        q = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+        order = np.argsort(lab, kind="stable")
+        lab_s, q_s = lab[order], q[order]
+        b = np.flatnonzero(np.r_[True, lab_s[1:] != lab_s[:-1]])
+        sums = np.add.reduceat(q_s, b, axis=0)
+        cnt = np.diff(np.r_[b, len(lab_s)]).astype(np.int64)
+        nl = len(b)
+        return pd.DataFrame(
+            {
+                "label": np.repeat(lab_s[b], dim),
+                "ord": np.tile(np.arange(1, dim + 1, dtype=np.int64), nl),
+                "s": sums.ravel(),
+                "n": np.repeat(cnt, dim),
+            }
+        )
+
+    per = (
+        emb.select_columns(["label", "embedding"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["label", "ord"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()  # labels x dim rows -- vocabulary-sized by construction
+    )
+    if len(per) == 0:
+        import ray.data as rd
+
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "label": pd.Series([], dtype="int64"),
+                    "n_vecs": pd.Series([], dtype="int64"),
+                    "centroid_norm": pd.Series([], dtype="float64"),
+                }
+            )
+        )
+    mean = per["s"].to_numpy(dtype=np.float64) / (per["n"].to_numpy(dtype=np.float64) * 1e6)
+    mq = np.floor(mean * 1e6 + 0.5).astype(np.int64)
+    out = pd.DataFrame({"label": per["label"], "mq2": mq * mq, "n": per["n"]})
+    g = out.groupby("label", sort=True).agg(n_vecs=("n", "first"), ss=("mq2", "sum"))
+    g = g.reset_index()
+    res = pd.DataFrame(
+        {
+            "label": g["label"].astype(np.int64),
+            "n_vecs": g["n_vecs"].astype(np.int64),
+            "centroid_norm": np.round(np.sqrt(g["ss"].to_numpy(dtype=np.float64)) / 1e6, 6),
+        }
+    )
+    import ray.data as rd
+
+    return rd.from_pandas(res)

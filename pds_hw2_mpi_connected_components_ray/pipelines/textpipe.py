@@ -702,3 +702,61 @@ def pmi_collocations(docs: Dataset, *, k: int = 30, min_count: int = 5) -> Datas
 
     scored = with_lr.map_batches(score, batch_format="pandas")
     return scored.sort(["pmi", "bigram"], descending=[True, False]).limit(k)
+
+
+def doc_entropy(docs: Dataset) -> Dataset:
+    """(doc_id, n_tokens, entropy): Shannon entropy (nats) of each
+    document's own unigram distribution — low entropy flags repetitive
+    or templated text, the complement of lexical_diversity's type-token
+    ratio. H = Σ (c/T)·ln(T/c) over the doc's token counts.
+
+    Entirely shuffle-free: row==doc, so one lexsorted run-boundary pass
+    per batch computes every count. Each ln term quantizes to integer
+    µnats before the weighted sum (the bigram_surprisal order-
+    independence contract; here sums are per-doc and local anyway, but
+    the quantization is what keeps numpy and DuckDB equal). Docs with
+    no tokens are absent."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.split()
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "entropy": pd.Series([], dtype="float64"),
+            }
+        )
+        if lens.sum() == 0:
+            return empty
+        flat = np.concatenate(
+            [np.asarray(x, dtype=object) for x in toks.to_numpy() if len(x)]
+        ).astype(str)
+        ids = np.repeat(batch["doc_id"].to_numpy(dtype=np.int64), lens)
+        order = np.lexsort((flat, ids))
+        ids_s, flat_s = ids[order], flat[order]
+        # (doc, token) run boundaries -> counts per distinct token
+        tb = np.flatnonzero(
+            np.r_[True, (ids_s[1:] != ids_s[:-1]) | (flat_s[1:] != flat_s[:-1])]
+        )
+        cnt = np.diff(np.r_[tb, len(ids_s)]).astype(np.int64)
+        did = ids_s[tb]
+        # per-doc totals over the distinct-token rows
+        db = np.flatnonzero(np.r_[True, did[1:] != did[:-1]])
+        tot = np.add.reduceat(cnt, db)
+        tot_row = np.repeat(tot, np.diff(np.r_[db, len(did)]))
+        q = np.floor(
+            np.log(tot_row.astype(np.float64) / cnt.astype(np.float64)) * 1e6 + 0.5
+        ).astype(np.int64)
+        s = np.add.reduceat(cnt * q, db)
+        return pd.DataFrame(
+            {
+                "doc_id": did[db],
+                "n_tokens": tot.astype(np.int64),
+                "entropy": np.floor(s.astype(np.float64) / tot + 0.5) / 1e6,
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    )

@@ -385,3 +385,85 @@ def two_hop_counts(edges: Dataset, num_partitions: int | None = None) -> Dataset
         .groupby("vertex")
         .aggregate(Sum("c", alias_name="n_two_hop"))
     )
+
+
+def avg_neighbor_degree(
+    edges: Dataset,
+    *,
+    broadcast_threshold: int = 5_000_000,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """(vertex, avg_ndeg): mean degree of v's neighbors over the
+    symmetric simple table — the per-vertex assortativity signal (hubs
+    linking to hubs vs leaves). Integer degree sums per src partial-
+    aggregate inside each batch; one vertex-keyed groupby; the ratio
+    rounds half-up (rational, the reciprocity tie contract). Degree
+    attach is broadcast below the threshold, two-hash-join beyond
+    (the triangles adaptive shape)."""
+    from ray.data.aggregate import Sum
+
+    from ..context import default_parallelism
+    from .joins import hash_join, put_lookup
+
+    simple = drop_self_loops(edges).materialize()
+    degs = degrees(simple).materialize()
+    npart = num_partitions or default_parallelism()
+    npart = max(1, min(npart, simple.count() // 100_000 + 2))
+
+    if degs.count() <= broadcast_threshold:
+        import ray as _ray
+
+        deg_tab = pa.concat_tables(
+            list(degs.iter_batches(batch_format="pyarrow", batch_size=None))
+        )
+        ref = put_lookup(deg_tab, "vertex", "degree")
+
+        def attach(t: pa.Table) -> pa.Table:
+            lk = _ray.get(ref)
+            src = t["src"].to_numpy(zero_copy_only=False)
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            _, dd = lk.get(dst)
+            return pa.table({"src": src, "_dd": dd})
+
+        attached = simple.map_batches(
+            attach, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        d_dst = degs.map_batches(
+            lambda t: t.rename_columns(["dst", "_dd"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        attached = hash_join(simple, d_dst, on=("dst",), num_partitions=npart)
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dd = t["_dd"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(src, kind="stable")
+        s, d = src[order], dd[order]
+        b = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        return pa.table(
+            {
+                "vertex": s[b],
+                "sd": np.add.reduceat(d, b).astype(np.int64),
+                "c": np.diff(np.r_[b, len(s)]).astype(np.int64),
+            }
+        )
+
+    agg = (
+        attached.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("vertex")
+        .aggregate(Sum("sd", alias_name="sd"), Sum("c", alias_name="c"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        sd = t["sd"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "vertex": t["vertex"],
+                "avg_ndeg": np.floor(sd / c * 1e6 + 0.5) / 1e6,
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)

@@ -432,3 +432,53 @@ def test_two_hop_counts_brute(ray_session):
         reach.discard(v)
         exp[v] = len(reach)
     assert out == exp
+
+
+def test_doc_entropy_brute(ray_session):
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import doc_entropy
+
+    texts = ["a a a a", "a b c d", "x x y", "", "solo"]
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    )
+    out = {
+        int(r.doc_id): (int(r.n_tokens), float(r.entropy))
+        for r in doc_entropy(docs).to_pandas().itertuples()
+    }
+    exp = {}
+    for i, t in enumerate(texts):
+        ws = t.split()
+        if not ws:
+            continue
+        tot = len(ws)
+        s = 0
+        for c in pd.Series(ws).value_counts():
+            s += int(c) * math.floor(math.log(tot / c) * 1e6 + 0.5)
+        exp[i] = (tot, math.floor(s / tot + 0.5) / 1e6)
+    assert out == exp
+    assert out[0][1] == 0.0  # all-same tokens -> zero entropy
+
+
+def test_avg_neighbor_degree_brute(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.stages.graph import avg_neighbor_degree
+
+    # star: center 0 with leaves 1..4; center's neighbors all deg 1,
+    # each leaf's sole neighbor has deg 4
+    pairs = [(0, i) for i in range(1, 5)]
+    rows = sorted({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
+    e = rd.from_pandas(pd.DataFrame(rows, columns=["src", "dst"]).astype(np.int64))
+    out = {
+        int(r.vertex): float(r.avg_ndeg)
+        for r in avg_neighbor_degree(e).to_pandas().itertuples()
+    }
+    assert out == {0: 1.0, 1: 4.0, 2: 4.0, 3: 4.0, 4: 4.0}

@@ -94,3 +94,34 @@ def test_kmeans_deterministic_across_block_splits(ray_session):
             .to_numpy()
         )
     assert (outs[0] == outs[1]).all()
+
+
+def test_label_centroids_brute(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.kmeans import label_centroids
+
+    rng = np.random.RandomState(2)
+    n, dim = 120, 8
+    vecs = rng.randn(n, dim).astype(np.float32)
+    labels = rng.randint(0, 4, n).astype(np.int64)
+    emb = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": list(vecs),
+                "label": labels,
+            }
+        )
+    )
+    out = label_centroids(emb, dim=dim).to_pandas().set_index("label").sort_index()
+    for lab in range(4):
+        sel = vecs[labels == lab].astype(np.float64)
+        q = np.floor(sel * 1e6 + 0.5).astype(np.int64)
+        mean = q.sum(axis=0) / (len(sel) * 1e6)
+        mq = np.floor(mean * 1e6 + 0.5).astype(np.int64)
+        norm = np.round(np.sqrt(float((mq * mq).sum())) / 1e6, 6)
+        assert out.loc[lab, "n_vecs"] == len(sel)
+        assert out.loc[lab, "centroid_norm"] == norm
