@@ -1440,6 +1440,36 @@ def _q_community_graph(sf_dir: str):
     return community_graph(_canon_edges(sf_dir), _lpa_labels(sf_dir))
 
 
+def _q_degree_quantiles(sf_dir: str):
+    """Exact degree-distribution quantiles (p25/p50/p75/p90/p99) via the
+    distributed histogram quantile (quantile_disc semantics)."""
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.ordering import (
+        length_quantiles,
+    )
+    from pds_hw2_mpi_connected_components_ray.stages.graph import degrees
+
+    out = length_quantiles(
+        degrees(_canon_edges(sf_dir)),
+        qs=(0.25, 0.5, 0.75, 0.9, 0.99),
+        col="degree",
+    )
+    return out
+
+
+def _q_corpus_vocab_stats(sf_dir: str):
+    """Corpus-level vocabulary stats: total tokens, distinct tokens,
+    corpus type-token ratio (bucketed distinct count)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import (
+        corpus_vocab_stats,
+    )
+
+    return corpus_vocab_stats(_docs(sf_dir))
+
+
 def _q_label_centroids(sf_dir: str):
     """Per-label embedding centroid norms (integer-µunit quantized
     coordinate sums; sqrt of an exact integer sum of squares)."""
@@ -1735,6 +1765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_count": _q_cc_count,
         "component_sizes": _q_component_sizes,
         "degree_histogram": _q_degree_histogram,
+        "degree_quantiles": _q_degree_quantiles,
         "two_hop_counts": _q_two_hop,
         "avg_neighbor_degree": _q_avg_neighbor_degree,
         "pagerank20": _q_pagerank,
@@ -1797,6 +1828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_join": _q_window_join,
         "cohort_retention": _q_cohort_retention,
         "top_tokens": _q_top_tokens,
+        "corpus_vocab_stats": _q_corpus_vocab_stats,
         "tfidf_top_terms": _q_tfidf_top_terms,
         # multimodal plumbing
         "media_decode": _q_media_decode,
@@ -1905,6 +1937,19 @@ GROUP BY dv.v
             f"WITH {_EDGES_CTES}, "
             "deg AS (SELECT src, count(*)::BIGINT AS degree FROM edges GROUP BY src) "
             "SELECT degree, count(*)::BIGINT AS n_vertices FROM deg GROUP BY degree"
+        ),
+        "degree_quantiles": (
+            f"WITH {_EDGES_CTES}, "
+            "deg AS (SELECT src AS v, count(*)::BIGINT AS d FROM edges GROUP BY src) "
+            "SELECT 0.25 AS q, quantile_disc(d, 0.25)::BIGINT AS value FROM deg UNION ALL SELECT 0.5 AS q, quantile_disc(d, 0.5)::BIGINT AS value FROM deg UNION ALL SELECT 0.75 AS q, quantile_disc(d, 0.75)::BIGINT AS value FROM deg UNION ALL SELECT 0.9 AS q, quantile_disc(d, 0.9)::BIGINT AS value FROM deg UNION ALL SELECT 0.99 AS q, quantile_disc(d, 0.99)::BIGINT AS value FROM deg"
+        ),
+        "corpus_vocab_stats": (
+            "WITH toks AS (SELECT unnest(regexp_extract_all(coalesce(text,''), "
+            "  '\\S+')) AS tok FROM documents) "
+            "SELECT count(*)::BIGINT AS n_tokens, "
+            "count(DISTINCT tok)::BIGINT AS n_types, "
+            "floor(count(DISTINCT tok)::DOUBLE / count(*) * 1e6 + 0.5) / 1e6 "
+            "  AS corpus_ttr FROM toks"
         ),
         "avg_neighbor_degree": (
             f"WITH {_EDGES_CTES}, "

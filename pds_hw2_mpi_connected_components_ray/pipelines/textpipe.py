@@ -760,3 +760,62 @@ def doc_entropy(docs: Dataset) -> Dataset:
     return docs.select_columns(["doc_id", "text"]).map_batches(
         fn, batch_format="pandas"
     )
+
+
+def corpus_vocab_stats(docs: Dataset) -> Dataset:
+    """Single row (n_tokens, n_types, corpus_ttr): corpus-level token
+    volume, vocabulary size and type-token ratio (the Heaps-law
+    inputs). Distinct tokens count via the bucket-per-group pattern:
+    per-batch distinct combiner, one small-int keyed shuffle, exact
+    per-bucket distinct (all copies of a token share a bucket);
+    totals are scalar per-block partials."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from .events import _bucket_by_key
+
+    base = docs.select_columns(["text"])
+
+    def tok_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.split()
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame(
+                {"tok": pd.Series([], dtype=str), "c": pd.Series([], dtype="int64")}
+            )
+        flat = np.concatenate(
+            [np.asarray(x, dtype=object) for x in toks.to_numpy() if len(x)]
+        ).astype(str)
+        u, cnt = np.unique(flat, return_counts=True)
+        return pd.DataFrame({"tok": u, "c": cnt.astype(np.int64)})
+
+    parts = base.map_batches(tok_partial, batch_format="pandas")
+
+    def bucket_stats(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("tok", sort=False)["c"].sum()
+        return pd.DataFrame(
+            {
+                "types": [np.int64(len(g))],
+                "tokens": [np.int64(g.to_numpy().sum())],
+            }
+        )
+
+    agg = (
+        _bucket_by_key(parts, "tok", ["tok", "c"])
+        .groupby("_kb")
+        .map_groups(bucket_stats, batch_format="pandas")
+        .to_pandas()  # one row per bucket -- scalar-sized
+    )
+    n_tokens = int(agg["tokens"].sum()) if len(agg) else 0
+    n_types = int(agg["types"].sum()) if len(agg) else 0
+    ttr = np.floor(n_types / n_tokens * 1e6 + 0.5) / 1e6 if n_tokens else 0.0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_tokens": pa.array([n_tokens], pa.int64()),
+                "n_types": pa.array([n_types], pa.int64()),
+                "corpus_ttr": pa.array([ttr]),
+            }
+        )
+    )
