@@ -239,22 +239,58 @@ def tfidf_top_terms(docs: Dataset, k: int = 3) -> Dataset:
         base.map_batches(df_partial, batch_format="pandas")
         .groupby("token")
         .aggregate(Sum("n", alias_name="df"))
+        .materialize()
     )
-    joined = hash_join(tf, df, on=("token",))
+    vocab_n = df.count()
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
-        s = batch["tf"].to_numpy(dtype=np.float64) * np.log(
-            n_docs / batch["df"].to_numpy(dtype=np.float64)
-        )
-        return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
-                "token": batch["token"].astype(str),
-                "score": np.round(s, 6),
-            }
-        )
+    if vocab_n <= 2_000_000:
+        # vocabulary-sized side broadcasts (also sidesteps Ray's
+        # empty-aggregate-partition blocks, whose schema-less tables
+        # crash pyarrow's join when the key vocabulary is smaller than
+        # the partition count — the 31-token synthetic corpus hit this)
+        import ray as _ray
 
-    scored = joined.map_batches(score, batch_format="pandas")
+        ks, vs = [], []
+        for b in df.iter_batches(batch_format="pandas", batch_size=None):
+            ks.append(b["token"].to_numpy(dtype=str))
+            vs.append(b["df"].to_numpy(dtype=np.int64))
+        tkey = np.concatenate(ks) if ks else np.array([], dtype=str)
+        tval = np.concatenate(vs) if vs else np.array([], dtype=np.int64)
+        o = np.argsort(tkey, kind="stable")
+        ref = _ray.put((tkey[o], tval[o]))
+
+        def score_bcast(batch: pd.DataFrame) -> pd.DataFrame:
+            bk, bv = _ray.get(ref)
+            tok = batch["token"].to_numpy(dtype=str)
+            dfv = bv[np.searchsorted(bk, tok)].astype(np.float64)
+            s = batch["tf"].to_numpy(dtype=np.float64) * np.log(n_docs / dfv)
+            return pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+                    "token": batch["token"].astype(str),
+                    "score": np.round(s, 6),
+                }
+            )
+
+        scored = tf.map_batches(score_bcast, batch_format="pandas")
+    else:
+        # huge-vocabulary fallback: token-keyed shuffle join (every
+        # partition is occupied at this cardinality)
+        joined = hash_join(tf, df, on=("token",))
+
+        def score(batch: pd.DataFrame) -> pd.DataFrame:
+            s = batch["tf"].to_numpy(dtype=np.float64) * np.log(
+                n_docs / batch["df"].to_numpy(dtype=np.float64)
+            )
+            return pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+                    "token": batch["token"].astype(str),
+                    "score": np.round(s, 6),
+                }
+            )
+
+        scored = joined.map_batches(score, batch_format="pandas")
     return top_k_per_group(
         scored,
         key="doc_id",
