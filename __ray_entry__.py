@@ -1316,6 +1316,32 @@ def _q_window_join(sf_dir: str):
     return window_join(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_scc_counts(sf_dir: str):
+    """Strongly-connected-component size distribution (labels from the
+    FW-BW pinned solve, one label-keyed count)."""
+    _configure()
+    import pyarrow as pa
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.scc import scc_counts
+    from pds_hw2_mpi_connected_components_ray.sources.edges import derive_raw_edges
+    from pds_hw2_mpi_connected_components_ray.stages.graph import dedup_edges
+
+    d0 = dedup_edges(derive_raw_edges(sf_dir))
+
+    def with_reverse_chain(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        ch = (s % 8 == 0) & (d == s + 8) & ((s // 8) % 4 != 3)
+        return pa.table(
+            {"src": np.concatenate([s, d[ch]]), "dst": np.concatenate([d, s[ch]])}
+        )
+
+    de = d0.map_batches(
+        with_reverse_chain, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return scc_counts(de)
+
+
 def _q_funnel(sf_dir: str):
     """Ordered view→click→purchase funnel per user (stage k strictly
     after stage k-1's first completion; bucketed one-sort formulation)."""
@@ -1753,6 +1779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_checkpoint_resume": _q_cc_checkpointed,
         "cc_incremental": _q_cc_incremental,
         "scc_labels": _q_scc,
+        "scc_counts": _q_scc_counts,
         "link_prediction": _q_link_prediction,
         "random_walks": _q_walks,
         "pagerank_weighted": _q_pagerank_weighted,
@@ -1903,6 +1930,24 @@ def oracle_sql() -> dict[str, str]:
                 for k in range(1, 4)
             )
         ),
+        "scc_counts": f"""
+WITH x AS (
+WITH RECURSIVE {_EDGES_CTES},
+d0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+rv AS (SELECT dst AS src, src AS dst FROM d0
+       WHERE src % 8 = 0 AND dst = src + 8 AND (src // 8) % 4 <> 3),
+de AS MATERIALIZED (SELECT src, dst FROM d0 UNION ALL SELECT src, dst FROM rv),
+dv AS MATERIALIZED (SELECT src AS v FROM de UNION SELECT dst FROM de),
+reach AS (SELECT src AS u, dst AS v FROM de
+          UNION
+          SELECT r.u, e.dst FROM reach r JOIN de e ON e.src = r.v),
+mut AS (SELECT a.u, a.v FROM reach a JOIN reach b ON b.u = a.v AND b.v = a.u)
+SELECT dv.v AS vertex, least(dv.v, coalesce(min(m.u), dv.v))::BIGINT AS label
+FROM dv LEFT JOIN mut m ON m.v = dv.v
+GROUP BY dv.v
+)
+SELECT label, count(*)::BIGINT AS size FROM x GROUP BY label
+""",
         "scc_labels": f"""
 WITH RECURSIVE {_EDGES_CTES},
 d0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
