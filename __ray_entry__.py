@@ -1316,6 +1316,26 @@ def _q_window_join(sf_dir: str):
     return window_join(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Length-weighted deterministic sampling (Efraimidis-Spirakis keys
+    from seeded md5 uniforms, quantized before rank)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.split import weighted_sample
+
+    return weighted_sample(_docs(sf_dir), k=100, seed=11)
+
+
+def _q_active_users(sf_dir: str):
+    """Distinct active users per hourly window (combiner + two keyed
+    groupbys)."""
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import active_users
+
+    return active_users(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_scc_counts(sf_dir: str):
     """Strongly-connected-component size distribution (labels from the
     FW-BW pinned solve, one label-keyed count)."""
@@ -1847,6 +1867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_indexed": _q_knn_ivf_indexed,
         # events (streaming-shaped)
         "events_windowed": _q_events_windowed,
+        "events_active_users": _q_active_users,
         "events_hopping": _q_events_hopping,
         "events_asof_prev": _q_events_asof,
         "events_asof_enrich": _q_events_asof_enrich,
@@ -1883,6 +1904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_source": _q_top_docs_per_source,
         "repetition_signals": _q_repetition_signals,
         "stratified_sample": _q_stratified_sample,
+        "weighted_sample": _q_weighted_sample,
         "duplicate_ngram_stats": _q_duplicate_ngram_stats,
         "dedup_lines": _q_dedup_lines,
         "length_percentile_filter": _q_length_percentile_filter,
@@ -2472,6 +2494,18 @@ GROUP BY l.doc_id
             "FROM p LEFT JOIN b x ON x.user_id = p.user_id "
             "AND x.t < p.t AND x.t >= p.t - 3600000000 "
             "GROUP BY p.event_id"
+        ),
+        "weighted_sample": (
+            "WITH h AS (SELECT doc_id, n_chars, "
+            "  greatest(('0x' || substr(md5(concat(11, ':', doc_id)), 1, 15))::BIGINT, 1) AS hh "
+            "  FROM documents), "
+            "s AS (SELECT doc_id, n_chars, CAST(floor(ln(hh::DOUBLE / 1152921504606846976) "
+            "  / greatest(n_chars, 1)::DOUBLE * 1e6 + 0.5) AS BIGINT) AS s FROM h) "
+            "SELECT doc_id, n_chars, s FROM s ORDER BY s DESC, doc_id ASC LIMIT 100"
+        ),
+        "events_active_users": (
+            "SELECT epoch_us(ts) // 3600000000 AS win, "
+            "count(DISTINCT user_id)::BIGINT AS n_users FROM events GROUP BY win"
         ),
         "events_funnel": (
             "WITH u AS (SELECT DISTINCT user_id FROM events), "

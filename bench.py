@@ -238,6 +238,9 @@ def bench_suite() -> dict:
         "label_centroids",
         "avg_neighbor_degree",
         "doc_entropy",
+        "scc_counts",
+        "weighted_sample",
+        "events_active_users",
     ]:
         qtimes[name] = run(name)
     return qtimes

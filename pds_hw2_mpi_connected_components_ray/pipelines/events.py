@@ -564,3 +564,37 @@ def window_join(
         .groupby("_kb")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def active_users(events: Dataset, window_us: int = US_PER_HOUR) -> Dataset:
+    """(win, n_users): DISTINCT active users per tumbling window — the
+    standard DAU/WAU-style engagement count. Per-batch distinct
+    (win, user) combiner, one (win, user)-keyed groupby for global
+    distinctness, then a window-keyed partial count."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = (
+            t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        )
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        key = np.stack([ts // window_us, u], axis=1)
+        uq = np.unique(key, axis=0)
+        return pa.table({"win": uq[:, 0], "user_id": uq[:, 1]})
+
+    distinct = (
+        events.select_columns(["ts", "user_id"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["win", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def per_win(t: pa.Table) -> pa.Table:
+        w = t["win"].to_numpy(zero_copy_only=False)
+        uw, c = np.unique(w, return_counts=True)
+        return pa.table({"win": uw, "c": c.astype(np.int64)})
+
+    return (
+        distinct.map_batches(per_win, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("win")
+        .aggregate(Sum("c", alias_name="n_users"))
+    )

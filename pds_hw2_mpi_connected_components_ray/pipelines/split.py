@@ -185,3 +185,48 @@ def stratified_sample(
         cols=[key, id_col, "h"],
     )
     return out.drop_columns(["h"])
+
+
+def weighted_sample(
+    docs: Dataset,
+    *,
+    k: int = 100,
+    seed: int = 11,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """(doc_id, n_chars, s): deterministic weighted sampling WITHOUT
+    replacement (Efraimidis–Spirakis A-ES): rank by key u^(1/w) ⇔
+    ln(u)/w with u a seeded md5-int60 uniform — here w = max(n_chars,1),
+    i.e. token-budget-proportional corpus sampling ("sample docs with
+    probability ∝ length"), the data-mixing primitive.
+
+    Determinism: u = md5int60/2^60 is an exact power-of-two division of
+    the same integer both sides; the score quantizes to integer
+    µ-units before the (s desc, id asc) rank — reproducible across
+    runs, repartitioning and cluster sizes, and mirrored bit-exactly by
+    the SQL oracle. Embarrassingly parallel except one global
+    top-k sort."""
+    base = docs.select_columns([id_col, weight_col])
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy(dtype=np.int64)
+        w = np.maximum(batch[weight_col].to_numpy(dtype=np.int64), 1).astype(
+            np.float64
+        )
+        h = np.maximum(_split_hash(ids, seed), 1).astype(np.float64)
+        u = h / float(2**60)
+        s = np.floor(np.log(u) / w * 1e6 + 0.5).astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                weight_col: batch[weight_col].to_numpy(dtype=np.int64),
+                "s": s,
+            }
+        )
+
+    return (
+        base.map_batches(score, batch_format="pandas")
+        .sort(["s", id_col], descending=[True, False])
+        .limit(k)
+    )
