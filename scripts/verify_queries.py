@@ -83,8 +83,14 @@ def main() -> int:
     import ray
 
     if not ray.is_initialized():
+        # default 8; set VERIFY_CPUS=32 to reproduce the driver's
+        # parallelism (some Ray planning decisions — partition counts,
+        # empty aggregate partitions — are cpu-count-dependent)
         ray.init(
-            address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR"
+            address="local",
+            num_cpus=int(os.environ.get("VERIFY_CPUS", "8")),
+            include_dashboard=False,
+            logging_level="ERROR",
         )
 
     import __ray_entry__ as entrymod

@@ -482,3 +482,24 @@ def test_avg_neighbor_degree_brute(ray_session):
         for r in avg_neighbor_degree(e).to_pandas().itertuples()
     }
     assert out == {0: 1.0, 1: 4.0, 2: 4.0, 3: 4.0, 4: 4.0}
+
+
+def test_active_users_brute(ray_session):
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import active_users
+
+    tab = _events_table(n=400, seed=8)
+    ds = rd.from_arrow(tab).repartition(5)
+    out = {
+        int(r.win): int(r.n_users) for r in active_users(ds).to_pandas().itertuples()
+    }
+    df = tab.to_pandas()
+    t = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+    win = t // US_PER_HOUR
+    exp = (
+        pd.DataFrame({"win": win, "u": df["user_id"]})
+        .drop_duplicates()
+        .groupby("win")["u"]
+        .size()
+        .to_dict()
+    )
+    assert out == {int(k): int(v) for k, v in exp.items()}

@@ -100,3 +100,56 @@ def test_group_safe_split_no_pairs(ray_session):
     out = group_safe_split(docs, empty).to_pandas().sort_values("doc_id")
     plain = dataset_split(docs).to_pandas().sort_values("doc_id")
     assert (out["split"].to_numpy() == plain["split"].to_numpy()).all()
+
+def test_weighted_sample_brute(ray_session):
+    import hashlib
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.split import weighted_sample
+
+    rng = np.random.RandomState(13)
+    n = 300
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "n_chars": rng.randint(1, 5000, n).astype(np.int64),
+            }
+        )
+    )
+    out = weighted_sample(docs, k=25, seed=11).to_pandas().reset_index(drop=True)
+
+    rows = []
+    for i in range(n):
+        h = max(int(hashlib.md5(f"11:{i}".encode()).hexdigest()[:15], 16), 1)
+        u = h / 2**60
+        w = max(int(docs.take_all()[i]["n_chars"]), 1)
+        rows.append((i, math.floor(math.log(u) / w * 1e6 + 0.5)))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    exp_ids = [r[0] for r in rows[:25]]
+    assert list(out["doc_id"]) == exp_ids
+    # longer docs are sampled more: top-25 mean length >> corpus mean
+    lens = docs.to_pandas().set_index("doc_id")["n_chars"]
+    assert lens.loc[exp_ids].mean() > lens.mean()
+
+
+def test_weighted_sample_deterministic_across_partitioning(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.split import weighted_sample
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(120, dtype=np.int64),
+            "n_chars": (np.arange(120) % 17 + 1).astype(np.int64),
+        }
+    )
+    a = weighted_sample(rd.from_pandas(df), k=10).to_pandas()
+    b = weighted_sample(rd.from_pandas(df).repartition(7), k=10).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
