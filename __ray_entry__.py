@@ -1316,6 +1316,30 @@ def _q_window_join(sf_dir: str):
     return window_join(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_winsorized(sf_dir: str):
+    """Winsorized per-type value means (exact integer-cent histograms,
+    p05/p95 clamp, integer-ratio mean)."""
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import (
+        winsorized_value_mean,
+    )
+
+    return winsorized_value_mean(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_quality_classifier(sf_dir: str):
+    """Actor-pool linear quality classifier (planted weights, batched
+    inference; weights load once per actor)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import (
+        quality_classifier,
+    )
+
+    return quality_classifier(_docs(sf_dir))
+
+
 def _q_weighted_sample(sf_dir: str):
     """Length-weighted deterministic sampling (Efraimidis-Spirakis keys
     from seeded md5 uniforms, quantized before rank)."""
@@ -1851,6 +1875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "doc_stats": _q_doc_stats,
         "doc_quality": _q_doc_quality,
+        "quality_classifier": _q_quality_classifier,
         "lang_id": _q_lang_id,
         "doc_fingerprints": _q_fingerprints,
         # dedup families
@@ -1909,6 +1934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_lines": _q_dedup_lines,
         "length_percentile_filter": _q_length_percentile_filter,
         "events_rate_anomalies": _q_rate_anomalies,
+        "events_winsorized_mean": _q_winsorized,
         "lexical_diversity": _q_lexical_diversity,
         "doc_entropy": _q_doc_entropy,
     }
@@ -2494,6 +2520,30 @@ GROUP BY l.doc_id
             "FROM p LEFT JOIN b x ON x.user_id = p.user_id "
             "AND x.t < p.t AND x.t >= p.t - 3600000000 "
             "GROUP BY p.event_id"
+        ),
+        "events_winsorized_mean": (
+            "WITH b AS (SELECT event_type, "
+            "  CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events), "
+            "q AS (SELECT event_type, quantile_disc(c, 0.05) AS lo, "
+            "  quantile_disc(c, 0.95) AS hi, count(*)::BIGINT AS n "
+            "  FROM b GROUP BY event_type) "
+            "SELECT b.event_type, any_value(q.n) AS n, "
+            "floor(sum(least(greatest(b.c, q.lo), q.hi))::DOUBLE / any_value(q.n) "
+            "  * 1e6 + 0.5) / 1e6 AS mean_cents "
+            "FROM b JOIN q USING (event_type) GROUP BY b.event_type"
+        ),
+        "quality_classifier": (
+            "WITH f AS (SELECT doc_id, "
+            "  length(coalesce(text, ''))::DOUBLE AS L, "
+            "  len(regexp_extract_all(coalesce(text, ''), '\\S+'))::DOUBLE AS T, "
+            "  len(list_distinct(regexp_extract_all(coalesce(text, ''), '\\S+')))::DOUBLE AS Y "
+            "  FROM documents), "
+            "z AS (SELECT doc_id, -2.0 + 0.3 * ln(1.0 + L) + 0.4 * ln(1.0 + T) "
+            "  + 1.5 * (CASE WHEN T > 0 THEN Y / greatest(T, 1.0) ELSE 0.0 END) AS z "
+            "  FROM f) "
+            "SELECT doc_id, floor(1.0 / (1.0 + exp(-z)) * 1e6 + 0.5) / 1e6 AS score, "
+            "(CASE WHEN floor(1.0 / (1.0 + exp(-z)) * 1e6 + 0.5) / 1e6 >= 0.5 "
+            "  THEN 1 ELSE 0 END)::BIGINT AS keep FROM z"
         ),
         "weighted_sample": (
             "WITH h AS (SELECT doc_id, n_chars, "

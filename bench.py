@@ -241,6 +241,8 @@ def bench_suite() -> dict:
         "scc_counts",
         "weighted_sample",
         "events_active_users",
+        "events_winsorized_mean",
+        "quality_classifier",
     ]:
         qtimes[name] = run(name)
     return qtimes

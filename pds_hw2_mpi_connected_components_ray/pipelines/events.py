@@ -598,3 +598,61 @@ def active_users(events: Dataset, window_us: int = US_PER_HOUR) -> Dataset:
         .groupby("win")
         .aggregate(Sum("c", alias_name="n_users"))
     )
+
+
+def winsorized_value_mean(
+    events: Dataset, *, q_lo: float = 0.05, q_hi: float = 0.95
+) -> Dataset:
+    """(event_type, n, mean_cents): winsorized mean of `value` per
+    event type — values clamped to the type's exact [q_lo, q_hi]
+    quantiles before averaging, the robust-aggregation pass that keeps
+    a few corrupt readings from dominating a metric.
+
+    Values are integer cents throughout (round(value·100)), so the
+    per-type histogram is over a bounded integer vocabulary, quantiles
+    are exact (quantile_disc semantics: element at ceil(q·n)-1), and
+    the clamped mean is an exact integer ratio rounded half-up — no
+    floating-point aggregation anywhere. One (type, cents) groupby
+    builds every histogram; the driver walk is per-type
+    vocabulary-sized."""
+    from ray.data.aggregate import Count
+
+    def cents_partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        c = np.floor(
+            t["value"].to_numpy(zero_copy_only=False).astype(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        return pa.table({"event_type": et, "cents": c})
+
+    hist = (
+        events.select_columns(["event_type", "value"])
+        .map_batches(cents_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "cents"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()  # (type x distinct cent values) -- bounded vocabulary
+    )
+    out_rows = []
+    for et, g in hist.groupby("event_type", sort=True):
+        g = g.sort_values("cents")
+        vals = g["cents"].to_numpy(dtype=np.int64)
+        cnts = g["n"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+
+        def q_at(q):
+            idx = max(0, int(np.ceil(q * n)) - 1)
+            return int(vals[np.searchsorted(cum, idx + 1)])
+
+        lo, hi = q_at(q_lo), q_at(q_hi)
+        clamped = np.clip(vals, lo, hi)
+        total = int((clamped * cnts).sum())
+        out_rows.append(
+            (et, n, np.floor(total / n * 1e6 + 0.5) / 1e6)
+        )
+    import ray.data as rd
+
+    return rd.from_pandas(
+        pd.DataFrame(out_rows, columns=["event_type", "n", "mean_cents"]).astype(
+            {"n": np.int64}
+        )
+    )

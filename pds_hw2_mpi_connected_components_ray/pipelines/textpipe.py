@@ -855,3 +855,56 @@ def corpus_vocab_stats(docs: Dataset) -> Dataset:
             }
         )
     )
+
+
+class QualityClassifierStage:
+    """Actor-pool linear quality classifier: score = σ(w·f) over cheap
+    text features (log length, log token count, type-token ratio) — the
+    batched-model-inference shape (fasttext-style quality filters à la
+    CCNet/GPT-3): weights load ONCE per actor in __init__, batches
+    stream through __call__ vectorized. The planted weight vector is
+    deterministic so the whole stage is oracle-checkable; swap
+    `self.w` for real learned weights (or a real model) at deployment.
+
+    Determinism: z evaluates in the same fixed expression order both
+    sides (w0 + w1·x1 + w2·x2 + w3·x3, left-to-right doubles), features
+    are bit-identical (ln, exact ratios), σ is libm exp; score rounds
+    half-up at 1e-6."""
+
+    W = (-2.0, 0.3, 0.4, 1.5)
+
+    def __init__(self):
+        self.w = np.array(self.W, dtype=np.float64)  # "model load"
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        L = text.str.len().to_numpy(dtype=np.float64)
+        toks = text.str.split()
+        T = toks.str.len().to_numpy(dtype=np.float64)
+        Y = np.array([len(set(x)) for x in toks.to_numpy()], dtype=np.float64)
+        x1 = np.log(1.0 + L)
+        x2 = np.log(1.0 + T)
+        x3 = np.where(T > 0, Y / np.maximum(T, 1.0), 0.0)
+        w = self.w
+        z = w[0] + w[1] * x1 + w[2] * x2 + w[3] * x3
+        score = np.floor(1.0 / (1.0 + np.exp(-z)) * 1e6 + 0.5) / 1e6
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+                "score": score,
+                "keep": (score >= 0.5).astype(np.int64),
+            }
+        )
+
+
+def quality_classifier(docs: Dataset, concurrency: int | None = None) -> Dataset:
+    """(doc_id, score, keep): the QualityClassifierStage actor pool over
+    the corpus (stateful stage: setup per actor, not per batch)."""
+    kwargs = {"batch_format": "pandas"}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    else:
+        kwargs["concurrency"] = (1, 8)
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        QualityClassifierStage, **kwargs
+    )
