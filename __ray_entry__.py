@@ -1316,6 +1316,53 @@ def _q_window_join(sf_dir: str):
     return window_join(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shape pricing summary (integer-unit money, exact sums)."""
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.relational import (
+        pricing_summary,
+    )
+
+    return pricing_summary(rd.read_parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def _q_top_orders(sf_dir: str):
+    """TPC-H Q3-shape: top-10 BUILDING-segment orders by discounted
+    revenue (two key-hash joins + order rollup)."""
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.relational import (
+        top_orders_by_revenue,
+    )
+
+    return top_orders_by_revenue(
+        rd.read_parquet(f"{sf_dir}/customer.parquet"),
+        rd.read_parquet(f"{sf_dir}/orders.parquet"),
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+
+
+def _q_revenue_by_nation(sf_dir: str):
+    """TPC-H Q5-shape revenue rollup to the customer nation (broadcast
+    nation lookup + two key-hash joins)."""
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.relational import (
+        revenue_by_nation,
+    )
+
+    return revenue_by_nation(
+        rd.read_parquet(f"{sf_dir}/customer.parquet"),
+        rd.read_parquet(f"{sf_dir}/orders.parquet"),
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet"),
+        rd.read_parquet(f"{sf_dir}/nation.parquet"),
+    )
+
+
 def _q_winsorized(sf_dir: str):
     """Winsorized per-type value means (exact integer-cent histograms,
     p05/p95 clamp, integer-ratio mean)."""
@@ -1816,6 +1863,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # graph engine (SURVEY.md section 2) -- planted lineitem graph
         "edges_build": _q_edges_build,
+        "pricing_summary": _q_pricing_summary,
+        "top_orders_by_revenue": _q_top_orders,
+        "revenue_by_nation": _q_revenue_by_nation,
         "degree": _q_degree,
         "cc_labels": _q_cc_labels,
         "cc_labels_shuffle": lambda sf: _q_cc_labels(sf, mode="shuffle"),
@@ -2520,6 +2570,33 @@ GROUP BY l.doc_id
             "FROM p LEFT JOIN b x ON x.user_id = p.user_id "
             "AND x.t < p.t AND x.t >= p.t - 3600000000 "
             "GROUP BY p.event_id"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "sum(CAST(floor(l_quantity + 0.5) AS BIGINT))::BIGINT AS sum_qty, "
+            "sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT AS sum_base_cents, "
+            "sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e4 + 0.5) AS BIGINT))::BIGINT AS sum_disc_e4, "
+            "sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1e6 + 0.5) AS BIGINT))::BIGINT AS sum_charge_e6, "
+            "count(*)::BIGINT AS n, "
+            "floor(sum(CAST(floor(l_quantity + 0.5) AS BIGINT))::DOUBLE / count(*) * 1e6 + 0.5) / 1e6 AS avg_qty "
+            "FROM lineitem WHERE epoch_us(l_shipdate) <= epoch_us(TIMESTAMP '2000-12-31') "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "top_orders_by_revenue": (
+            "SELECT o.o_orderkey, "
+            "sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT))::BIGINT AS revenue_e4 "
+            "FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "WHERE c.c_mktsegment = 'BUILDING' "
+            "GROUP BY o.o_orderkey ORDER BY revenue_e4 DESC, o.o_orderkey ASC LIMIT 10"
+        ),
+        "revenue_by_nation": (
+            "SELECT n.n_name, "
+            "sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT))::BIGINT AS revenue_e4 "
+            "FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey "
+            "JOIN orders o ON o.o_custkey = c.c_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "GROUP BY n.n_name"
         ),
         "events_winsorized_mean": (
             "WITH b AS (SELECT event_type, "

@@ -243,6 +243,9 @@ def bench_suite() -> dict:
         "events_active_users",
         "events_winsorized_mean",
         "quality_classifier",
+        "pricing_summary",
+        "top_orders_by_revenue",
+        "revenue_by_nation",
     ]:
         qtimes[name] = run(name)
     return qtimes

@@ -1,0 +1,230 @@
+"""General relational pipelines over the TPC-H-shaped tables — the
+engine's joins/groupbys exercised on classic decision-support shapes
+(pricing summary, segment top-orders, revenue rollup), proving the
+substrate handles ordinary warehouse work alongside the link-graph and
+curation operators.
+
+Money determinism: every monetary expression quantizes to an integer
+scale (cents / 1e-4 / 1e-6 units) IMMEDIATELY after the per-row double
+arithmetic, so all aggregations are exact int64 sums and
+summation-order cannot diverge from the SQL oracle (the
+bigram_surprisal contract). The per-row double expressions are written
+in the same operation order both sides (price·(1−disc), then ·(1+tax)).
+
+Scale posture: joins are key-hash shuffles on high-cardinality keys
+(orderkey/custkey) with partition counts from default_parallelism;
+the tiny nation table broadcasts; all aggregates are per-batch
+pre-combined before the keyed groupby.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Count, Sum
+
+from ..context import default_parallelism
+from ..stages.joins import hash_join
+
+
+def _ts_us(col) -> np.ndarray:
+    return col.to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+
+
+_CUTOFF_US = np.datetime64("2000-12-31T00:00:00", "us").view(np.int64)
+
+
+def pricing_summary(lineitem: Dataset) -> Dataset:
+    """TPC-H Q1 shape: per (returnflag, linestatus) over rows shipped on
+    or before 2000-12-31 — quantity/base-price/discounted/charged sums
+    (exact integer units) plus row count and half-up mean quantity."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = _ts_us(t["l_shipdate"])
+        keep = ship <= _CUTOFF_US
+        rf = t["l_returnflag"].to_numpy(zero_copy_only=False)[keep]
+        ls = t["l_linestatus"].to_numpy(zero_copy_only=False)[keep]
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)[keep]
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        tax = t["l_tax"].to_numpy(zero_copy_only=False)[keep]
+        base_c = np.floor(price * 100 + 0.5).astype(np.int64)
+        disc_e4 = np.floor(price * (1.0 - disc) * 1e4 + 0.5).astype(np.int64)
+        charge_e6 = np.floor(price * (1.0 - disc) * (1.0 + tax) * 1e6 + 0.5).astype(
+            np.int64
+        )
+        df = pd.DataFrame(
+            {
+                "l_returnflag": rf,
+                "l_linestatus": ls,
+                "q": np.floor(qty + 0.5).astype(np.int64),
+                "b": base_c,
+                "d": disc_e4,
+                "c": charge_e6,
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            q=("q", "sum"), b=("b", "sum"), d=("d", "sum"), c=("c", "sum"),
+            n=("q", "size"),
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    agg = (
+        lineitem.select_columns(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_tax",
+                "l_shipdate",
+            ]
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("q", alias_name="sum_qty"),
+            Sum("b", alias_name="sum_base_cents"),
+            Sum("d", alias_name="sum_disc_e4"),
+            Sum("c", alias_name="sum_charge_e6"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        q = t["sum_qty"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column(
+            "avg_qty", pa.array(np.floor(q / n * 1e6 + 0.5) / 1e6)
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def top_orders_by_revenue(
+    customer: Dataset,
+    orders: Dataset,
+    lineitem: Dataset,
+    *,
+    segment: str = "BUILDING",
+    k: int = 10,
+) -> Dataset:
+    """TPC-H Q3 shape: top-k orders of one market segment by discounted
+    revenue (two key-hash joins, order-keyed pre-combined rollup,
+    (revenue desc, orderkey asc) rank)."""
+    npart = default_parallelism()
+
+    cust = customer.map_batches(
+        lambda t: t.filter(
+            pa.compute.equal(t["c_mktsegment"], segment)
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    ords = orders.select_columns(["o_orderkey", "o_custkey"])
+    oj = hash_join(
+        ords, cust, on=("o_custkey",), right_on=("c_custkey",), num_partitions=npart
+    ).select_columns(["o_orderkey"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(price * (1.0 - disc) * 1e4 + 0.5).astype(np.int64)
+        order = np.argsort(ok, kind="stable")
+        oks, revs = ok[order], rev[order]
+        b = np.flatnonzero(np.r_[True, oks[1:] != oks[:-1]])
+        return pa.table(
+            {"l_orderkey": oks[b], "r": np.add.reduceat(revs, b).astype(np.int64)}
+        )
+
+    li = lineitem.select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    j = hash_join(
+        li, oj, on=("l_orderkey",), right_on=("o_orderkey",), num_partitions=npart
+    )
+    per_order = (
+        j.groupby("l_orderkey")
+        .aggregate(Sum("r", alias_name="revenue_e4"))
+        .map_batches(
+            lambda t: t.rename_columns(["o_orderkey", "revenue_e4"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    return per_order.sort(
+        ["revenue_e4", "o_orderkey"], descending=[True, False]
+    ).limit(k)
+
+
+def revenue_by_nation(
+    customer: Dataset, orders: Dataset, lineitem: Dataset, nation: Dataset
+) -> Dataset:
+    """TPC-H Q5 shape (simplified to the customer side): discounted
+    revenue rolled up to the customer's nation. Two key-hash joins on
+    high-cardinality keys; the 25-row nation table broadcasts as a
+    sorted lookup; revenue pre-combines per order-key inside batches."""
+    import ray
+
+    npart = default_parallelism()
+
+    ntab = pa.concat_tables(
+        list(nation.select_columns(["n_nationkey", "n_name"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ))
+    )
+    nk = ntab["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nn = ntab["n_name"].to_numpy(zero_copy_only=False).astype(str)
+    o = np.argsort(nk, kind="stable")
+    ref = ray.put((nk[o], nn[o]))
+
+    cust = customer.select_columns(["c_custkey", "c_nationkey"])
+    ords = orders.select_columns(["o_orderkey", "o_custkey"])
+    oj = hash_join(
+        ords, cust, on=("o_custkey",), right_on=("c_custkey",), num_partitions=npart
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(price * (1.0 - disc) * 1e4 + 0.5).astype(np.int64)
+        order = np.argsort(ok, kind="stable")
+        oks, revs = ok[order], rev[order]
+        b = np.flatnonzero(np.r_[True, oks[1:] != oks[:-1]])
+        return pa.table(
+            {"l_orderkey": oks[b], "r": np.add.reduceat(revs, b).astype(np.int64)}
+        )
+
+    li = lineitem.select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(
+        li, oj, on=("l_orderkey",), right_on=("o_orderkey",), num_partitions=npart
+    )
+
+    def nat_partial(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        k, names = _ray.get(ref)
+        nkey = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        name = names[np.searchsorted(k, nkey)]
+        df = pd.DataFrame({"n_name": name, "r": r})
+        g = df.groupby("n_name", sort=False)["r"].sum()
+        return pa.table(
+            {"n_name": g.index.to_numpy(dtype=str), "r": g.to_numpy(dtype=np.int64)}
+        )
+
+    return (
+        j.map_batches(nat_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_name")
+        .aggregate(Sum("r", alias_name="revenue_e4"))
+    )
