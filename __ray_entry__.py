@@ -1316,6 +1316,17 @@ def _q_window_join(sf_dir: str):
     return window_join(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_props_stats(sf_dir: str):
+    """Semi-structured extraction: per-JSON-property rollup over props
+    (vectorized regexp extract, integer-cent sums)."""
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import props_key_stats
+
+    return props_key_stats(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_pricing_summary(sf_dir: str):
     """TPC-H Q1-shape pricing summary (integer-unit money, exact sums)."""
     _configure()
@@ -1943,6 +1954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events (streaming-shaped)
         "events_windowed": _q_events_windowed,
         "events_active_users": _q_active_users,
+        "events_props_stats": _q_props_stats,
         "events_hopping": _q_events_hopping,
         "events_asof_prev": _q_events_asof,
         "events_asof_enrich": _q_events_asof_enrich,
@@ -2597,6 +2609,12 @@ GROUP BY l.doc_id
             "JOIN orders o ON o.o_custkey = c.c_custkey "
             "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
             "GROUP BY n.n_name"
+        ),
+        "events_props_stats": (
+            "SELECT coalesce(CAST(regexp_extract(coalesce(props, ''), "
+            "'\"k\": (\\d+)', 1) AS BIGINT), -1) AS k, count(*)::BIGINT AS n, "
+            "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS sum_cents "
+            "FROM events GROUP BY k"
         ),
         "events_winsorized_mean": (
             "WITH b AS (SELECT event_type, "

@@ -246,6 +246,7 @@ def bench_suite() -> dict:
         "pricing_summary",
         "top_orders_by_revenue",
         "revenue_by_nation",
+        "events_props_stats",
     ]:
         qtimes[name] = run(name)
     return qtimes

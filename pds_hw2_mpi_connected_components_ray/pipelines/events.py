@@ -656,3 +656,36 @@ def winsorized_value_mean(
             {"n": np.int64}
         )
     )
+
+
+def props_key_stats(events: Dataset) -> Dataset:
+    """(k, n, sum_cents): per-extracted-property aggregation over the
+    semi-structured `props` JSON column — the log-enrichment pass
+    (extract a typed field from a JSON payload, roll up on it). The
+    extraction is one vectorized RE2-compatible regexp per batch
+    (pandas str.extract ≡ DuckDB regexp_extract, by construction);
+    value sums are integer cents (exact in any order)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = (
+            df["props"]
+            .fillna("")
+            .str.extract(r'"k": (\d+)', expand=False)
+            .fillna(-1)
+            .astype(np.int64)
+        )
+        cents = np.floor(df["value"].to_numpy(dtype=np.float64) * 100 + 0.5).astype(
+            np.int64
+        )
+        g = pd.DataFrame({"k": k, "c": cents, "one": np.int64(1)}).groupby(
+            "k", sort=False
+        ).agg(n=("one", "sum"), s=("c", "sum"))
+        g = g.reset_index()
+        return g.astype({"k": np.int64, "n": np.int64, "s": np.int64})
+
+    return (
+        events.select_columns(["props", "value"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="sum_cents"))
+    )
