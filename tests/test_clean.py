@@ -229,3 +229,30 @@ def test_neardup_contamination_cross_set_only(ray_session):
     # test ids are 0 and 20; train partners with jaccard >= 0.5
     assert got == {(0, 1), (20, 1)}
     assert (out["jaccard"] >= 0.5).all()
+
+
+def test_quality_classifier_monotone_and_actor_state(ray_session):
+    import math
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import (
+        QualityClassifierStage,
+        quality_classifier,
+    )
+
+    texts = [
+        "a a a a a a a a",                     # repetitive, low ttr
+        "rich varied vocabulary with many distinct informative words",
+        "",                                     # empty
+    ]
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    )
+    out = quality_classifier(docs).to_pandas().set_index("doc_id").sort_index()
+    # varied text scores above the repetitive one
+    assert out.loc[1, "score"] > out.loc[0, "score"]
+    # brute-force one row against the planted weights
+    w = QualityClassifierStage.W
+    t = texts[1]
+    L, T, Y = len(t), len(t.split()), len(set(t.split()))
+    z = w[0] + w[1] * math.log(1 + L) + w[2] * math.log(1 + T) + w[3] * (Y / T)
+    assert out.loc[1, "score"] == math.floor(1 / (1 + math.exp(-z)) * 1e6 + 0.5) / 1e6

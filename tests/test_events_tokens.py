@@ -503,3 +503,36 @@ def test_active_users_brute(ray_session):
         .to_dict()
     )
     assert out == {int(k): int(v) for k, v in exp.items()}
+
+
+def test_winsorized_mean_brute(ray_session):
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import (
+        winsorized_value_mean,
+    )
+
+    rng = np.random.RandomState(6)
+    n = 500
+    vals = np.round(rng.uniform(0, 40, n), 2)
+    vals[:5] = 9999.99  # outliers that winsorization must tame
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": np.zeros(n, dtype=np.int64),
+            "event_type": ["a"] * (n // 2) + ["b"] * (n - n // 2),
+            "value": vals,
+            "ts": pd.to_datetime(np.arange(n, dtype=np.int64), unit="us"),
+        }
+    )
+    out = winsorized_value_mean(rd.from_pandas(df)).to_pandas().set_index("event_type")
+
+    cents = np.floor(vals * 100 + 0.5).astype(np.int64)
+    for et, sel in (("a", slice(0, n // 2)), ("b", slice(n // 2, n))):
+        c = np.sort(cents[sel])
+        m = len(c)
+        lo = c[max(0, int(np.ceil(0.05 * m)) - 1)]
+        hi = c[max(0, int(np.ceil(0.95 * m)) - 1)]
+        mean = np.floor(np.clip(c, lo, hi).sum() / m * 1e6 + 0.5) / 1e6
+        assert out.loc[et, "mean_cents"] == mean
+        assert out.loc[et, "n"] == m
+    # outlier damping sanity: winsorized mean far below raw mean for 'a'
+    assert out.loc["a", "mean_cents"] < cents[: n // 2].mean()
