@@ -1316,6 +1316,15 @@ def _q_window_join(sf_dir: str):
     return window_join(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_lang_confusion(sf_dir: str):
+    """Language-id confusion matrix: heuristic predictions vs the
+    table's lang column, counted per (actual, predicted) pair."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import lang_confusion
+
+    return lang_confusion(_docs(sf_dir))
+
+
 def _q_props_stats(sf_dir: str):
     """Semi-structured extraction: per-JSON-property rollup over props
     (vectorized regexp extract, integer-cent sums)."""
@@ -1938,6 +1947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _q_doc_quality,
         "quality_classifier": _q_quality_classifier,
         "lang_id": _q_lang_id,
+        "lang_confusion": _q_lang_confusion,
         "doc_fingerprints": _q_fingerprints,
         # dedup families
         "exact_dedup": _q_exact_dedup,
@@ -2008,6 +2018,18 @@ def oracle_sql() -> dict[str, str]:
         PHONE_RE as _PHONE_RE,
     )
 
+    _LANG_SQL = (
+        "WITH w AS (SELECT doc_id, list_distinct(regexp_extract_all("
+        "lower(coalesce(text,'')), '[a-z]+')) AS ws "
+        "FROM documents), "
+        "v AS (SELECT doc_id, "
+        f"  len(list_filter(ws, x -> x IN ({_STOP_DE}))) AS n_de, "
+        f"  len(list_filter(ws, x -> x IN ({_STOP_EL}))) AS n_el, "
+        f"  len(list_filter(ws, x -> x IN ({_STOP_EN}))) AS n_en FROM w) "
+        "SELECT doc_id, CASE WHEN greatest(n_de, n_el, n_en) = 0 THEN 'und' "
+        "WHEN n_de >= n_el AND n_de >= n_en THEN 'de' "
+        "WHEN n_el >= n_en THEN 'el' ELSE 'en' END AS lang_pred FROM v"
+    )
     cc_sql = _CC_SQL
     return {
         "edges_build": f"WITH {_EDGES_CTES} SELECT src, dst FROM edges",
@@ -2404,17 +2426,12 @@ GROUP BY l.doc_id
         ),
         # NOTE: the engine's word regex is unicode ([^\W\d_]+); the SQL
         # mirror uses [a-z]+, exact on this ASCII fixture corpus.
-        "lang_id": (
-            "WITH w AS (SELECT doc_id, list_distinct(regexp_extract_all("
-            "lower(coalesce(text,'')), '[a-z]+')) AS ws "
-            "FROM documents), "
-            "v AS (SELECT doc_id, "
-            f"  len(list_filter(ws, x -> x IN ({_STOP_DE}))) AS n_de, "
-            f"  len(list_filter(ws, x -> x IN ({_STOP_EL}))) AS n_el, "
-            f"  len(list_filter(ws, x -> x IN ({_STOP_EN}))) AS n_en FROM w) "
-            "SELECT doc_id, CASE WHEN greatest(n_de, n_el, n_en) = 0 THEN 'und' "
-            "WHEN n_de >= n_el AND n_de >= n_en THEN 'de' "
-            "WHEN n_el >= n_en THEN 'el' ELSE 'en' END AS lang_pred FROM v"
+        "lang_id": _LANG_SQL,
+        "lang_confusion": (
+            f"WITH p AS ({_LANG_SQL}) "
+            "SELECT coalesce(d.lang, 'und') AS lang, p.lang_pred, "
+            "count(*)::BIGINT AS n "
+            "FROM p JOIN documents d USING (doc_id) GROUP BY 1, 2"
         ),
         "doc_fingerprints": (
             "SELECT doc_id, ('0x' || substr(md5(coalesce(text,'')), 1, 15))::BIGINT AS fp "

@@ -247,6 +247,7 @@ def bench_suite() -> dict:
         "top_orders_by_revenue",
         "revenue_by_nation",
         "events_props_stats",
+        "lang_confusion",
     ]:
         qtimes[name] = run(name)
     return qtimes

@@ -908,3 +908,32 @@ def quality_classifier(docs: Dataset, concurrency: int | None = None) -> Dataset
     return docs.select_columns(["doc_id", "text"]).map_batches(
         QualityClassifierStage, **kwargs
     )
+
+
+def lang_confusion(docs: Dataset, concurrency: int | None = None) -> Dataset:
+    """(lang, lang_pred, n): confusion matrix of the heuristic language
+    id against the table's labeled lang column — the eval loop every
+    classifier-based curation stage needs. Row==doc keeps it one
+    actor-pool pass (predictions + actuals counted per batch) plus a
+    tiny (lang, pred)-keyed groupby."""
+    from ray.data.aggregate import Sum
+
+    class _ConfusionStage(LangIdStage):
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            out = super().__call__(batch)
+            out["lang"] = batch["lang"].fillna("und").astype(str).to_numpy()
+            g = (
+                out.groupby(["lang", "lang_pred"], sort=False)
+                .size()
+                .reset_index(name="n")
+            )
+            g["n"] = g["n"].astype(np.int64)
+            return g
+
+    kwargs = {"batch_format": "pandas", "concurrency": concurrency or (1, 8)}
+    return (
+        docs.select_columns(["doc_id", "text", "lang"])
+        .map_batches(_ConfusionStage, **kwargs)
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
