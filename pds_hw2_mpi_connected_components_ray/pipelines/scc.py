@@ -89,6 +89,7 @@ def scc_labels(
     nshards: int | None = None,
     max_peel_rounds: int = 256,
     max_supersteps: int = 4096,
+    trim: bool = False,
 ) -> Dataset:
     """(vertex, label) with label = min vertex id of v's strongly
     connected component, over the self-loop-free directed graph."""
@@ -110,6 +111,23 @@ def scc_labels(
             establish_subscriptions(acts_f)
         establish_subscriptions(acts_b)
         active = sum(s for s, _r in sizes_f)
+        if trim:
+            # Multistep trim: peel cycle-free vertices (zero active
+            # in-degree on either direction) to fixpoint before FW-BW —
+            # tree tails and chains vanish without paying min-label
+            # fixpoints. Labels land on the forward pool only.
+            ray.get([a.scc_trim_init.remote() for a in acts_f + acts_b])
+            while True:
+                dead = [a.scc_trim_take.remote(True) for a in acts_f] + [
+                    a.scc_trim_take.remote(False) for a in acts_b
+                ]
+                counts = ray.get(
+                    [a.scc_apply_deaths.remote(dead, True) for a in acts_f]
+                    + [a.scc_apply_deaths.remote(dead, False) for a in acts_b]
+                )
+                if counts[0] == 0:
+                    break
+            active = sum(ray.get([a.scc_active_count.remote() for a in acts_f]))
         total_steps = 0
         rounds = 0
         while active > 0 and rounds < max_peel_rounds:

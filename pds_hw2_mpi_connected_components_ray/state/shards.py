@@ -1260,6 +1260,76 @@ class GraphShardActor:
             }
         )
 
+    # --- SCC trim phase (Multistep's first step: vertices not on any
+    # cycle peel as singleton SCCs before the FW-BW rounds). A vertex
+    # with zero ACTIVE non-self in-edges on this pool's direction
+    # cannot be on a cycle; trimming it may expose more, so the driver
+    # iterates to fixpoint. The forward pool trims by in-degree, the
+    # reversed pool by out-degree; each round's death lists broadcast
+    # once (death-list-proportional traffic) and every shard decrements
+    # the counters of the affected dsts with one reduceat pass.
+
+    def scc_trim_init(self) -> int:
+        if len(self.usrc):
+            src_ids = self.usrc[self.src_local]
+            dst_ids = np.repeat(self.udst, np.diff(self.offsets))
+            self._scc_nonself = src_ids != dst_ids
+            self.scc_src_alive = np.ones(len(self.usrc), dtype=bool)
+            self.scc_incnt = np.add.reduceat(
+                self._scc_nonself.astype(np.int64), self.offsets[:-1]
+            )
+        else:
+            self._scc_nonself = np.array([], dtype=bool)
+            self.scc_src_alive = np.ones(0, dtype=bool)
+            self.scc_incnt = np.zeros(len(self.udst), dtype=np.int64)
+        return int((self.scc_active & (self.scc_incnt == 0)).sum())
+
+    def scc_trim_take(self, assign: bool) -> np.ndarray:
+        """Deactivate zero-in-degree actives; the FORWARD pool
+        (assign=True) also writes their singleton labels (= self)."""
+        z = self.scc_active & (self.scc_incnt == 0)
+        ids = self.udst[z]
+        if len(ids):
+            if assign:
+                self.scc_label[z] = self.udst[z]
+            self.scc_active[z] = False
+        return ids
+
+    def scc_apply_deaths(self, refs: list, assign_self: bool) -> int:
+        """Apply a trim round's death lists (from BOTH pools):
+        deactivate owned ids (labeling them self on the forward pool —
+        a trimmed vertex is its own SCC), kill them as srcs, decrement
+        the in-counters of their out-neighbors. Returns the total
+        death-list length (the driver's fixpoint check)."""
+        parts = [ray.get(r) for r in refs]
+        parts = [p for p in parts if len(p)]
+        total = sum(len(p) for p in parts)
+        if total == 0:
+            return 0
+        dead = np.unique(np.concatenate(parts))
+        if len(self.udst):
+            pos = np.minimum(np.searchsorted(self.udst, dead), len(self.udst) - 1)
+            mine = (self.udst[pos] == dead) & self.scc_active[pos]
+            if mine.any():
+                p = pos[mine]
+                if assign_self:
+                    self.scc_label[p] = self.udst[p]
+                self.scc_active[p] = False
+        if len(self.usrc):
+            spos = np.minimum(np.searchsorted(self.usrc, dead), len(self.usrc) - 1)
+            hit = (self.usrc[spos] == dead) & self.scc_src_alive[spos]
+            if hit.any():
+                sp = spos[hit]
+                self.scc_src_alive[sp] = False
+                mark = np.zeros(len(self.usrc), dtype=bool)
+                mark[sp] = True
+                edge_dead = mark[self.src_local] & self._scc_nonself
+                if edge_dead.any():
+                    self.scc_incnt -= np.add.reduceat(
+                        edge_dead.astype(np.int64), self.offsets[:-1]
+                    )
+        return total
+
 
 def establish_subscriptions(actors: list) -> None:
     """One-time peer exchange of frontier subscriptions on a pool whose
@@ -1378,3 +1448,4 @@ def build_shard_pool(edges, nshards: int) -> list:
     actors = spawn_shard_pool(nshards)
     ray.get(load_shard_pool(actors, edges))
     return actors
+

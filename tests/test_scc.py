@@ -117,3 +117,22 @@ def test_scc_random_vs_tarjan(ray_session):
             if a != b
         }
         assert _run(pairs) == _tarjan(pairs), f"trial {trial}"
+
+
+def test_scc_trim_equals_plain(ray_session):
+    rng = np.random.RandomState(31)
+    # cycle-poor graph with long tails: trim should do most of the work
+    pairs = {(int(a), int(b)) for a, b in rng.randint(0, 50, size=(70, 2)) if a != b}
+    pairs |= {(60, 61), (61, 62), (62, 60)}  # one planted cycle
+    pairs |= {(62, 70), (70, 71), (71, 72)}  # pure tail
+    a = _run(pairs)
+    b = _run(pairs, trim=True)
+    assert a == b == _tarjan(pairs)
+
+
+def test_scc_trim_pure_dag(ray_session):
+    # acyclic graph: trim alone must finish it (every SCC singleton)
+    pairs = [(i, j) for i in range(10) for j in range(i + 1, 10) if (i + j) % 3 == 0]
+    out = _run(pairs, trim=True)
+    assert out == {v: v for v in out}
+    assert out == _tarjan(pairs)
