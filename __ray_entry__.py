@@ -1336,6 +1336,19 @@ def _q_props_stats(sf_dir: str):
     return props_key_stats(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_copurchase(sf_dir: str):
+    """Co-purchase part pairs (>=2 shared orders): order-bucketed pair
+    generation + packed-pair bucket sums — the relational->graph bridge."""
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.relational import (
+        copurchase_pairs,
+    )
+
+    return copurchase_pairs(rd.read_parquet(f"{sf_dir}/lineitem.parquet"))
+
+
 def _q_pricing_summary(sf_dir: str):
     """TPC-H Q1-shape pricing summary (integer-unit money, exact sums)."""
     _configure()
@@ -1886,6 +1899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "top_orders_by_revenue": _q_top_orders,
         "revenue_by_nation": _q_revenue_by_nation,
+        "copurchase_pairs": _q_copurchase,
         "degree": _q_degree,
         "cc_labels": _q_cc_labels,
         "cc_labels_shuffle": lambda sf: _q_cc_labels(sf, mode="shuffle"),
@@ -2599,6 +2613,14 @@ GROUP BY l.doc_id
             "FROM p LEFT JOIN b x ON x.user_id = p.user_id "
             "AND x.t < p.t AND x.t >= p.t - 3600000000 "
             "GROUP BY p.event_id"
+        ),
+        "copurchase_pairs": (
+            "WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+            "pr AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2 FROM lp a "
+            "  JOIN lp b ON a.l_orderkey = b.l_orderkey "
+            "  AND a.l_partkey < b.l_partkey) "
+            "SELECT p1, p2, count(*)::BIGINT AS n_orders FROM pr "
+            "GROUP BY p1, p2 HAVING count(*) >= 2"
         ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "

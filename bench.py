@@ -248,6 +248,7 @@ def bench_suite() -> dict:
         "revenue_by_nation",
         "events_props_stats",
         "lang_confusion",
+        "copurchase_pairs",
     ]:
         qtimes[name] = run(name)
     return qtimes

@@ -228,3 +228,67 @@ def revenue_by_nation(
         .groupby("n_name")
         .aggregate(Sum("r", alias_name="revenue_e4"))
     )
+
+
+def copurchase_pairs(lineitem: Dataset, *, min_orders: int = 2) -> Dataset:
+    """(p1, p2, n_orders): unordered part pairs bought together in at
+    least `min_orders` orders — the relational→graph bridge (the
+    co-occurrence edge derivation behind recommendation graphs; feed
+    the output straight into the engine's PageRank/CC/community ops).
+
+    Plan: bucket rows by ORDER key (one small-int keyed shuffle; an
+    order's lines always share a bucket, so per-order pair generation
+    is local and exact), per-bucket distinct (order, part) self-merge
+    emits packed-int64 pair partials, and a bucket-per-group sum +
+    threshold filter finishes. Pair keys pack as (p1 << 31) | p2 —
+    partkeys wider than 31 bits would need the two-column fallback
+    (asserted)."""
+    from .events import _bucket_by_key
+
+    shift = np.int64(31)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        lp = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        if lp["l_partkey"].max() >= 2**31:
+            raise ValueError("copurchase_pairs packed keys need partkey < 2^31")
+        m = lp.merge(lp, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        k = (
+            m["l_partkey_x"].to_numpy(dtype=np.int64) << shift
+        ) | m["l_partkey_y"].to_numpy(dtype=np.int64)
+        u, cnt = np.unique(k, return_counts=True)
+        return pd.DataFrame({"k": u, "n": cnt.astype(np.int64)})
+
+    parts = (
+        _bucket_by_key(
+            lineitem.select_columns(["l_orderkey", "l_partkey"]),
+            "l_orderkey",
+            ["l_orderkey", "l_partkey"],
+        )
+        .groupby("_kb")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+    def add_kb(df: pd.DataFrame) -> pd.DataFrame:
+        nb = max(8, default_parallelism())
+        df = df.copy()
+        df["_kb"] = (df["k"].to_numpy(dtype=np.int64) * np.int64(0x9E3779B9)) % nb
+        return df
+
+    def bucket_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("k", sort=False)["n"].sum()
+        g = g[g >= min_orders]
+        k = g.index.to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "p1": k >> shift,
+                "p2": k & ((np.int64(1) << shift) - 1),
+                "n_orders": g.to_numpy(dtype=np.int64),
+            }
+        )
+
+    return (
+        parts.map_batches(add_kb, batch_format="pandas")
+        .groupby("_kb")
+        .map_groups(bucket_sum, batch_format="pandas")
+    )
