@@ -39,6 +39,113 @@ from ..context import default_parallelism
 from ..stages.graph import degrees, drop_self_loops
 from ..stages.joins import hash_join, put_lookup
 
+_PACK_SHIFT = np.int64(31)
+_PACK_MASK = np.int64((1 << 31) - 1)
+
+
+def _packed_pair_scores(
+    simple: Dataset,
+    left: Dataset,
+    npart: int,
+    *,
+    weighted: bool,
+) -> Dataset:
+    """Fast path for both predictors when ids fit 31 bits (always true
+    after the engine's dense renumber): pack the unordered candidate
+    pair (b, c) into one int64 key, pre-combine scores per batch with
+    np.unique/bincount, and resolve BOTH the global sum AND the
+    adjacency anti-join in a SINGLE bucketed all-to-all — the same
+    bucket-per-group reduceat trick that took `edge_support` from a
+    full Ray keyed aggregate (10.5 s / 750k rows) to ~1 s. The generic
+    plan pays two full keyed aggregates over wedge volume; this pays
+    one shuffle of per-batch-combined partials.
+
+    `left` carries (a, b[, w]); wedges come from the same center join
+    as the generic plan. Adjacency rows ride the same shuffle tagged
+    `_adj=1` with score 0, so a per-bucket max tells existing edges
+    apart without a second exchange.
+    """
+    sdtype = np.float64 if weighted else np.int64
+
+    def partial(t: pa.Table) -> pa.Table:
+        sel = pc.less(t["b"], t["c"])
+        b = t["b"].filter(sel).to_numpy(zero_copy_only=False)
+        c = t["c"].filter(sel).to_numpy(zero_copy_only=False)
+        if len(b) == 0:
+            return pa.table(
+                {
+                    "k": np.empty(0, np.int64),
+                    "s": np.empty(0, sdtype),
+                    "_adj": np.empty(0, np.int64),
+                }
+            )
+        k = (b << _PACK_SHIFT) | c
+        if weighted:
+            w = t["w"].filter(sel).to_numpy(zero_copy_only=False)
+            u, inv = np.unique(k, return_inverse=True)
+            s = np.bincount(inv, weights=w)
+        else:
+            u, cnt = np.unique(k, return_counts=True)
+            s = cnt.astype(np.int64)
+        return pa.table(
+            {"k": u, "s": s.astype(sdtype), "_adj": np.zeros(len(u), np.int64)}
+        )
+
+    def adj_rows(t: pa.Table) -> pa.Table:
+        sel = pc.less(t["src"], t["dst"])
+        src = t["src"].filter(sel).to_numpy(zero_copy_only=False)
+        dst = t["dst"].filter(sel).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": (src << _PACK_SHIFT) | dst,
+                "s": np.zeros(len(src), sdtype),
+                "_adj": np.ones(len(src), np.int64),
+            }
+        )
+
+    right = simple.map_batches(
+        lambda t: pa.table({"a2": t["src"], "c": t["dst"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    wedges = hash_join(left, right, on=("a",), right_on=("a2",), num_partitions=npart)
+    partials = wedges.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    tagged = simple.map_batches(adj_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    nb = max(8, default_parallelism())
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_kb", pa.array((k * np.int64(0x9E3779B9)) % nb, pa.int64())
+        )
+
+    def bucket_reduce(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        adj = t["_adj"].to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        ks, ss, aj = k[order], s[order], adj[order]
+        bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        tot = np.add.reduceat(ss, bounds)
+        amax = np.maximum.reduceat(aj, bounds)
+        keep = (amax == 0) & (tot > 0)
+        ku = ks[bounds][keep]
+        return pa.table(
+            {
+                "b": ku >> _PACK_SHIFT,
+                "c": ku & _PACK_MASK,
+                "s": tot[keep].astype(sdtype),
+            }
+        )
+
+    return (
+        partials.union(tagged)
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_kb")
+        .map_groups(bucket_reduce, batch_format="pyarrow")
+    )
+
 
 def common_neighbor_candidates(
     edges: Dataset,
@@ -77,6 +184,17 @@ def common_neighbor_candidates(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    vmax = simple.max("dst")
+    if vmax is not None and int(vmax) < 2**31:
+        cand = _packed_pair_scores(simple, left, npart, weighted=False)
+        cand = cand.map_batches(
+            lambda t: t.rename_columns(["b", "c", "common_neighbors"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        return cand.sort(
+            ["common_neighbors", "b", "c"], descending=[True, False, False]
+        ).limit(k)
     right = simple.map_batches(
         lambda t: pa.table({"a2": t["src"], "c": t["dst"]}),
         batch_format="pyarrow",
@@ -219,6 +337,26 @@ def adamic_adar_candidates(
             on=("a",),
             num_partitions=npart,
         )
+    vmax = simple.max("dst")
+    if vmax is not None and int(vmax) < 2**31:
+        scored = _packed_pair_scores(simple, left, npart, weighted=True)
+
+        def fin_packed(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "b": t["b"],
+                    "c": t["c"],
+                    "aa_score": np.round(t["s"].to_numpy(zero_copy_only=False), 6),
+                }
+            )
+
+        cand = scored.map_batches(
+            fin_packed, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return cand.sort(["aa_score", "b", "c"], descending=[True, False, False]).limit(
+            k
+        )
+
     right = simple.map_batches(
         lambda t: pa.table({"a2": t["src"], "c": t["dst"]}),
         batch_format="pyarrow",
