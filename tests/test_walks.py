@@ -56,6 +56,29 @@ def test_walks_match_bruteforce(ray_session):
     assert [tuple(map(int, r)) for r in got] == _brute(pairs, 4, 7)
 
 
+def test_walks_broadcast_equals_shuffle(ray_session):
+    rng = np.random.default_rng(43)
+    pairs = [tuple(e) for e in rng.integers(0, 60, size=(150, 2)) if e[0] != e[1]]
+    arr = np.asarray(pairs, dtype=np.int64)
+    ds = canonical_edges(
+        rd.from_pandas(pd.DataFrame({"src": arr[:, 0], "dst": arr[:, 1]}))
+    ).materialize()
+    key = ["walk_id", "step"]
+    a = (
+        deterministic_walks(ds, length=3, seed=9, mode="broadcast")
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    b = (
+        deterministic_walks(ds, length=3, seed=9, mode="shuffle")
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a[key + ["vertex"]], b[key + ["vertex"]])
+
+
 def test_walks_deterministic_and_seeded(ray_session):
     pairs = [(i, (i + 1) % 20) for i in range(20)] + [(i, (i + 7) % 20) for i in range(20)]
     arr = np.asarray(pairs, dtype=np.int64)
