@@ -163,7 +163,6 @@ def triangles_per_vertex(
     Same wedge-closure plan, but each closed triangle (a,b,c) credits all
     three corners before a final groupby-sum.
     """
-    from ray.data.aggregate import Sum
 
     simple = drop_self_loops(edges).materialize()
     npart = num_partitions or default_parallelism()
@@ -208,10 +207,13 @@ def triangles_per_vertex(
         u, cnt = np.unique(v, return_counts=True)
         return pa.table({"vertex": u, "t": cnt.astype(np.int64)})
 
-    return (
-        tri.map_batches(corners, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("vertex")
-        .aggregate(Sum("t", alias_name="triangles"))
+    from ..stages.skew import bucketed_group_sum
+
+    partials = tri.map_batches(corners, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_group_sum(partials, "vertex", "t").map_batches(
+        lambda t: t.rename_columns(["vertex", "triangles"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
 

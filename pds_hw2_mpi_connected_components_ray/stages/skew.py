@@ -39,6 +39,51 @@ def high_degree_vertices(edges: Dataset, threshold: int) -> Dataset:
     )
 
 
+def bucketed_group_sum(
+    ds: Dataset,
+    key: str,
+    val: str,
+    *,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Exact (key -> SUM(val)) for an int64 key, as one bucketed
+    exchange instead of Ray's full sort-based keyed aggregate: hash the
+    key into ~parallelism integer buckets, groupby the BUCKET id (few
+    groups, no tiny-group overhead), and reduce each bucket with a
+    single argsort+reduceat pass. Measured ~10x cheaper than
+    `groupby(key).aggregate(Sum)` on edge_support's credit rows (10.5 s
+    -> ~1 s for 750k rows); the same trick behind the link-prediction
+    and k-truss fast paths.
+
+    Per-batch pre-combining (np.unique partials) belongs in the CALLER
+    where it can fuse with the producing map; this helper only owns the
+    exchange + final reduce.
+    """
+    from ..context import default_parallelism
+
+    nb = num_buckets or max(8, default_parallelism())
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_kb", pa.array((k * np.int64(0x9E3779B9)) % nb, pa.int64())
+        )
+
+    def bucket_sum(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False)
+        v = t[val].to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        ks, vs = k[order], v[order]
+        bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        return pa.table({key: ks[bounds], val: np.add.reduceat(vs, bounds)})
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_kb")
+        .map_groups(bucket_sum, batch_format="pyarrow")
+    )
+
+
 def combine_per_batch(ds: Dataset, key: str, val: str, how: str = "min") -> Dataset:
     """Per-batch (key -> min/max val) combiner. The output carries ONLY
     the (key, val) columns -- any other input columns are dropped, so
