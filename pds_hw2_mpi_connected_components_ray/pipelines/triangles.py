@@ -31,6 +31,132 @@ from ..stages.joins import broadcast_attach, hash_join, put_lookup
 
 BROADCAST_DEGREE_THRESHOLD = 5_000_000  # vertices; ~80 MB of (id, deg) pairs
 _BROADCAST_SUPPORT_PAIRS = 5_000_000  # (packed pair, support) rows; ~80 MB
+_LOCAL_CLOSURE_EDGES = 5_000_000  # symmetric rows; CSR + key array ~120 MB
+
+
+def _closure_state_ref(simple: Dataset):
+    """Broadcast state for the shuffle-free triangle path: the whole
+    oriented adjacency as one rank-space CSR + a sorted packed edge-key
+    array, ray.put ONCE. Vertices are renumbered to their
+    (degree, id)-lexicographic rank so orientation is a plain rank
+    compare, out-neighbor lists are rank-sorted for free, and two ranks
+    always pack into one int64 regardless of how sparse the original id
+    space is. Returns (ref, n_vertices)."""
+    import ray as _ray
+
+    tab = pa.concat_tables(
+        list(simple.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    src = tab["src"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    dst = tab["dst"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    # symmetric table: every vertex appears as src, degree = src count
+    vids, deg = np.unique(src, return_counts=True)
+    n = len(vids)
+    order = np.lexsort((vids, deg))
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n, dtype=np.int64)
+    rs = rank[np.searchsorted(vids, src)]
+    rd = rank[np.searchsorted(vids, dst)]
+    keep = rs < rd  # orient low rank -> high rank; each undirected edge once
+    rs, rd = rs[keep], rd[keep]
+    o = np.lexsort((rd, rs))
+    rs, rd = rs[o], rd[o]
+    off = np.searchsorted(rs, np.arange(n + 1, dtype=np.int64))
+    keys = (rs << np.int64(32)) | rd  # ascending by construction
+    vid_of = vids[order]
+    return _ray.put((vids, rank, off, rd, keys, vid_of)), n
+
+
+def _closure_partials(simple: Dataset, ref, mode: str) -> Dataset:
+    """One shuffle-free map_batches over vertices that generates every
+    degree-oriented wedge LOCALLY from the broadcast CSR (triangular
+    pair-index decode, fully vectorized) and closes it with one
+    searchsorted against the sorted packed edge keys — the literal
+    'per-partition triangle counting via sorted-adjacency intersection'
+    of the north star. Emits per-batch partials:
+      mode='count'        -> {'t': [#closed]}
+      mode='corners'      -> {'vertex', 't'} (unique-combined credits)
+      mode='edge_credits' -> {'k', 's'} with k = (lo_vid << 31) | hi_vid
+                             (callers guarantee vids < 2^31)
+    """
+    import ray as _ray
+
+    from ..stages.graph import vertices
+
+    def empty() -> pa.Table:
+        if mode == "count":
+            return pa.table({"t": pa.array([], pa.int64())})
+        if mode == "corners":
+            return pa.table(
+                {"vertex": pa.array([], pa.int64()), "t": pa.array([], pa.int64())}
+            )
+        return pa.table({"k": pa.array([], pa.int64()), "s": pa.array([], pa.int64())})
+
+    def fn(t: pa.Table) -> pa.Table:
+        vids, rank, off, nbr, keys, vid_of = _ray.get(ref)
+        v = t["vertex"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        if len(v) == 0 or len(keys) == 0:
+            return empty()
+        rc = rank[np.searchsorted(vids, v)]
+        d = off[rc + 1] - off[rc]
+        sel = d >= 2
+        rc, d = rc[sel], d[sel]
+        npair = d * (d - 1) // 2
+        total = int(npair.sum())
+        if total == 0:
+            return empty()
+        base = np.cumsum(npair) - npair
+        p = np.arange(total, dtype=np.int64) - np.repeat(base, npair)
+        dr = np.repeat(d, npair)
+        # triangular decode of pair index p -> (j, k), j < k, within a
+        # d-slot segment; float sqrt then two exact integer fix-ups
+        tw = (2 * dr - 1).astype(np.float64)
+        j = np.floor(
+            (tw - np.sqrt(tw * tw - 8.0 * p.astype(np.float64))) / 2.0
+        ).astype(np.int64)
+        j = np.clip(j, 0, dr - 2)
+
+        def cum(jj: np.ndarray) -> np.ndarray:
+            return jj * dr - jj * (jj + 1) // 2
+
+        for _ in range(2):
+            j = np.where((j + 1 <= dr - 2) & (cum(j + 1) <= p), j + 1, j)
+            j = np.where((j > 0) & (cum(j) > p), j - 1, j)
+        k = p - cum(j) + j + 1
+        st = np.repeat(off[rc], npair)
+        x = nbr[st + j]
+        y = nbr[st + k]
+        key = (x << np.int64(32)) | y
+        pos = np.minimum(np.searchsorted(keys, key), len(keys) - 1)
+        closed = keys[pos] == key
+        if mode == "count":
+            return pa.table({"t": pa.array([int(closed.sum())], pa.int64())})
+        av = vid_of[np.repeat(rc, npair)[closed]]
+        xv = vid_of[x[closed]]
+        yv = vid_of[y[closed]]
+        if mode == "corners":
+            u, cnt = np.unique(np.concatenate([av, xv, yv]), return_counts=True)
+            return pa.table({"vertex": u, "t": cnt.astype(np.int64)})
+        shift = np.int64(31)
+        lo = np.concatenate(
+            [np.minimum(av, xv), np.minimum(av, yv), np.minimum(xv, yv)]
+        )
+        hi = np.concatenate(
+            [np.maximum(av, xv), np.maximum(av, yv), np.maximum(xv, yv)]
+        )
+        u, cnt = np.unique((lo << shift) | hi, return_counts=True)
+        return pa.table({"k": u, "s": cnt.astype(np.int64)})
+
+    return vertices(simple).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _use_local_closure(simple: Dataset, ecount: int) -> bool:
+    if ecount == 0 or ecount > _LOCAL_CLOSURE_EDGES:
+        return False
+    vmax = simple.max("dst")
+    return vmax is not None and int(vmax) < 2**31
 
 
 def _orient(edges: Dataset, deg_ref) -> Dataset:
@@ -117,10 +243,15 @@ def triangle_count(
     (16 B/vertex via ray.put) and a two-hash-join beyond it (the scale
     path; semantics identical, tested through both)."""
     simple = drop_self_loops(edges).materialize()
+    ecount = simple.count()
+    if _use_local_closure(simple, ecount):
+        ref, _n = _closure_state_ref(simple)
+        tot = _closure_partials(simple, ref, "count").sum("t")
+        return int(tot or 0)
     # clamp partitions to the data size: tiny partitions only add task
     # overhead and risk Ray's empty-partition join crash
     npart = num_partitions or default_parallelism()
-    npart = max(2, min(npart, simple.count() // 100_000 + 2))
+    npart = max(2, min(npart, ecount // 100_000 + 2))
     oriented = _oriented_edges(simple, npart, broadcast_threshold)
 
     right = oriented.map_batches(
@@ -164,9 +295,20 @@ def triangles_per_vertex(
     three corners before a final groupby-sum.
     """
 
+    from ..stages.skew import bucketed_group_sum
+
     simple = drop_self_loops(edges).materialize()
+    ecount = simple.count()
+    if _use_local_closure(simple, ecount):
+        ref, _n = _closure_state_ref(simple)
+        partials = _closure_partials(simple, ref, "corners")
+        return bucketed_group_sum(partials, "vertex", "t").map_batches(
+            lambda t: t.rename_columns(["vertex", "triangles"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     npart = num_partitions or default_parallelism()
-    npart = max(2, min(npart, simple.count() // 100_000 + 2))
+    npart = max(2, min(npart, ecount // 100_000 + 2))
     oriented = _oriented_edges(simple, npart, broadcast_threshold)
     right = oriented.map_batches(
         lambda t: pa.table({"a2": t["a"], "c": t["b"], "dc": t["db"]}),
@@ -217,6 +359,46 @@ def triangles_per_vertex(
     )
 
 
+def _attach_support_packed(
+    und: Dataset, sup: Dataset, ecount: int, npart: int
+) -> Dataset:
+    """(a, b) edges + (packed-key, support) sums -> (a, b, support),
+    zero-filled: broadcast attach while the support table is small,
+    left hash join beyond the threshold."""
+    shift = np.int64(31)
+
+    def und_key(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table({"a": a, "b": b, "k": (a << shift) | b})
+
+    und_k = und.map_batches(und_key, batch_format="pyarrow", zero_copy_batch=True)
+    if sup.count() <= _BROADCAST_SUPPORT_PAIRS:
+        batches = list(sup.iter_batches(batch_format="pyarrow", batch_size=None))
+        if not batches:  # triangle-free graph: every edge has support 0
+            batches = [
+                pa.table(
+                    {"k": pa.array([], pa.int64()), "s": pa.array([], pa.int64())}
+                )
+            ]
+        sup_tab = pa.concat_tables(batches)
+        ref = put_lookup(sup_tab, "k", "s")
+        return broadcast_attach(
+            und_k, ref, "k", "support", keep_missing=True, missing_value=0
+        ).select_columns(["a", "b", "support"])
+    joined = hash_join(
+        und_k, sup, on=("k",), join_type="left_outer",
+        num_partitions=max(1, min(npart, ecount // 200_000 + 1)),
+    )
+
+    def fin_k(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        s = np.where(np.isnan(s.astype(np.float64)), 0, s).astype(np.int64)
+        return pa.table({"a": t["a"], "b": t["b"], "support": s})
+
+    return joined.map_batches(fin_k, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def edge_support(
     edges: Dataset,
     *,
@@ -255,6 +437,14 @@ def edge_support(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+    if _use_local_closure(simple, simple.count()):
+        from ..stages.skew import bucketed_group_sum
+
+        ref, _n = _closure_state_ref(simple)
+        partials = _closure_partials(simple, ref, "edge_credits")
+        sup = bucketed_group_sum(partials, "k", "s").materialize()
+        return _attach_support_packed(und, sup, simple.count(), npart)
 
     oriented = _oriented_edges(simple, npart, broadcast_threshold)
     right = oriented.map_batches(
@@ -339,31 +529,7 @@ def edge_support(
             .materialize()
         )
 
-        def und_key(t: pa.Table) -> pa.Table:
-            a = t["a"].to_numpy(zero_copy_only=False)
-            b = t["b"].to_numpy(zero_copy_only=False)
-            return pa.table({"a": a, "b": b, "k": (a << shift) | b})
-
-        und_k = und.map_batches(und_key, batch_format="pyarrow", zero_copy_batch=True)
-        if sup.count() <= _BROADCAST_SUPPORT_PAIRS:
-            sup_tab = pa.concat_tables(
-                list(sup.iter_batches(batch_format="pyarrow", batch_size=None))
-            )
-            ref = put_lookup(sup_tab, "k", "s")
-            return broadcast_attach(
-                und_k, ref, "k", "support", keep_missing=True, missing_value=0
-            ).select_columns(["a", "b", "support"])
-        joined = hash_join(
-            und_k, sup, on=("k",), join_type="left_outer",
-            num_partitions=max(1, min(npart, simple.count() // 200_000 + 1)),
-        )
-
-        def fin_k(t: pa.Table) -> pa.Table:
-            s = t["s"].to_numpy(zero_copy_only=False)
-            s = np.where(np.isnan(s.astype(np.float64)), 0, s).astype(np.int64)
-            return pa.table({"a": t["a"], "b": t["b"], "support": s})
-
-        return joined.map_batches(fin_k, batch_format="pyarrow", zero_copy_batch=True)
+        return _attach_support_packed(und, sup, simple.count(), npart)
 
     # wide fallback: 63-bit id spaces cannot pack two ids into int64
     def edge_credits_wide(t: pa.Table) -> pa.Table:

@@ -75,9 +75,13 @@ def test_triangles_per_vertex_sums_to_3x_total():
     assert (pv["triangles"] == 21).all()
 
 
-def test_triangles_join_degree_attach_matches_broadcast():
-    """broadcast_threshold=0 forces the two-hash-join degree attach (the
-    web-scale path); results must be identical to the broadcast path."""
+def test_triangles_join_degree_attach_matches_broadcast(monkeypatch):
+    """With the local-closure fast path disabled, broadcast_threshold=0
+    forces the two-hash-join degree attach (the web-scale path); results
+    must be identical to the broadcast degree attach."""
+    import pds_hw2_mpi_connected_components_ray.pipelines.triangles as tri
+
+    monkeypatch.setattr(tri, "_LOCAL_CLOSURE_EDGES", 0)
     g = g_ring_of_cliques(k=6, size=8)
     edges = canonical_edges(from_numpy_edges(g.edges, num_blocks=4))
     total_b = triangle_count(edges)
@@ -93,6 +97,40 @@ def test_triangles_join_degree_attach_matches_broadcast():
         .reset_index(drop=True)
     )
     assert pv_b.equals(pv_j)
+
+
+def test_triangles_local_closure_matches_join_path(monkeypatch):
+    """Mode equality: the broadcast-CSR local-closure fast path (default
+    below _LOCAL_CLOSURE_EDGES) must produce exactly the same total,
+    per-vertex credits, and per-edge support as the distributed
+    wedge-join plan on a random graph with skew."""
+    import pds_hw2_mpi_connected_components_ray.pipelines.triangles as tri
+    from pds_hw2_mpi_connected_components_ray.pipelines.triangles import edge_support
+
+    rng = np.random.RandomState(7)
+    e = rng.randint(0, 80, size=(500, 2)).astype(np.int64)
+    hub = np.stack([np.zeros(40, dtype=np.int64), rng.randint(1, 80, 40)], axis=1)
+    e = np.concatenate([e, hub])
+    edges = canonical_edges(from_numpy_edges(e, num_blocks=4))
+
+    tot_c = triangle_count(edges)
+    pv_c = (
+        triangles_per_vertex(edges).to_pandas().sort_values("vertex").reset_index(drop=True)
+    )
+    es_c = (
+        edge_support(edges).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+
+    monkeypatch.setattr(tri, "_LOCAL_CLOSURE_EDGES", 0)
+    assert triangle_count(edges) == tot_c == triangles_oracle(80, e)
+    pv_j = (
+        triangles_per_vertex(edges).to_pandas().sort_values("vertex").reset_index(drop=True)
+    )
+    assert pv_c.equals(pv_j)
+    es_j = (
+        edge_support(edges).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    assert es_c.equals(es_j)
 
 
 def test_kcore_peeling():
