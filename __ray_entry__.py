@@ -264,6 +264,40 @@ e{r} AS MATERIALIZED (SELECT e.src, e.dst FROM e{r-1} e
     return "".join(parts)
 
 
+def _coreness_sql(kmax: int = 10, rounds: int = 6) -> str:
+    """Full core-number decomposition, unrolled: for each k the peel
+    chains from the (k-1)-core's fixpoint (the k-core is a subgraph of
+    it), and coreness = max k whose fixpoint still contains the vertex.
+    Fixture peel depth is <= 4 per k and kmax = 7 at sf0.01 (measured),
+    so (kmax=10, rounds=6) is past convergence; extra rounds/ks are
+    no-ops on an already-stable or empty edge set."""
+    parts = [
+        f"WITH {_EDGES_CTES},",
+        "ce1_0 AS MATERIALIZED (SELECT src, dst FROM edges WHERE src <> dst)",
+    ]
+    survivors = []
+    for k in range(1, kmax + 1):
+        if k > 1:
+            parts.append(
+                f""",
+ce{k}_0 AS MATERIALIZED (SELECT src, dst FROM ce{k-1}_{rounds})"""
+            )
+        for r in range(1, rounds + 1):
+            parts.append(
+                f""",
+cv{k}_{r} AS MATERIALIZED (SELECT src AS v FROM ce{k}_{r-1}
+        GROUP BY src HAVING count(*) >= {k}),
+ce{k}_{r} AS MATERIALIZED (SELECT e.src, e.dst FROM ce{k}_{r-1} e
+        JOIN cv{k}_{r} a ON a.v = e.src JOIN cv{k}_{r} b ON b.v = e.dst)"""
+            )
+        survivors.append(f"SELECT DISTINCT src AS v, {k} AS k FROM ce{k}_{rounds}")
+    union = " UNION ALL ".join(survivors)
+    parts.append(
+        f"\nSELECT v AS vertex, max(k)::BIGINT AS coreness FROM ({union}) GROUP BY v"
+    )
+    return "".join(parts)
+
+
 def _labelprop_chain(iters: int = 4) -> str:
     """The l0..l{iters} sync-LPA CTE fragment (appends to _EDGES_CTES);
     shared by the labelprop4 / modularity / community_graph oracles."""
@@ -747,6 +781,13 @@ def _q_kcore(sf_dir: str, k: int = 7):
     from pds_hw2_mpi_connected_components_ray.pipelines.kcore import kcore
 
     return kcore(_canon_edges(sf_dir), k)
+
+
+def _q_coreness(sf_dir: str):
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.kcore import coreness
+
+    return coreness(_canon_edges(sf_dir))
 
 
 def _q_bfs_hops(sf_dir: str):
@@ -1988,6 +2029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_support": _q_edge_support,
         "ktruss5_r3": _q_ktruss,
         "kcore7": _q_kcore,
+        "coreness": _q_coreness,
         "clustering_coeff": _q_clustering_coeff,
         "degree_assortativity": _q_assortativity,
         "bfs_hops": _q_bfs_hops,
@@ -2292,6 +2334,7 @@ FROM le GROUP BY 1, 2"""
         ),
         "ktruss5_r3": _truss_sql(5, rounds=3),
         "kcore7": _kcore_sql(7, rounds=8),
+        "coreness": _coreness_sql(),
         "bfs_hops": (
             f"WITH RECURSIVE {_EDGES_CTES}, "
             "s AS (SELECT min(v) AS sv FROM verts), "
