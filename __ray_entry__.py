@@ -1015,6 +1015,15 @@ def _q_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(_docs(sf_dir), k=3)
 
 
+def _q_event_transitions(sf_dir: str):
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import event_transitions
+
+    return event_transitions(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_events_asof(sf_dir: str):
     _configure()
     import ray.data as rd
@@ -2068,6 +2077,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": _q_props_stats,
         "events_hopping": _q_events_hopping,
         "events_asof_prev": _q_events_asof,
+        "event_transitions": _q_event_transitions,
         "events_asof_enrich": _q_events_asof_enrich,
         "events_sessionize": _q_events_sessionize,
         "events_funnel": _q_funnel,
@@ -2807,6 +2817,14 @@ GROUP BY l.doc_id
             "SELECT s.cw AS cohort_week, (a.w - s.cw)::BIGINT AS week_offset, "
             "count(*)::BIGINT AS n_users "
             "FROM a JOIN s USING (user_id) WHERE a.w >= s.cw GROUP BY 1, 2"
+        ),
+        "event_transitions": (
+            "WITH o AS (SELECT event_type, "
+            "  lag(event_type) OVER (PARTITION BY user_id "
+            "    ORDER BY epoch_us(ts), event_id) AS prev_type "
+            "  FROM events) "
+            "SELECT prev_type, event_type, count(*)::BIGINT AS transitions "
+            "FROM o WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type"
         ),
         "events_asof_prev": (
             "WITH o AS (SELECT event_id, epoch_us(ts) AS t, "

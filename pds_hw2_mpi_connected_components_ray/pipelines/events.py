@@ -274,6 +274,51 @@ def sessionize(events: Dataset, gap_us: int = US_30_MIN) -> Dataset:
     )
 
 
+def event_transitions(events: Dataset) -> Dataset:
+    """(prev_type, event_type, transitions): counts of consecutive
+    event-type pairs within each user's (ts, event_id)-ordered stream —
+    the Markov transition matrix of the event log. Same bucketed
+    one-pass shape as asof_prev: each user lands whole in one hash
+    bucket, the bucket is sorted once, the lag is a vectorized shift
+    over key-run boundaries, and each bucket emits PARTIAL pair counts
+    (pandas groupby-size over ~|types|^2 rows), so the final keyed
+    aggregate sees buckets x |types|^2 rows, never the event count."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        users = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        if len(users) == 0:
+            return pd.DataFrame(
+                {
+                    "prev_type": pd.Series([], dtype=object),
+                    "event_type": pd.Series([], dtype=object),
+                    "transitions": pd.Series([], dtype="int64"),
+                }
+            )
+        cont = np.r_[False, users[1:] == users[:-1]]  # has a same-user prev
+        df = pd.DataFrame(
+            {"prev_type": np.r_[[""], et[:-1]][cont], "event_type": et[cont]}
+        )
+        out = (
+            df.groupby(["prev_type", "event_type"], sort=False)
+            .size()
+            .reset_index(name="transitions")
+        )
+        out["transitions"] = out["transitions"].astype("int64")
+        return out
+
+    partials = (
+        _bucket_by_key(events, "user_id", ["user_id", "ts", "event_id", "event_type"])
+        .groupby("_kb")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    agg = partials.groupby(["prev_type", "event_type"]).aggregate(
+        Sum("transitions", alias_name="transitions")
+    )
+    return agg
+
+
 def rate_anomalies(
     events: Dataset,
     *,

@@ -108,6 +108,38 @@ def test_asof_prev_brute():
     assert np.array_equal(out["gap_us"].to_numpy(), want["gap"].to_numpy())
 
 
+def test_event_transitions_brute():
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import event_transitions
+
+    tab = _events_table(n=400, seed=9)
+    ds = rd.from_arrow(tab).repartition(4)
+    out = (
+        event_transitions(ds)
+        .to_pandas()
+        .sort_values(["prev_type", "event_type"])
+        .reset_index(drop=True)
+    )
+    df = tab.to_pandas()
+    df["t"] = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+    df = df.sort_values(["user_id", "t", "event_id"])
+    df["prev"] = df.groupby("user_id")["event_type"].shift(1)
+    want = (
+        df.dropna(subset=["prev"])
+        .groupby(["prev", "event_type"])
+        .size()
+        .reset_index(name="transitions")
+        .rename(columns={"prev": "prev_type"})
+        .sort_values(["prev_type", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert np.array_equal(out["transitions"].to_numpy(), want["transitions"].to_numpy())
+    assert list(out["prev_type"]) == list(want["prev_type"])
+    assert list(out["event_type"]) == list(want["event_type"])
+    # every transition has a same-user predecessor: totals = n - n_users
+    n_users = df["user_id"].nunique()
+    assert out["transitions"].sum() == len(df) - n_users
+
+
 def test_asof_enrich_no_prior_ref(ray_session):
     import pandas as pd
 
