@@ -1491,6 +1491,55 @@ def _q_revenue_by_nation(sf_dir: str):
     )
 
 
+def _q_order_priority(sf_dir: str):
+    """TPC-H Q4-shape: orders with >=1 returned line per priority
+    (distinct-keys semi-join, never duplicating an order)."""
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.relational import (
+        order_priority_counts,
+    )
+
+    return order_priority_counts(
+        rd.read_parquet(f"{sf_dir}/orders.parquet"),
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+
+
+def _q_cust_order_dist(sf_dir: str):
+    """TPC-H Q13-shape: customers-per-order-count distribution with the
+    zero bucket computed from two scalar counts (no outer join)."""
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.relational import (
+        customer_order_distribution,
+    )
+
+    return customer_order_distribution(
+        rd.read_parquet(f"{sf_dir}/customer.parquet"),
+        rd.read_parquet(f"{sf_dir}/orders.parquet"),
+    )
+
+
+def _q_returned_top_customers(sf_dir: str):
+    """TPC-H Q10-shape: top-20 customers by returned-line revenue,
+    names attached via a k-row broadcast filter."""
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.relational import (
+        returned_top_customers,
+    )
+
+    return returned_top_customers(
+        rd.read_parquet(f"{sf_dir}/customer.parquet"),
+        rd.read_parquet(f"{sf_dir}/orders.parquet"),
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+
+
 def _q_winsorized(sf_dir: str):
     """Winsorized per-type value means (exact integer-cent histograms,
     p05/p95 clamp, integer-ratio mean)."""
@@ -1994,6 +2043,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "top_orders_by_revenue": _q_top_orders,
         "revenue_by_nation": _q_revenue_by_nation,
+        "order_priority_counts": _q_order_priority,
+        "customer_order_distribution": _q_cust_order_dist,
+        "returned_top_customers": _q_returned_top_customers,
         "copurchase_pairs": _q_copurchase,
         "degree": _q_degree,
         "cc_labels": _q_cc_labels,
@@ -2746,6 +2798,26 @@ GROUP BY l.doc_id
             "JOIN orders o ON o.o_custkey = c.c_custkey "
             "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
             "GROUP BY n.n_name"
+        ),
+        "order_priority_counts": (
+            "SELECT o_orderpriority, count(*)::BIGINT AS order_count "
+            "FROM orders WHERE EXISTS (SELECT 1 FROM lineitem "
+            "WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') "
+            "GROUP BY o_orderpriority"
+        ),
+        "customer_order_distribution": (
+            "WITH pc AS (SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count "
+            "FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+            "GROUP BY c.c_custkey) "
+            "SELECT c_count, count(*)::BIGINT AS custdist FROM pc GROUP BY c_count"
+        ),
+        "returned_top_customers": (
+            "SELECT c.c_custkey, any_value(c.c_name) AS c_name, "
+            "sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT))::BIGINT AS revenue_e4 "
+            "FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "WHERE l.l_returnflag = 'R' "
+            "GROUP BY c.c_custkey ORDER BY revenue_e4 DESC, c.c_custkey ASC LIMIT 20"
         ),
         "events_props_stats": (
             "SELECT coalesce(CAST(regexp_extract(coalesce(props, ''), "

@@ -249,6 +249,11 @@ def bench_suite() -> dict:
         "events_props_stats",
         "lang_confusion",
         "copurchase_pairs",
+        "coreness",
+        "event_transitions",
+        "order_priority_counts",
+        "customer_order_distribution",
+        "returned_top_customers",
     ]:
         qtimes[name] = run(name)
     return qtimes

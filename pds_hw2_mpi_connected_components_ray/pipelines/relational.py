@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 from ray.data import Dataset
@@ -227,6 +228,190 @@ def revenue_by_nation(
         j.map_batches(nat_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("n_name")
         .aggregate(Sum("r", alias_name="revenue_e4"))
+    )
+
+
+def order_priority_counts(orders: Dataset, lineitem: Dataset) -> Dataset:
+    """TPC-H Q4 shape: count orders per o_orderpriority having at least
+    one RETURNED line (l_returnflag='R') — the distributed SEMI-JOIN:
+    the probe side reduces to DISTINCT order keys first (per-batch
+    np.unique partial + one keyed count aggregate), so the join can
+    never duplicate an order, then a key-hash inner join against
+    orders and a 5-row count rollup (per-batch pre-combined)."""
+    npart = default_parallelism()
+
+    def key_partial(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["l_returnflag"], "R")
+        ok = t.filter(keep)["l_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"l_orderkey": np.unique(ok)})
+
+    rkeys = (
+        lineitem.select_columns(["l_orderkey", "l_returnflag"])
+        .map_batches(key_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["l_orderkey"])
+    )
+    j = hash_join(
+        orders.select_columns(["o_orderkey", "o_orderpriority"]),
+        rkeys,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+        num_partitions=npart,
+    )
+
+    def prio_partial(t: pa.Table) -> pa.Table:
+        p = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(p, return_counts=True)
+        return pa.table(
+            {"o_orderpriority": u, "c": c.astype(np.int64)}
+        )
+
+    return (
+        j.map_batches(prio_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("c", alias_name="order_count"))
+    )
+
+
+def customer_order_distribution(customer: Dataset, orders: Dataset) -> Dataset:
+    """TPC-H Q13 shape: (c_count, custdist) — how many customers placed
+    exactly N orders, INCLUDING the zero bucket. No outer join needed:
+    per-customer order counts come from one keyed sum over per-batch
+    partials, the count-of-counts is another per-batch partial + a tiny
+    keyed sum, and the 0 row is n_customers − n_customers_with_orders
+    (two scalar counts). Assumes o_custkey ⊆ c_custkey (enforced by the
+    generator; a violation would surface as a negative zero-bucket,
+    asserted)."""
+    per_cust = (
+        orders.select_columns(["o_custkey"])
+        .map_batches(
+            lambda t: pa.table(
+                dict(
+                    zip(
+                        ("o_custkey", "n"),
+                        (lambda u, c: (u, c.astype(np.int64)))(
+                            *np.unique(
+                                t["o_custkey"].to_numpy(zero_copy_only=False),
+                                return_counts=True,
+                            )
+                        ),
+                    )
+                )
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="c_count"))
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        n = t["c_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(n, return_counts=True)
+        return pa.table({"c_count": u, "d": c.astype(np.int64)})
+
+    dist = (
+        per_cust.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_count")
+        .aggregate(Sum("d", alias_name="custdist"))
+        .materialize()
+    )
+    n_customers = customer.count()
+    n_with = int(
+        sum(
+            int(t["custdist"].to_numpy(zero_copy_only=False).sum())
+            for t in dist.iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+    )
+    zero = n_customers - n_with
+    if zero < 0:
+        raise ValueError("orders reference custkeys absent from customer")
+    if zero == 0:
+        return dist
+    return dist.union(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "c_count": pa.array([0], pa.int64()),
+                    "custdist": pa.array([zero], pa.int64()),
+                }
+            )
+        )
+    )
+
+
+def returned_top_customers(
+    customer: Dataset, orders: Dataset, lineitem: Dataset, *, k: int = 20
+) -> Dataset:
+    """TPC-H Q10 shape: top-k customers by revenue from RETURNED lines
+    (l_returnflag='R'), name attached. Revenue pre-combines per order
+    key inside each lineitem batch, one key-hash join maps order→cust,
+    a customer-keyed sum + (revenue desc, custkey asc) top-k finishes,
+    and the k-row result broadcast-filters the customer table for the
+    name attach (no full-table join for k rows)."""
+    import ray
+
+    npart = default_parallelism()
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["l_returnflag"], "R")
+        t = t.filter(keep)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(price * (1.0 - disc) * 1e4 + 0.5).astype(np.int64)
+        order = np.argsort(ok, kind="stable")
+        oks, revs = ok[order], rev[order]
+        b = np.flatnonzero(np.r_[True, oks[1:] != oks[:-1]])
+        return pa.table(
+            {"l_orderkey": oks[b], "r": np.add.reduceat(revs, b).astype(np.int64)}
+        )
+
+    li = lineitem.select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"]
+    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(
+        li,
+        orders.select_columns(["o_orderkey", "o_custkey"]),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        num_partitions=npart,
+    )
+    topk = (
+        j.groupby("o_custkey")
+        .aggregate(Sum("r", alias_name="revenue_e4"))
+        .sort(["revenue_e4", "o_custkey"], descending=[True, False])
+        .limit(k)
+        .materialize()
+    )
+    ktab = pa.concat_tables(
+        list(topk.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    kk = ktab["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rv = ktab["revenue_e4"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(kk, kind="stable")
+    ref = ray.put((kk[o], rv[o]))
+
+    def attach_name(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        keys, revs = _ray.get(ref)
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys, ck)
+        pos_c = np.minimum(pos, len(keys) - 1)
+        hit = keys[pos_c] == ck
+        idx = np.nonzero(hit)[0]
+        return pa.table(
+            {
+                "c_custkey": ck[idx],
+                "c_name": t["c_name"].take(pa.array(idx)),
+                "revenue_e4": revs[pos_c[idx]],
+            }
+        )
+
+    return customer.select_columns(["c_custkey", "c_name"]).map_batches(
+        attach_name, batch_format="pyarrow", zero_copy_batch=True
     )
 
 

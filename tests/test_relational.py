@@ -1,0 +1,135 @@
+"""Brute-force pandas checks for the TPC-H-shaped relational pipelines
+added in round 3 (semi-join priority counts, order-count distribution
+with the zero bucket, returned-revenue top-k with name attach)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _tables(seed: int = 7, n_cust: int = 60, n_orders: int = 200, n_lines: int = 700):
+    rng = np.random.default_rng(seed)
+    cust = pd.DataFrame(
+        {
+            "c_custkey": np.arange(1, n_cust + 1, dtype=np.int64),
+            "c_name": [f"Customer#{i:09d}" for i in range(1, n_cust + 1)],
+        }
+    )
+    # ~1/4 of customers place no orders (exercises the zero bucket)
+    active = rng.choice(
+        cust["c_custkey"].to_numpy(), size=max(1, 3 * n_cust // 4), replace=False
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(1, n_orders + 1, dtype=np.int64),
+            "o_custkey": rng.choice(active, size=n_orders).astype(np.int64),
+            "o_orderpriority": rng.choice(
+                ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+                size=n_orders,
+            ),
+        }
+    )
+    lines = pd.DataFrame(
+        {
+            "l_orderkey": rng.integers(1, n_orders + 1, size=n_lines).astype(np.int64),
+            "l_extendedprice": np.round(rng.uniform(10, 5000, size=n_lines), 2),
+            "l_discount": np.round(rng.uniform(0, 0.1, size=n_lines), 2),
+            "l_returnflag": rng.choice(["R", "N", "A"], size=n_lines, p=[0.3, 0.5, 0.2]),
+        }
+    )
+    return cust, orders, lines
+
+
+def _ds(df: pd.DataFrame, parts: int = 3):
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(
+        parts
+    )
+
+
+def test_order_priority_counts_brute():
+    from pds_hw2_mpi_connected_components_ray.pipelines.relational import (
+        order_priority_counts,
+    )
+
+    cust, orders, lines = _tables()
+    out = (
+        order_priority_counts(_ds(orders), _ds(lines))
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    rkeys = set(lines.loc[lines["l_returnflag"] == "R", "l_orderkey"])
+    want = (
+        orders[orders["o_orderkey"].isin(rkeys)]
+        .groupby("o_orderpriority")
+        .size()
+        .reset_index(name="order_count")
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    assert list(out["o_orderpriority"]) == list(want["o_orderpriority"])
+    assert np.array_equal(
+        out["order_count"].to_numpy(), want["order_count"].to_numpy()
+    )
+
+
+def test_customer_order_distribution_brute():
+    from pds_hw2_mpi_connected_components_ray.pipelines.relational import (
+        customer_order_distribution,
+    )
+
+    cust, orders, _ = _tables()
+    out = (
+        customer_order_distribution(_ds(cust), _ds(orders))
+        .to_pandas()
+        .sort_values("c_count")
+        .reset_index(drop=True)
+    )
+    per = orders.groupby("o_custkey").size()
+    counts = cust["c_custkey"].map(per).fillna(0).astype(np.int64)
+    want = (
+        counts.value_counts()
+        .rename_axis("c_count")
+        .reset_index(name="custdist")
+        .sort_values("c_count")
+        .reset_index(drop=True)
+    )
+    assert np.array_equal(out["c_count"].to_numpy(), want["c_count"].to_numpy())
+    assert np.array_equal(out["custdist"].to_numpy(), want["custdist"].to_numpy())
+    assert out["custdist"].sum() == len(cust)
+    assert 0 in set(out["c_count"])  # fixture plants inactive customers
+
+
+def test_returned_top_customers_brute():
+    from pds_hw2_mpi_connected_components_ray.pipelines.relational import (
+        returned_top_customers,
+    )
+
+    cust, orders, lines = _tables()
+    out = (
+        returned_top_customers(_ds(cust), _ds(orders), _ds(lines), k=10)
+        .to_pandas()
+        .sort_values(["revenue_e4", "c_custkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    r = lines[lines["l_returnflag"] == "R"].copy()
+    r["rev"] = np.floor(
+        r["l_extendedprice"] * (1.0 - r["l_discount"]) * 1e4 + 0.5
+    ).astype(np.int64)
+    m = r.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    want = (
+        m.groupby("o_custkey")["rev"]
+        .sum()
+        .reset_index()
+        .sort_values(["rev", "o_custkey"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    assert np.array_equal(out["c_custkey"].to_numpy(), want["o_custkey"].to_numpy())
+    assert np.array_equal(out["revenue_e4"].to_numpy(), want["rev"].to_numpy())
+    names = cust.set_index("c_custkey")["c_name"]
+    assert list(out["c_name"]) == [names[k] for k in out["c_custkey"]]
