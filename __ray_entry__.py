@@ -1697,6 +1697,24 @@ def _q_edge_support(sf_dir: str):
     return edge_support(_canon_edges(sf_dir))
 
 
+def _q_jaccard_links(sf_dir: str):
+    """Per-edge neighborhood Jaccard (intersection = edge support,
+    union by inclusion-exclusion; rational → exact 1e-6 quantize)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.triangles import jaccard_links
+
+    return jaccard_links(_canon_edges(sf_dir))
+
+
+def _q_rich_club(sf_dir: str):
+    """Rich-club coefficients φ(k) over degree thresholds — hub
+    interconnection vs chance; |ks| scalars via per-batch partials."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.stages.graph import rich_club
+
+    return rich_club(_canon_edges(sf_dir))
+
+
 def _q_ktruss(sf_dir: str):
     """3 synchronous 5-truss peel rounds (bounded-round contract):
     recompute support over survivors, drop edges with support < 3."""
@@ -2088,6 +2106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_total": _q_triangle_total,
         "triangles_by_vertex": _q_triangles_by_vertex,
         "edge_support": _q_edge_support,
+        "jaccard_links": _q_jaccard_links,
+        "rich_club": _q_rich_club,
         "ktruss5_r3": _q_ktruss,
         "kcore7": _q_kcore,
         "coreness": _q_coreness,
@@ -2393,6 +2413,36 @@ FROM le GROUP BY 1, 2"""
             "s AS (SELECT x, y, count(*) AS sup FROM cr GROUP BY x, y) "
             "SELECT o.a, o.b, coalesce(s.sup, 0)::BIGINT AS support "
             "FROM o LEFT JOIN s ON s.x = o.a AND s.y = o.b"
+        ),
+        "jaccard_links": (
+            f"WITH {_TRI_CTES}, cr AS ("
+            "  SELECT a AS x, b AS y FROM tri UNION ALL SELECT b, c FROM tri"
+            "  UNION ALL SELECT a, c FROM tri), "
+            "s AS (SELECT x, y, count(*) AS sup FROM cr GROUP BY x, y), "
+            "deg AS (SELECT src AS v, count(*)::BIGINT AS d FROM simp GROUP BY src) "
+            "SELECT o.a, o.b, coalesce(s.sup, 0)::BIGINT AS support, "
+            "floor(coalesce(s.sup, 0)::DOUBLE / (da.d + db.d - coalesce(s.sup, 0)) "
+            "* 1e6 + 0.5) / 1e6 AS jaccard "
+            "FROM o LEFT JOIN s ON s.x = o.a AND s.y = o.b "
+            "JOIN deg da ON da.v = o.a JOIN deg db ON db.v = o.b"
+        ),
+        "rich_club": (
+            f"WITH {_EDGES_CTES}, "
+            "simp AS (SELECT src, dst FROM edges WHERE src <> dst), "
+            "deg AS (SELECT src AS v, count(*)::BIGINT AS d FROM simp GROUP BY src), "
+            "ks AS (SELECT unnest([1, 2, 4, 8, 16]::BIGINT[]) AS k), "
+            "o AS (SELECT src AS a, dst AS b FROM simp WHERE src < dst), "
+            "nk AS (SELECT k, count(*)::BIGINT AS n FROM ks JOIN deg ON deg.d > ks.k "
+            "  GROUP BY k), "
+            "ek AS (SELECT k, count(*)::BIGINT AS e FROM ks JOIN o ON true "
+            "  JOIN deg da ON da.v = o.a JOIN deg db ON db.v = o.b "
+            "  WHERE least(da.d, db.d) > ks.k GROUP BY k) "
+            "SELECT ks.k, coalesce(nk.n, 0)::BIGINT AS n_nodes, "
+            "coalesce(ek.e, 0)::BIGINT AS n_edges, "
+            "CASE WHEN coalesce(nk.n, 0) >= 2 THEN "
+            "floor(2.0 * coalesce(ek.e, 0) / (nk.n * (nk.n - 1)) * 1e6 + 0.5) / 1e6 "
+            "ELSE 0.0 END AS phi "
+            "FROM ks LEFT JOIN nk USING (k) LEFT JOIN ek USING (k)"
         ),
         "ktruss5_r3": _truss_sql(5, rounds=3),
         "kcore7": _kcore_sql(7, rounds=8),

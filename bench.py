@@ -254,6 +254,8 @@ def bench_suite() -> dict:
         "order_priority_counts",
         "customer_order_distribution",
         "returned_top_customers",
+        "jaccard_links",
+        "rich_club",
     ]:
         qtimes[name] = run(name)
     return qtimes

@@ -618,3 +618,83 @@ def truss_peel(
             zero_copy_batch=True,
         )
     return kept
+
+
+def jaccard_links(
+    edges: Dataset,
+    *,
+    num_partitions: int | None = None,
+    broadcast_threshold: int = BROADCAST_DEGREE_THRESHOLD,
+) -> Dataset:
+    """(a, b, support, jaccard) for every undirected simple edge a < b:
+    neighborhood Jaccard |N(a)∩N(b)| / |N(a)∪N(b)| with the union by
+    inclusion-exclusion (deg_a + deg_b − support, always ≥ 2 for an
+    edge's endpoints) — the edge-strength / intra-community signal that
+    complements the non-edge scores in linkpred (adamic_adar scores
+    ABSENT pairs; this scores PRESENT edges).
+
+    Plan: the intersection IS edge_support (same wedge-closure /
+    local-closure adaptive machinery), and the two degree attaches are
+    broadcast lookups below the threshold or two hash joins beyond —
+    the avg_neighbor_degree shape. The quotient is rational, so the
+    half-up 1e-6 quantization is order-independent vs SQL."""
+    import ray as _ray
+
+    simple = drop_self_loops(edges).materialize()
+    sup = edge_support(simple, num_partitions=num_partitions)
+    degs = degrees(simple).materialize()
+    npart = num_partitions or default_parallelism()
+    npart = max(1, min(npart, simple.count() // 100_000 + 2))
+
+    if degs.count() <= broadcast_threshold:
+        deg_tab = pa.concat_tables(
+            list(degs.iter_batches(batch_format="pyarrow", batch_size=None))
+        )
+        ref = put_lookup(deg_tab, "vertex", "degree")
+
+        def attach_both(t: pa.Table) -> pa.Table:
+            lk = _ray.get(ref)
+            a = t["a"].to_numpy(zero_copy_only=False)
+            b = t["b"].to_numpy(zero_copy_only=False)
+            _, da = lk.get(a)
+            _, db = lk.get(b)
+            return t.append_column("_da", pa.array(da, pa.int64())).append_column(
+                "_db", pa.array(db, pa.int64())
+            )
+
+        attached = sup.map_batches(
+            attach_both, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        da = degs.map_batches(
+            lambda t: t.rename_columns(["a", "_da"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        db = degs.map_batches(
+            lambda t: t.rename_columns(["b", "_db"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        attached = hash_join(
+            hash_join(sup, da, on=("a",), num_partitions=npart),
+            db,
+            on=("b",),
+            num_partitions=npart,
+        )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        s = t["support"].to_numpy(zero_copy_only=False).astype(np.float64)
+        da_ = t["_da"].to_numpy(zero_copy_only=False).astype(np.float64)
+        db_ = t["_db"].to_numpy(zero_copy_only=False).astype(np.float64)
+        j = np.floor(s / (da_ + db_ - s) * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "a": t["a"],
+                "b": t["b"],
+                "support": t["support"],
+                "jaccard": j,
+            }
+        )
+
+    return attached.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)

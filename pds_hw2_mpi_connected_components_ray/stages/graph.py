@@ -467,3 +467,129 @@ def avg_neighbor_degree(
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DEFAULT_RICH_CLUB_KS = (1, 2, 4, 8, 16)
+
+
+def rich_club(
+    edges: Dataset,
+    ks: tuple[int, ...] = DEFAULT_RICH_CLUB_KS,
+    *,
+    broadcast_threshold: int = 5_000_000,
+    num_partitions: int | None = None,
+) -> "pa.Table":
+    """(k, n_nodes, n_edges, phi) per degree threshold k: the rich-club
+    coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) over the subgraph induced
+    by vertices of degree > k — do the hubs of the web graph link to
+    each other more than chance (the classic topology diagnostic).
+
+    Everything reduces to |ks| scalars: per-batch partial counts of
+    qualifying vertices and of edges whose BOTH endpoint degrees clear
+    each threshold (degree attach broadcast below the threshold, two
+    hash joins beyond — the avg_neighbor_degree shape), then two tiny
+    keyed sums. Only the ≤|ks|-row aggregates ever reach the driver.
+    The quotient is rational → half-up 1e-6 quantization is exact."""
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+
+    from ..context import default_parallelism
+    from ..stages.joins import hash_join, put_lookup
+
+    karr = np.asarray(sorted(set(int(k) for k in ks)), dtype=np.int64)
+    simple = drop_self_loops(edges).materialize()
+    degs = degrees(simple).materialize()
+    npart = num_partitions or default_parallelism()
+    npart = max(1, min(npart, simple.count() // 100_000 + 2))
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        d = t["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # vectorized: vertices with degree > k, for every k at once
+        n = (d[:, None] > karr[None, :]).sum(axis=0).astype(np.int64)
+        return pa.table({"k": karr, "n": n})
+
+    nk = (
+        degs.map_batches(node_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="n_nodes"))
+        .materialize()
+    )
+
+    und = simple.map_batches(
+        lambda t: t.filter(pc.less(t["src"], t["dst"])),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    if degs.count() <= broadcast_threshold:
+        deg_tab = pa.concat_tables(
+            list(degs.iter_batches(batch_format="pyarrow", batch_size=None))
+        )
+        ref = put_lookup(deg_tab, "vertex", "degree")
+
+        def attach_both(t: pa.Table) -> pa.Table:
+            lk = _ray.get(ref)
+            _, da = lk.get(t["src"].to_numpy(zero_copy_only=False))
+            _, db = lk.get(t["dst"].to_numpy(zero_copy_only=False))
+            return pa.table({"_da": da.astype(np.int64), "_db": db.astype(np.int64)})
+
+        attached = und.map_batches(
+            attach_both, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        da = degs.map_batches(
+            lambda t: t.rename_columns(["src", "_da"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        db = degs.map_batches(
+            lambda t: t.rename_columns(["dst", "_db"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        attached = hash_join(
+            hash_join(und, da, on=("src",), num_partitions=npart),
+            db,
+            on=("dst",),
+            num_partitions=npart,
+        )
+
+    def edge_partial(t: pa.Table) -> pa.Table:
+        da_ = t["_da"].to_numpy(zero_copy_only=False).astype(np.int64)
+        db_ = t["_db"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mn = np.minimum(da_, db_)
+        e = (mn[:, None] > karr[None, :]).sum(axis=0).astype(np.int64)
+        return pa.table({"k": karr, "e": e})
+
+    ek = (
+        attached.map_batches(edge_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .aggregate(Sum("e", alias_name="n_edges"))
+        .materialize()
+    )
+
+    def tiny(ds: Dataset, val: str) -> dict[int, int]:
+        out: dict[int, int] = {}
+        for t in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+            for kk, vv in zip(
+                t["k"].to_numpy(zero_copy_only=False),
+                t[val].to_numpy(zero_copy_only=False),
+            ):
+                out[int(kk)] = int(vv)
+        return out
+
+    nmap, emap = tiny(nk, "n_nodes"), tiny(ek, "n_edges")
+    n = np.array([nmap.get(int(k), 0) for k in karr], dtype=np.int64)
+    e = np.array([emap.get(int(k), 0) for k in karr], dtype=np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        phi = np.where(
+            n >= 2,
+            np.floor(
+                2.0 * e / np.maximum(n * (n - 1), 1).astype(np.float64) * 1e6 + 0.5
+            )
+            / 1e6,
+            0.0,
+        )
+    return pa.table(
+        {"k": karr, "n_nodes": n, "n_edges": e, "phi": phi}
+    )

@@ -1,0 +1,110 @@
+"""Brute-force + cross-mode (broadcast vs hash-join degree attach)
+checks for per-edge neighborhood Jaccard and the rich-club curve."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _random_graph(n: int = 40, m: int = 120, seed: int = 3) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, size=m)
+    dst = rng.integers(0, n, size=m)
+    df = pd.DataFrame({"src": src, "dst": dst})
+    return df[df["src"] != df["dst"]].drop_duplicates()
+
+
+def _sym_ds(df: pd.DataFrame) -> rd.Dataset:
+    both = pd.concat(
+        [df, df.rename(columns={"src": "dst", "dst": "src"})]
+    ).drop_duplicates()
+    return rd.from_arrow(
+        pa.Table.from_pandas(both.astype(np.int64), preserve_index=False)
+    ).repartition(3)
+
+
+def _adj(df: pd.DataFrame) -> dict[int, set[int]]:
+    adj: dict[int, set[int]] = {}
+    for s, d in df.itertuples(index=False):
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    return adj
+
+
+def test_jaccard_links_brute_and_modes():
+    from pds_hw2_mpi_connected_components_ray.pipelines.triangles import jaccard_links
+
+    df = _random_graph()
+    ds = _sym_ds(df)
+    adj = _adj(df)
+
+    for thresh in (5_000_000, 0):  # broadcast path, then join path
+        out = (
+            jaccard_links(ds, broadcast_threshold=thresh)
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        want = []
+        for a in sorted(adj):
+            for b in sorted(adj[a]):
+                if a < b:
+                    inter = len(adj[a] & adj[b])
+                    union = len(adj[a] | adj[b])
+                    want.append(
+                        (a, b, inter, np.floor(inter / union * 1e6 + 0.5) / 1e6)
+                    )
+        wdf = pd.DataFrame(want, columns=["a", "b", "support", "jaccard"])
+        assert len(out) == len(wdf)
+        assert np.array_equal(out["a"].to_numpy(), wdf["a"].to_numpy())
+        assert np.array_equal(out["b"].to_numpy(), wdf["b"].to_numpy())
+        assert np.array_equal(out["support"].to_numpy(), wdf["support"].to_numpy())
+        assert np.array_equal(out["jaccard"].to_numpy(), wdf["jaccard"].to_numpy())
+
+
+def test_jaccard_union_identity():
+    # |N(a) ∪ N(b)| = deg(a) + deg(b) − support: spot-check the
+    # inclusion-exclusion the pipeline relies on (b ∈ N(a), a ∈ N(b))
+    df = _random_graph(seed=11)
+    adj = _adj(df)
+    for a in adj:
+        for b in adj[a]:
+            assert len(adj[a] | adj[b]) == len(adj[a]) + len(adj[b]) - len(
+                adj[a] & adj[b]
+            )
+
+
+def test_rich_club_brute_and_modes():
+    from pds_hw2_mpi_connected_components_ray.stages.graph import rich_club
+
+    df = _random_graph(n=30, m=150, seed=5)
+    ds = _sym_ds(df)
+    adj = _adj(df)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    ks = (1, 2, 4, 8)
+
+    for thresh in (5_000_000, 0):
+        tab = rich_club(ds, ks=ks, broadcast_threshold=thresh).to_pandas()
+        assert list(tab["k"]) == list(ks)
+        for _, row in tab.iterrows():
+            k = int(row["k"])
+            nodes = {v for v, d in deg.items() if d > k}
+            nedges = sum(
+                1
+                for a in nodes
+                for b in adj[a]
+                if b in nodes and a < b
+            )
+            assert row["n_nodes"] == len(nodes)
+            assert row["n_edges"] == nedges
+            if len(nodes) >= 2:
+                phi = np.floor(
+                    2.0 * nedges / (len(nodes) * (len(nodes) - 1)) * 1e6 + 0.5
+                ) / 1e6
+            else:
+                phi = 0.0
+            assert row["phi"] == phi
