@@ -1677,6 +1677,17 @@ def _q_scc(sf_dir: str):
     return scc_labels(de)
 
 
+def _q_doc_unigram_xent(sf_dir: str):
+    """Per-doc mean unigram cross-entropy under the corpus MLE unigram
+    model (µnat-quantized terms; the cheapest perplexity-bucket signal)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import (
+        doc_unigram_xent,
+    )
+
+    return doc_unigram_xent(_docs(sf_dir))
+
+
 def _q_bigram_surprisal(sf_dir: str):
     """Per-doc mean bigram surprisal under the corpus MLE bigram model
     (integer-µnat quantized terms keep the sum order-independent)."""
@@ -2180,6 +2191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _q_label_centroids,
         "top_bigrams": _q_top_bigrams,
         "bigram_surprisal": _q_bigram_surprisal,
+        "doc_unigram_xent": _q_doc_unigram_xent,
         "pmi_collocations": _q_pmi,
         "top_docs_per_source": _q_top_docs_per_source,
         "repetition_signals": _q_repetition_signals,
@@ -3051,6 +3063,19 @@ GROUP BY l.doc_id
             "  * 1e6 + 0.5) / 1e6 AS pmi "
             "FROM c2 JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t "
             "WHERE c2.n >= 5 ORDER BY pmi DESC, bigram ASC LIMIT 30"
+        ),
+        "doc_unigram_xent": (
+            "WITH tk AS (SELECT doc_id, "
+            "  unnest(regexp_extract_all(coalesce(text,''), '\\S+')) AS tok "
+            "  FROM documents), "
+            "c AS (SELECT tok, count(*)::BIGINT AS c FROM tk GROUP BY tok), "
+            "tt AS (SELECT count(*)::DOUBLE AS T FROM tk), "
+            "t AS (SELECT tk.doc_id, "
+            "  floor(ln(tt.T / c.c::DOUBLE) * 1e6 + 0.5)::BIGINT AS t "
+            "  FROM tk JOIN c USING (tok) CROSS JOIN tt) "
+            "SELECT doc_id, count(*)::BIGINT AS n_tokens, "
+            "floor(sum(t)::DOUBLE / count(*) + 0.5) / 1e6 AS xent "
+            "FROM t GROUP BY doc_id"
         ),
         "bigram_surprisal": (
             "WITH toks AS (SELECT doc_id, "

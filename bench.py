@@ -256,6 +256,7 @@ def bench_suite() -> dict:
         "returned_top_customers",
         "jaccard_links",
         "rich_club",
+        "doc_unigram_xent",
     ]:
         qtimes[name] = run(name)
     return qtimes

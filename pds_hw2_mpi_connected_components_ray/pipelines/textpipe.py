@@ -937,3 +937,151 @@ def lang_confusion(docs: Dataset, concurrency: int | None = None) -> Dataset:
         .groupby(["lang", "lang_pred"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def doc_unigram_xent(docs: Dataset, *, force_join: bool = False) -> Dataset:
+    """(doc_id, n_tokens, xent): per-document mean unigram
+    cross-entropy −(1/n)·Σ ln P(w) under the corpus's own MLE unigram
+    model P(w) = c(w)/T — the cheapest LM-quality signal of all:
+    common-word boilerplate scores low, rare-token salad scores high
+    (the CCNet/Gopher "perplexity bucket" shape with the corpus itself
+    as the LM). Docs with 0 tokens have no terms and are absent.
+
+    Determinism contract (the bigram_surprisal µnat rule): each
+    token's term quantizes to integer µnats t = floor(ln(T/c)·1e6+0.5)
+    BEFORE aggregation; per-doc sums are exact int64; the mean rounds
+    half-up on the µnat scale. ln bit-equality across numpy/DuckDB
+    holds because both call libm on the identical T/c double quotient.
+
+    Plan: per-batch (doc, token, multiplicity) combiner (one flattened
+    pass, doc-contiguous rows), vocabulary counts via the
+    bucket-per-group pattern (ONE small-int keyed shuffle), then:
+    below the broadcast threshold the sorted (token, count) table +
+    scalar T ship once via ray.put and each batch re-derives its
+    unigrams, attaches by searchsorted, and emits FINISHED per-doc
+    stats (no doc-keyed groupby at all); above it, one hash join +
+    one doc-keyed groupby-sum."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import hash_join
+    from .events import _bucket_by_key
+
+    base = docs.select_columns(["doc_id", "text"])
+
+    def doc_unigrams(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "tok": pd.Series([], dtype=str),
+                "m": pd.Series([], dtype="int64"),
+            }
+        )
+        toks = batch["text"].fillna("").str.split()
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            return empty
+        flat = np.concatenate(
+            [np.asarray(x, dtype=object) for x in toks.to_numpy() if len(x)]
+        ).astype(str)
+        ids = np.repeat(batch["doc_id"].to_numpy(dtype=np.int64), lens)
+        g = pd.DataFrame({"doc_id": ids, "tok": flat})
+        out = g.groupby(["doc_id", "tok"], sort=False).size().reset_index(name="m")
+        out["m"] = out["m"].astype(np.int64)
+        # rows stay doc-contiguous (stream generated doc by doc) — the
+        # broadcast path's run-boundary reduction depends on this
+        return out
+
+    inst = base.map_batches(doc_unigrams, batch_format="pandas").materialize()
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("tok", sort=False)["m"].sum()
+        return pd.DataFrame(
+            {"tok": s.index.astype(str), "c": s.to_numpy(dtype=np.int64)}
+        )
+
+    vocab = (
+        _bucket_by_key(inst, "tok", ["tok", "m"])
+        .groupby("_kb")
+        .map_groups(per_bucket, batch_format="pandas")
+        .materialize()
+    )
+
+    if vocab.count() <= _BROADCAST_BIGRAM_VOCAB and not force_join:
+        import ray
+
+        ks, vs = [], []
+        for b in vocab.iter_batches(batch_format="pandas", batch_size=None):
+            ks.append(b["tok"].to_numpy(dtype=str))
+            vs.append(b["c"].to_numpy(dtype=np.int64))
+        k = np.concatenate(ks) if ks else np.array([], dtype=str)
+        v = np.concatenate(vs) if vs else np.array([], dtype=np.int64)
+        o = np.argsort(k, kind="stable")
+        total = float(v.sum())
+        ref = ray.put((k[o], v[o], total))
+
+        def stats(batch: pd.DataFrame) -> pd.DataFrame:
+            tk, tv, tt = ray.get(ref)
+            e = doc_unigrams(batch)
+            if len(e) == 0:
+                return pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "n_tokens": pd.Series([], dtype="int64"),
+                        "xent": pd.Series([], dtype="float64"),
+                    }
+                )
+            c = tv[np.searchsorted(tk, e["tok"].to_numpy(dtype=str))].astype(
+                np.float64
+            )
+            t = np.floor(np.log(tt / c) * 1e6 + 0.5).astype(np.int64)
+            m = e["m"].to_numpy(dtype=np.int64)
+            ids = e["doc_id"].to_numpy(dtype=np.int64)
+            bounds = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+            n = np.add.reduceat(m, bounds)
+            s = np.add.reduceat(m * t, bounds).astype(np.float64)
+            return pd.DataFrame(
+                {
+                    "doc_id": ids[bounds],
+                    "n_tokens": n,
+                    "xent": np.floor(s / n + 0.5) / 1e6,
+                }
+            )
+
+        return base.map_batches(stats, batch_format="pandas")
+
+    # scale fallback: vocabulary too large to broadcast — one hash
+    # join; the scalar T reduces distributively (never streams the
+    # vocab table through the driver)
+    total = float(inst.sum("m"))
+    j = hash_join(inst, vocab, on=("tok",))
+
+    def term(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["c"].to_numpy(dtype=np.float64)
+        t = np.floor(np.log(total / c) * 1e6 + 0.5).astype(np.int64)
+        m = df["m"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "mt": m * t,
+                "m": m,
+            }
+        )
+
+    per = (
+        j.map_batches(term, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(Sum("mt", alias_name="mt"), Sum("m", alias_name="n_tokens"))
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_tokens"].to_numpy(dtype=np.int64)
+        s = df["mt"].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "n_tokens": n,
+                "xent": np.floor(s / n + 0.5) / 1e6,
+            }
+        )
+
+    return per.map_batches(finalize, batch_format="pandas")

@@ -281,6 +281,54 @@ def test_bigram_surprisal_brute(ray_session):
     assert got_j == got
 
 
+def test_doc_unigram_xent_brute(ray_session):
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import (
+        doc_unigram_xent,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ran",
+        "rare tokens zyx wvu",
+        "",  # no tokens -> absent
+        "the the the",
+    ]
+    toks = [t.split() for t in texts]
+    c: dict = {}
+    for ws in toks:
+        for w in ws:
+            c[w] = c.get(w, 0) + 1
+    total = float(sum(c.values()))
+    want = {}
+    for i, ws in enumerate(toks):
+        terms = [math.floor(math.log(total / float(c[w])) * 1e6 + 0.5) for w in ws]
+        if terms:
+            want[i] = (len(terms), math.floor(sum(terms) / len(terms) + 0.5) / 1e6)
+
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    ).repartition(3)
+    got = {
+        int(r.doc_id): (int(r.n_tokens), float(r.xent))
+        for r in doc_unigram_xent(docs).to_pandas().itertuples()
+    }
+    assert got == want
+    # the common-word doc must score strictly lower than the rare-token doc
+    assert got[4][1] < got[2][1]
+    # scale fallback (hash join + doc groupby) must agree exactly
+    got_j = {
+        int(r.doc_id): (int(r.n_tokens), float(r.xent))
+        for r in doc_unigram_xent(docs, force_join=True).to_pandas().itertuples()
+    }
+    assert got_j == got
+
+
 # ---------------------------------------------------------------------------
 # funnel / cohort retention
 # ---------------------------------------------------------------------------
