@@ -1024,6 +1024,17 @@ def _q_event_transitions(sf_dir: str):
     return event_transitions(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_running_totals(sf_dir: str):
+    """Per-user running total of value (cumulative window function via
+    bucketed sort + vectorized run-boundary reset; exact cents)."""
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import running_totals
+
+    return running_totals(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_events_asof(sf_dir: str):
     _configure()
     import ray.data as rd
@@ -1793,6 +1804,19 @@ def _q_corpus_vocab_stats(sf_dir: str):
     return corpus_vocab_stats(_docs(sf_dir))
 
 
+def _q_embedding_covariance(sf_dir: str):
+    """Covariance matrix of the embedding column (distributed X^T·X,
+    summary-proportional exchange, integer-quantized terms)."""
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.similarity import (
+        embedding_covariance,
+    )
+
+    return embedding_covariance(rd.read_parquet(f"{sf_dir}/embeddings.parquet"))
+
+
 def _q_label_centroids(sf_dir: str):
     """Per-label embedding centroid norms (integer-µunit quantized
     coordinate sums; sqrt of an exact integer sum of squares)."""
@@ -2161,6 +2185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": _q_events_hopping,
         "events_asof_prev": _q_events_asof,
         "event_transitions": _q_event_transitions,
+        "events_running_total": _q_running_totals,
         "events_asof_enrich": _q_events_asof_enrich,
         "events_sessionize": _q_events_sessionize,
         "events_funnel": _q_funnel,
@@ -2189,6 +2214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_stats": _q_source_stats,
         "kmeans_clusters": _q_kmeans,
         "label_centroids": _q_label_centroids,
+        "embedding_covariance": _q_embedding_covariance,
         "top_bigrams": _q_top_bigrams,
         "bigram_surprisal": _q_bigram_surprisal,
         "doc_unigram_xent": _q_doc_unigram_xent,
@@ -2330,6 +2356,23 @@ GROUP BY dv.v
             "SELECT e.src AS vertex, "
             "floor(sum(deg.d)::DOUBLE / count(*) * 1e6 + 0.5) / 1e6 AS avg_ndeg "
             "FROM simp e JOIN deg ON deg.v = e.dst GROUP BY e.src"
+        ),
+        "embedding_covariance": (
+            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+            "n AS (SELECT count(*)::BIGINT AS n FROM e), "
+            "u AS (SELECT vec_id, unnest(range(1, len(v) + 1))::BIGINT AS i, "
+            "  unnest(v)::DOUBLE AS x FROM e), "
+            "p AS (SELECT a.i AS i, b.i AS j, "
+            "  CAST(floor(a.x * b.x * 1e9 + 0.5) AS BIGINT) AS q "
+            "  FROM u a JOIN u b ON b.vec_id = a.vec_id AND b.i >= a.i), "
+            "s AS (SELECT i, j, sum(q)::BIGINT AS sij FROM p GROUP BY i, j), "
+            "m AS (SELECT i, sum(CAST(floor(x * 1e9 + 0.5) AS BIGINT))::BIGINT AS si "
+            "  FROM u GROUP BY i) "
+            "SELECT (s.i - 1)::BIGINT AS i, (s.j - 1)::BIGINT AS j, "
+            "floor((s.sij::DOUBLE / n.n / 1e9 "
+            "- (mi.si::DOUBLE / n.n / 1e9) * (mj.si::DOUBLE / n.n / 1e9)) "
+            "* 1e6 + 0.5) / 1e6 AS cov "
+            "FROM s JOIN m mi ON mi.i = s.i JOIN m mj ON mj.i = s.j CROSS JOIN n"
         ),
         "label_centroids": (
             "WITH e AS (SELECT label::BIGINT AS label, embedding::DOUBLE[] AS v "
@@ -2951,6 +2994,13 @@ GROUP BY l.doc_id
             "SELECT s.cw AS cohort_week, (a.w - s.cw)::BIGINT AS week_offset, "
             "count(*)::BIGINT AS n_users "
             "FROM a JOIN s USING (user_id) WHERE a.w >= s.cw GROUP BY 1, 2"
+        ),
+        "events_running_total": (
+            "SELECT event_id, user_id, "
+            "sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY epoch_us(ts), event_id "
+            "ROWS UNBOUNDED PRECEDING)::BIGINT AS running_cents "
+            "FROM events"
         ),
         "event_transitions": (
             "WITH o AS (SELECT event_type, "

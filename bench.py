@@ -257,6 +257,8 @@ def bench_suite() -> dict:
         "jaccard_links",
         "rich_club",
         "doc_unigram_xent",
+        "events_running_total",
+        "embedding_covariance",
     ]:
         qtimes[name] = run(name)
     return qtimes

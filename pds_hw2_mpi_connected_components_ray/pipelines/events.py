@@ -734,3 +734,49 @@ def props_key_stats(events: Dataset) -> Dataset:
         .groupby("k")
         .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="sum_cents"))
     )
+
+
+def running_totals(events: Dataset) -> Dataset:
+    """(event_id, user_id, running_cents): per-user cumulative sum of
+    value over the (ts, event_id) order — the classic running-total
+    window function (SUM ... OVER (PARTITION BY user ORDER BY ts ROWS
+    UNBOUNDED PRECEDING)), which Ray Data has no operator for. Same
+    bucketed one-pass shape as asof_prev: each user lands whole in one
+    hash bucket, the bucket sorts once, and the per-user reset is a
+    vectorized run-boundary subtraction (global cumsum minus the
+    cumsum value at each user's run start). Values quantize to integer
+    cents per row BEFORE summation, so every prefix sum is an exact
+    int64 (the pricing_summary money contract)."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "running_cents": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        users = g["user_id"].to_numpy(dtype=np.int64)
+        cents = np.floor(
+            g["value"].to_numpy(dtype=np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        cs = np.cumsum(cents)
+        starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        base = np.r_[0, cs[:-1]][starts]  # prefix sum before each run
+        runs = np.diff(np.r_[starts, len(users)])
+        running = cs - np.repeat(base, runs)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(dtype=np.int64),
+                "user_id": users,
+                "running_cents": running.astype(np.int64),
+            }
+        )
+
+    return (
+        _bucket_by_key(events, "user_id", ["event_id", "user_id", "ts", "value"])
+        .groupby("_kb")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -376,3 +376,96 @@ def knn_ivf(
     allp = allp.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
     allp["rank"] = allp.groupby("query_id").cumcount() + 1
     return allp
+
+
+def embedding_covariance(embeddings: Dataset, *, batch_size: int = 256) -> Dataset:
+    """(i, j, cov) for 0 ≤ i ≤ j < d: the empirical covariance matrix
+    of the embedding column — distributed X^T·X, the building block of
+    PCA / whitening / Mahalanobis scoring over a 100-TB embedding
+    table. Each batch computes its d×d outer-product partial in one
+    numpy pass (B·d² floats; batch_size keeps that ~8 MB at d=64) and
+    the exchange is SUMMARY-proportional: d² + d + 1 rows per batch
+    through one keyed sum, never the vector count.
+
+    Determinism contract: every per-row term quantizes to integers
+    BEFORE summation — q_ij = floor(x_i·x_j·1e9 + 0.5) and
+    q_i = floor(x_i·1e9 + 0.5) — so the sums are exact int64 and the
+    final cov = floor((S_ij/n/1e9 − (S_i/n/1e9)·(S_j/n/1e9))·1e6+0.5)
+    /1e6 is the same double expression over identical integers on both
+    the Ray and SQL sides (the pricing_summary / bigram µ-unit rule).
+    The d²-row finalize runs on the driver (documented small)."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        vs = t["embedding"].to_numpy(zero_copy_only=False)
+        if len(vs) == 0:
+            return pa.table(
+                {
+                    "i": pa.array([], pa.int64()),
+                    "j": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        d = x.shape[1]
+        iu, ju = np.triu_indices(d)
+        # per-row quantized pair terms, summed over the batch
+        prod = x[:, iu] * x[:, ju]  # B × d(d+1)/2
+        sij = np.floor(prod * 1e9 + 0.5).astype(np.int64).sum(axis=0)
+        si = np.floor(x * 1e9 + 0.5).astype(np.int64).sum(axis=0)
+        rows_i = np.concatenate([iu, np.arange(d), [-1]])
+        rows_j = np.concatenate([ju, np.full(d, -1), [-1]])
+        rows_s = np.concatenate([sij, si, [len(x)]])
+        return pa.table(
+            {
+                "i": rows_i.astype(np.int64),
+                "j": rows_j.astype(np.int64),
+                "s": rows_s.astype(np.int64),
+            }
+        )
+
+    agg = (
+        embeddings.select_columns(["embedding"])
+        .map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+        )
+        .groupby(["i", "j"])
+        .aggregate(Sum("s", alias_name="s"))
+        .materialize()
+    )
+    tab = pa.concat_tables(
+        list(agg.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    ii = tab["i"].to_numpy(zero_copy_only=False).astype(np.int64)
+    jj = tab["j"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ss = tab["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = float(ss[(ii == -1) & (jj == -1)][0])
+    marg = {int(a): float(b) for a, b in zip(ii[jj == -1], ss[jj == -1]) if a >= 0}
+    keep = jj >= 0
+    ik, jk, sk = ii[keep], jj[keep], ss[keep]
+    mi = np.array([marg[int(a)] for a in ik])
+    mj = np.array([marg[int(b)] for b in jk])
+    cov = (
+        np.floor(
+            (sk.astype(np.float64) / n / 1e9 - (mi / n / 1e9) * (mj / n / 1e9)) * 1e6
+            + 0.5
+        )
+        / 1e6
+    )
+    order = np.lexsort((jk, ik))
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "i": ik[order],
+                "j": jk[order],
+                "cov": cov[order],
+            }
+        )
+    )

@@ -1,0 +1,82 @@
+"""Brute-force checks: per-user running totals (cumulative window
+function) and the distributed embedding covariance (X^T·X with
+integer-quantized terms)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def test_running_totals_brute(ray_session):
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import running_totals
+
+    rng = np.random.default_rng(13)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 40, size=n).astype(np.int64),
+            "ts": pd.to_datetime(
+                rng.integers(0, 10**6, size=n), unit="s"
+            ).astype("datetime64[us]"),
+            "value": np.round(rng.uniform(-5, 50, size=n), 2),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(4)
+    out = (
+        running_totals(ds)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    w = df.copy()
+    w["cents"] = np.floor(w["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    w = w.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    w["running"] = w.groupby("user_id")["cents"].cumsum()
+    w = w.sort_values("event_id").reset_index(drop=True)
+    assert len(out) == n
+    assert np.array_equal(out["event_id"].to_numpy(), w["event_id"].to_numpy())
+    assert np.array_equal(out["running_cents"].to_numpy(), w["running"].to_numpy())
+
+
+def test_embedding_covariance_brute(ray_session):
+    from pds_hw2_mpi_connected_components_ray.pipelines.similarity import (
+        embedding_covariance,
+    )
+
+    rng = np.random.default_rng(21)
+    n, d = 150, 6
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    tab = pa.table(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": pa.array(list(x), pa.list_(pa.float32())),
+        }
+    )
+    # batch_size smaller than the table → several partials must combine
+    out = embedding_covariance(
+        rd.from_arrow(tab).repartition(3), batch_size=32
+    ).to_pandas()
+    assert len(out) == d * (d + 1) // 2
+
+    xf = x.astype(np.float64)
+    got = {(int(r.i), int(r.j)): float(r.cov) for r in out.itertuples()}
+    for i in range(d):
+        for j in range(i, d):
+            sij = float(np.floor(xf[:, i] * xf[:, j] * 1e9 + 0.5).astype(np.int64).sum())
+            si = float(np.floor(xf[:, i] * 1e9 + 0.5).astype(np.int64).sum())
+            sj = float(np.floor(xf[:, j] * 1e9 + 0.5).astype(np.int64).sum())
+            want = (
+                np.floor(
+                    (sij / n / 1e9 - (si / n / 1e9) * (sj / n / 1e9)) * 1e6 + 0.5
+                )
+                / 1e6
+            )
+            assert got[(i, j)] == want
+            # sanity: quantized pipeline ≈ true covariance
+            true = float(np.mean(xf[:, i] * xf[:, j]) - xf[:, i].mean() * xf[:, j].mean())
+            assert abs(got[(i, j)] - true) < 1e-4
