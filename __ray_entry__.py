@@ -1551,6 +1551,30 @@ def _q_returned_top_customers(sf_dir: str):
     )
 
 
+def _q_inactive_customers(sf_dir: str):
+    """Distributed anti-join: customers with no orders (distinct-key
+    broadcast filter below threshold, left-outer null-probe beyond)."""
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.relational import (
+        inactive_customers,
+    )
+
+    ds = inactive_customers(
+        rd.read_parquet(f"{sf_dir}/customer.parquet"),
+        rd.read_parquet(f"{sf_dir}/orders.parquet"),
+    ).materialize()
+    if ds.count() == 0:
+        # Ray's to_pandas drops the schema when every block is empty;
+        # an empty anti-join result is by definition tiny, so a typed
+        # empty table keeps the driver's column compare honest
+        import pyarrow as pa
+
+        return pa.table({"c_custkey": pa.array([], pa.int64())})
+    return ds
+
+
 def _q_winsorized(sf_dir: str):
     """Winsorized per-type value means (exact integer-cent histograms,
     p05/p95 clamp, integer-ratio mean)."""
@@ -1717,6 +1741,15 @@ def _q_edge_support(sf_dir: str):
     from pds_hw2_mpi_connected_components_ray.pipelines.triangles import edge_support
 
     return edge_support(_canon_edges(sf_dir))
+
+
+def _q_graph_summary(sf_dir: str):
+    """One-row graph profile (counts, degree stats, density, triangles,
+    component stats) — composition of oracle-checked primitives."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.profile import graph_summary
+
+    return graph_summary(_canon_edges(sf_dir))
 
 
 def _q_jaccard_links(sf_dir: str):
@@ -2098,6 +2131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "order_priority_counts": _q_order_priority,
         "customer_order_distribution": _q_cust_order_dist,
+        "inactive_customers": _q_inactive_customers,
         "returned_top_customers": _q_returned_top_customers,
         "copurchase_pairs": _q_copurchase,
         "degree": _q_degree,
@@ -2142,6 +2176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles_by_vertex": _q_triangles_by_vertex,
         "edge_support": _q_edge_support,
         "jaccard_links": _q_jaccard_links,
+        "graph_summary": _q_graph_summary,
         "rich_club": _q_rich_club,
         "ktruss5_r3": _q_ktruss,
         "kcore7": _q_kcore,
@@ -2468,6 +2503,30 @@ FROM le GROUP BY 1, 2"""
             "s AS (SELECT x, y, count(*) AS sup FROM cr GROUP BY x, y) "
             "SELECT o.a, o.b, coalesce(s.sup, 0)::BIGINT AS support "
             "FROM o LEFT JOIN s ON s.x = o.a AND s.y = o.b"
+        ),
+        "graph_summary": (
+            f"WITH RECURSIVE {_EDGES_CTES}, "
+            "walk AS (SELECT v, v AS l FROM verts "
+            "  UNION SELECT e.dst AS v, w.l AS l FROM walk w "
+            "  JOIN edges e ON e.src = w.v WHERE w.l < e.dst), "
+            "lab AS (SELECT v, min(l) AS label FROM walk GROUP BY v), "
+            "comp AS (SELECT label, count(*)::BIGINT AS sz FROM lab GROUP BY label), "
+            "simp AS (SELECT src, dst FROM edges WHERE src <> dst), "
+            "deg AS (SELECT src AS v, count(*)::BIGINT AS d FROM simp GROUP BY src), "
+            "o AS (SELECT src AS a, dst AS b FROM simp WHERE src < dst), "
+            "tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c "
+            "  FROM o e1 JOIN o e2 ON e2.a = e1.b "
+            "  JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b), "
+            "nn AS (SELECT count(*)::BIGINT AS n FROM verts), "
+            "mm AS (SELECT count(*)::BIGINT AS m FROM o) "
+            "SELECT nn.n AS n_vertices, mm.m AS n_edges, "
+            "(SELECT max(d) FROM deg)::BIGINT AS max_degree, "
+            "floor(2.0 * mm.m / nn.n * 1e6 + 0.5) / 1e6 AS avg_degree, "
+            "floor(2.0 * mm.m / (nn.n * (nn.n - 1.0)) * 1e6 + 0.5) / 1e6 AS density, "
+            "(SELECT count(*) FROM tri)::BIGINT AS n_triangles, "
+            "(SELECT count(*) FROM comp)::BIGINT AS n_components, "
+            "(SELECT max(sz) FROM comp)::BIGINT AS largest_component "
+            "FROM nn CROSS JOIN mm"
         ),
         "jaccard_links": (
             f"WITH {_TRI_CTES}, cr AS ("
@@ -2915,6 +2974,10 @@ GROUP BY l.doc_id
             "FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
             "GROUP BY c.c_custkey) "
             "SELECT c_count, count(*)::BIGINT AS custdist FROM pc GROUP BY c_count"
+        ),
+        "inactive_customers": (
+            "SELECT c_custkey FROM customer c WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
         ),
         "returned_top_customers": (
             "SELECT c.c_custkey, any_value(c.c_name) AS c_name, "

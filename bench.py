@@ -259,6 +259,8 @@ def bench_suite() -> dict:
         "doc_unigram_xent",
         "events_running_total",
         "embedding_covariance",
+        "graph_summary",
+        "inactive_customers",
     ]:
         qtimes[name] = run(name)
     return qtimes

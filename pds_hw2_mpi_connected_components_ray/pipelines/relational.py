@@ -477,3 +477,91 @@ def copurchase_pairs(lineitem: Dataset, *, min_orders: int = 2) -> Dataset:
         .groupby("_kb")
         .map_groups(bucket_sum, batch_format="pandas")
     )
+
+
+_ANTI_BROADCAST_KEYS = 5_000_000  # ~40 MB of int64 keys
+
+
+def inactive_customers(
+    customer: Dataset,
+    orders: Dataset,
+    *,
+    broadcast_threshold: int = _ANTI_BROADCAST_KEYS,
+) -> Dataset:
+    """c_custkey of customers with NO orders — the distributed
+    ANTI-JOIN exposed as a first-class relational op (corpus_prep uses
+    the same shape to subtract dropped duplicates). The probe side
+    reduces to DISTINCT order custkeys first (per-batch np.unique +
+    one keyed count); below the threshold the key set broadcasts once
+    and each customer batch drops hits locally (zero further shuffle),
+    beyond it a left-outer hash join keeps the null-probe rows."""
+    import ray
+
+    from ..stages.joins import hash_join
+
+    okeys = (
+        orders.select_columns(["o_custkey"])
+        .map_batches(
+            lambda t: pa.table(
+                {"o_custkey": np.unique(t["o_custkey"].to_numpy(zero_copy_only=False))}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["o_custkey"])
+        .materialize()
+    )
+
+    if okeys.count() <= broadcast_threshold:
+        keys = np.sort(
+            np.concatenate(
+                [
+                    t["o_custkey"].to_numpy(zero_copy_only=False)
+                    for t in okeys.iter_batches(
+                        batch_format="pyarrow", batch_size=None
+                    )
+                ]
+                or [np.array([], dtype=np.int64)]
+            ).astype(np.int64)
+        )
+        ref = ray.put(keys)
+
+        def anti(t: pa.Table) -> pa.Table:
+            ks = ray.get(ref)
+            ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(ks) == 0:
+                return pa.table({"c_custkey": ck})
+            pos = np.minimum(np.searchsorted(ks, ck), len(ks) - 1)
+            return pa.table({"c_custkey": ck[ks[pos] != ck]})
+
+        return customer.select_columns(["c_custkey"]).map_batches(
+            anti, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    npart = default_parallelism()
+    j = hash_join(
+        customer.select_columns(["c_custkey"]),
+        okeys.map_batches(
+            lambda t: t.append_column(
+                "_hit", pa.array(np.ones(len(t), dtype=np.int64))
+            ).rename_columns(["c_custkey", "_hit"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        on=("c_custkey",),
+        join_type="left_outer",
+        num_partitions=npart,
+    )
+    return j.map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t.filter(pc.is_null(t["_hit"]))[
+                    "c_custkey"
+                ].combine_chunks()
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

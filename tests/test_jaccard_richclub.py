@@ -108,3 +108,46 @@ def test_rich_club_brute_and_modes():
             else:
                 phi = 0.0
             assert row["phi"] == phi
+
+
+def test_graph_summary_brute():
+    from pds_hw2_mpi_connected_components_ray.pipelines.profile import graph_summary
+
+    df = _random_graph(n=25, m=80, seed=17)
+    ds = _sym_ds(df)
+    adj = _adj(df)
+    out = graph_summary(ds)
+    assert len(out) == 1
+    row = out.iloc[0]
+
+    n = len(adj)
+    m = sum(len(v) for v in adj.values()) // 2
+    tri = 0
+    for a in adj:
+        for b in adj[a]:
+            if b > a:
+                tri += sum(1 for c in (adj[a] & adj[b]) if c > b)
+    # components by hand
+    seen: set[int] = set()
+    comps = []
+    for v in adj:
+        if v in seen:
+            continue
+        stack, comp = [v], set()
+        while stack:
+            u = stack.pop()
+            if u in comp:
+                continue
+            comp.add(u)
+            stack.extend(adj[u] - comp)
+        seen |= comp
+        comps.append(len(comp))
+
+    assert row["n_vertices"] == n
+    assert row["n_edges"] == m
+    assert row["max_degree"] == max(len(v) for v in adj.values())
+    assert row["n_triangles"] == tri
+    assert row["n_components"] == len(comps)
+    assert row["largest_component"] == max(comps)
+    assert row["avg_degree"] == np.floor(2.0 * m / n * 1e6 + 0.5) / 1e6
+    assert row["density"] == np.floor(2.0 * m / (n * (n - 1.0)) * 1e6 + 0.5) / 1e6

@@ -133,3 +133,36 @@ def test_returned_top_customers_brute():
     assert np.array_equal(out["revenue_e4"].to_numpy(), want["rev"].to_numpy())
     names = cust.set_index("c_custkey")["c_name"]
     assert list(out["c_name"]) == [names[k] for k in out["c_custkey"]]
+
+
+def test_inactive_customers_brute_and_modes():
+    from pds_hw2_mpi_connected_components_ray.pipelines.relational import (
+        inactive_customers,
+    )
+
+    cust, orders, _ = _tables()
+    want = sorted(set(cust["c_custkey"]) - set(orders["o_custkey"]))
+    assert len(want) > 0  # fixture plants order-less customers
+    for thresh in (5_000_000, 0):  # broadcast anti, then left-outer join
+        out = inactive_customers(
+            _ds(cust), _ds(orders), broadcast_threshold=thresh
+        ).to_pandas()
+        assert sorted(out["c_custkey"]) == want
+
+
+def test_inactive_customers_all_active():
+    from pds_hw2_mpi_connected_components_ray.pipelines.relational import (
+        inactive_customers,
+    )
+
+    cust = pd.DataFrame({"c_custkey": np.arange(1, 6, dtype=np.int64),
+                         "c_name": [f"c{i}" for i in range(5)]})
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(1, 11, dtype=np.int64),
+            "o_custkey": np.tile(cust["c_custkey"].to_numpy(), 2),
+            "o_orderpriority": ["1-URGENT"] * 10,
+        }
+    )
+    out = inactive_customers(_ds(cust), _ds(orders)).to_pandas()
+    assert len(out) == 0
