@@ -41,14 +41,19 @@ def pagerank_weighted(
     broadcast_threshold: int = 2_000_000,
     num_partitions: int | None = None,
 ) -> Dataset:
-    """(vertex, pr) after `iters` synchronous weighted power steps."""
+    """(vertex, pr) after `iters` synchronous weighted power steps.
+
+    Mode gate is the EDGE count (a metadata count, free on a
+    materialized dataset): m ≤ threshold bounds the vertex count at 2m,
+    so the local mode's dense vectors stay broadcast-sized — round 2
+    gated on a vertex count that itself cost a full groupby pass."""
     wedges = wedges.materialize()
+    if mode == "auto":
+        mode = "local" if wedges.count() <= broadcast_threshold else "shuffle"
+    if mode == "local":
+        return _local(wedges, damping, iters)
     verts = _all_vertices(wedges).materialize()
     n = verts.count()
-    if mode == "auto":
-        mode = "local" if n <= broadcast_threshold else "shuffle"
-    if mode == "local":
-        return _local(wedges, verts, n, damping, iters)
     return _shuffle(wedges, verts, n, damping, iters, num_partitions)
 
 
@@ -70,45 +75,102 @@ def _normalized_edges(wedges: Dataset) -> Dataset:
     ).materialize()
 
 
-def _local(wedges, verts, n, damping, iters) -> Dataset:
-    """Broadcast-rank mode: per iteration ship one (n,) float64 vector
-    via ray.put, accumulate weighted contributions per batch."""
-    vid = np.sort(
-        pa.concat_tables(
-            list(verts.iter_batches(batch_format="pyarrow", batch_size=None))
-        )["vertex"].to_numpy(zero_copy_only=False)
-    )
-    pe = _normalized_edges(wedges)
-    has_out = np.zeros(len(vid), dtype=bool)
-    for t in pe.iter_batches(batch_format="pyarrow", batch_size=None):
-        has_out[np.searchsorted(vid, np.unique(t["src"].to_numpy(zero_copy_only=False)))] = True
-    r = np.full(n, 1.0 / n, dtype=np.float64)
-    for _ in range(iters):
-        ref = ray.put((vid, r))
+@ray.remote
+class _WprSlice:
+    """Pinned slice of the RAW weighted edge table. The transition
+    normalization that round 2 bought with a groupby + hash join
+    (~7 s of Ray overhead on a 300k-edge graph) happens IN the pool:
+    each slice reports its local vertex ids and per-src weight partial
+    (both vertex-bounded), the driver reduces them, and one broadcast
+    of (vid, W) back normalizes every slice locally. Index positions
+    resolve once; edges pre-sort by dst so each power step is one
+    gather + one reduceat; only the dense rank partial crosses the
+    wire per iteration (n ≤ 2·edge-threshold by the mode gate)."""
 
-        def partial(t: pa.Table) -> pa.Table:
-            vv, rr = ray.get(ref)
-            s = np.searchsorted(vv, t["src"].to_numpy(zero_copy_only=False))
-            d = np.searchsorted(vv, t["dst"].to_numpy(zero_copy_only=False))
-            contrib = rr[s] * t["p"].to_numpy(zero_copy_only=False)
-            acc = np.zeros(len(vv), dtype=np.float64)
-            np.add.at(acc, d, contrib)
-            nz = np.nonzero(acc)[0]
-            return pa.table({"i": nz.astype(np.int64), "c": acc[nz]})
+    def __init__(self, block_refs: list):
+        from ..state.shards import _as_arrow
 
-        # stream partials to the driver (n <= broadcast threshold by
-        # mode selection), accumulate with one scatter-add per block —
-        # a per-iteration groupby here cost ~4x the whole iteration at
-        # bench scale (same structure as the unweighted _pagerank_local)
-        inc = np.zeros(n, dtype=np.float64)
-        for b in pe.map_batches(
-            partial, batch_format="pyarrow", zero_copy_batch=True
-        ).iter_batches(batch_format="pyarrow", batch_size=None):
-            bi = b["i"].to_numpy(zero_copy_only=False)
-            if len(bi):
-                np.add.at(inc, bi, b["c"].to_numpy(zero_copy_only=False))
-        dang = float(r[~has_out].sum())
-        r = (1 - damping) / n + damping * (inc + dang / n)
+        tabs = [_as_arrow(t) for t in ray.get(list(block_refs))]
+        tabs = [t for t in tabs if len(t)]
+        if tabs:
+            tab = pa.concat_tables(tabs)
+            self.src = tab["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            self.dst = tab["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            self.w = tab["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
+        else:
+            self.src = np.array([], dtype=np.int64)
+            self.dst = np.array([], dtype=np.int64)
+            self.w = np.array([], dtype=np.float64)
+        self.n = 0
+
+    def local_vertices(self) -> np.ndarray:
+        return np.unique(np.concatenate([self.src, self.dst]))
+
+    def w_partial(self, vid: np.ndarray) -> np.ndarray:
+        """Dense per-src weight sums over the global vertex index."""
+        self.vid = vid
+        self.n = len(vid)
+        acc = np.zeros(self.n, dtype=np.float64)
+        if len(self.w):
+            self.si = np.searchsorted(vid, self.src)
+            di = np.searchsorted(vid, self.dst)
+            o = np.argsort(di, kind="stable")
+            self.si, di, self.w = self.si[o], di[o], self.w[o]
+            self.bounds = np.flatnonzero(np.r_[True, di[1:] != di[:-1]])
+            self.dst_u = di[self.bounds]
+            np.add.at(acc, self.si, self.w)
+        return acc
+
+    def normalize(self, w_total: np.ndarray) -> None:
+        """p = w / W(src) against the globally reduced weight vector."""
+        if len(self.w):
+            self.p = self.w / w_total[self.si]
+        else:
+            self.p = self.w
+
+    def step(self, r: np.ndarray) -> np.ndarray:
+        acc = np.zeros(self.n, dtype=np.float64)
+        if len(self.p):
+            contrib = r[self.si] * self.p
+            acc[self.dst_u] = np.add.reduceat(contrib, self.bounds)
+        return acc
+
+
+def _local(wedges, damping, iters) -> Dataset:
+    """Broadcast-rank mode over a pinned slice-actor pool: raw edge
+    blocks move by reference (never through the driver), W/vid derive
+    from vertex-bounded pool partials (no groupby, no join, no
+    vertices pass), and every iteration is one ray.put + one RPC
+    round — round 2 re-executed a full Dataset pipeline per iteration
+    plus a normalize join (~15 s of scheduling at bench scale)."""
+    block_refs = [
+        ref
+        for bundle in wedges.iter_internal_ref_bundles()
+        for ref in bundle.block_refs
+    ]
+    ncpus = int(ray.cluster_resources().get("CPU", 8))
+    k = max(2, min(16, ncpus, len(block_refs)))
+    actors = [_WprSlice.remote(block_refs[i::k]) for i in range(k)]
+    try:
+        vid = np.unique(
+            np.concatenate(ray.get([a.local_vertices.remote() for a in actors]))
+        )
+        n = len(vid)
+        vref = ray.put(vid)
+        w_total = np.sum(ray.get([a.w_partial.remote(vref) for a in actors]), axis=0)
+        wref = ray.put(w_total)
+        ray.get([a.normalize.remote(wref) for a in actors])
+        has_out = w_total > 0
+        r = np.full(n, 1.0 / n, dtype=np.float64)
+        for _ in range(iters):
+            rref = ray.put(r)
+            parts = ray.get([a.step.remote(rref) for a in actors])
+            inc = np.sum(parts, axis=0)
+            dang = float(r[~has_out].sum())
+            r = (1 - damping) / n + damping * (inc + dang / n)
+    finally:
+        for a in actors:
+            ray.kill(a)
     out = pd.DataFrame({"vertex": vid, "pr": np.round(r, 6)})
     import ray.data as rd
 
