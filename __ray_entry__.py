@@ -1551,6 +1551,33 @@ def _q_returned_top_customers(sf_dir: str):
     )
 
 
+def _q_neighbor_sample(sf_dir: str):
+    """Deterministic ≤k-neighbor sample per vertex (GraphSAGE fan-out
+    cap; SQL-expressible integer mix as the sample order)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.window import neighbor_sample
+
+    return neighbor_sample(_canon_edges(sf_dir), k=3)
+
+
+def _q_revenue_rollup(sf_dir: str):
+    """ROLLUP(nation, priority) revenue: fine cells + subtotals + grand
+    total in one fact scan; coarser levels derive from the fine cells."""
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.relational import (
+        revenue_rollup,
+    )
+
+    return revenue_rollup(
+        rd.read_parquet(f"{sf_dir}/customer.parquet"),
+        rd.read_parquet(f"{sf_dir}/orders.parquet"),
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet"),
+        rd.read_parquet(f"{sf_dir}/nation.parquet"),
+    )
+
+
 def _q_inactive_customers(sf_dir: str):
     """Distributed anti-join: customers with no orders (distinct-key
     broadcast filter below threshold, left-outer null-probe beyond)."""
@@ -2132,6 +2159,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_counts": _q_order_priority,
         "customer_order_distribution": _q_cust_order_dist,
         "inactive_customers": _q_inactive_customers,
+        "neighbor_sample": _q_neighbor_sample,
+        "revenue_rollup": _q_revenue_rollup,
         "returned_top_customers": _q_returned_top_customers,
         "copurchase_pairs": _q_copurchase,
         "degree": _q_degree,
@@ -2978,6 +3007,23 @@ GROUP BY l.doc_id
         "inactive_customers": (
             "SELECT c_custkey FROM customer c WHERE NOT EXISTS "
             "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+        ),
+        "neighbor_sample": (
+            f"WITH {_EDGES_CTES}, "
+            "h AS (SELECT src, dst, ((src % 2147483647) * 2654435761 "
+            "  + (dst % 2147483647) * 40503) % 2147483647 AS h FROM edges), "
+            "r AS (SELECT src, dst, row_number() OVER ("
+            "  PARTITION BY src ORDER BY h, dst)::BIGINT AS rnk FROM h) "
+            "SELECT src, dst, rnk FROM r WHERE rnk <= 3"
+        ),
+        "revenue_rollup": (
+            "SELECT coalesce(n.n_name, 'ALL') AS n_name, "
+            "coalesce(o.o_orderpriority, 'ALL') AS o_orderpriority, "
+            "sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT))::BIGINT AS revenue_e4 "
+            "FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey "
+            "JOIN orders o ON o.o_custkey = c.c_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "GROUP BY ROLLUP (n.n_name, o.o_orderpriority)"
         ),
         "returned_top_customers": (
             "SELECT c.c_custkey, any_value(c.c_name) AS c_name, "

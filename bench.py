@@ -261,6 +261,8 @@ def bench_suite() -> dict:
         "embedding_covariance",
         "graph_summary",
         "inactive_customers",
+        "neighbor_sample",
+        "revenue_rollup",
     ]:
         qtimes[name] = run(name)
     return qtimes

@@ -565,3 +565,104 @@ def inactive_customers(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def revenue_rollup(
+    customer: Dataset, orders: Dataset, lineitem: Dataset, nation: Dataset
+) -> Dataset:
+    """ROLLUP(n_name, o_orderpriority) over discounted revenue: the
+    fine (nation, priority) cells PLUS per-nation subtotals PLUS the
+    grand total, with 'ALL' as the rollup marker — multi-level
+    aggregation in ONE scan: the coarser levels derive from the fine
+    aggregate (vocabulary-sized: |nations|·|priorities| rows), never
+    by re-reading the fact table. High-cardinality rollups would chain
+    another keyed groupby over the fine cells instead of the driver
+    fold used here (documented small)."""
+    import ray
+
+    npart = default_parallelism()
+
+    ntab = pa.concat_tables(
+        list(
+            nation.select_columns(["n_nationkey", "n_name"]).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    nk = ntab["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nn = ntab["n_name"].to_numpy(zero_copy_only=False).astype(str)
+    o = np.argsort(nk, kind="stable")
+    ref = ray.put((nk[o], nn[o]))
+
+    cust = customer.select_columns(["c_custkey", "c_nationkey"])
+    ords = orders.select_columns(["o_orderkey", "o_custkey", "o_orderpriority"])
+    oj = hash_join(
+        ords, cust, on=("o_custkey",), right_on=("c_custkey",), num_partitions=npart
+    ).select_columns(["o_orderkey", "c_nationkey", "o_orderpriority"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(price * (1.0 - disc) * 1e4 + 0.5).astype(np.int64)
+        order = np.argsort(ok, kind="stable")
+        oks, revs = ok[order], rev[order]
+        b = np.flatnonzero(np.r_[True, oks[1:] != oks[:-1]])
+        return pa.table(
+            {"l_orderkey": oks[b], "r": np.add.reduceat(revs, b).astype(np.int64)}
+        )
+
+    li = lineitem.select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(
+        li, oj, on=("l_orderkey",), right_on=("o_orderkey",), num_partitions=npart
+    )
+
+    def cell_partial(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        k, names = _ray.get(ref)
+        nkey = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "n_name": names[np.searchsorted(k, nkey)],
+                "o_orderpriority": t["o_orderpriority"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "r": r,
+            }
+        )
+        g = df.groupby(["n_name", "o_orderpriority"], sort=False)["r"].sum()
+        out = g.reset_index()
+        out["r"] = out["r"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    fine = (
+        j.map_batches(cell_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["n_name", "o_orderpriority"])
+        .aggregate(Sum("r", alias_name="revenue_e4"))
+        .materialize()
+    )
+    ftab = pa.concat_tables(
+        list(fine.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    fdf = ftab.to_pandas()
+    sub = (
+        fdf.groupby("n_name", sort=False)["revenue_e4"].sum().reset_index()
+    )
+    sub["o_orderpriority"] = "ALL"
+    grand = pd.DataFrame(
+        {
+            "n_name": ["ALL"],
+            "o_orderpriority": ["ALL"],
+            "revenue_e4": [np.int64(fdf["revenue_e4"].sum())],
+        }
+    )
+    out = pd.concat(
+        [fdf, sub[["n_name", "o_orderpriority", "revenue_e4"]], grand],
+        ignore_index=True,
+    )
+    out["revenue_e4"] = out["revenue_e4"].astype(np.int64)
+    return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ray.data import Dataset
 
@@ -61,3 +62,39 @@ def top_k_per_group(
         .groupby("_kb")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+_MIX_A = np.int64(2654435761)  # Knuth multiplicative constants — the
+_MIX_B = np.int64(40503)  # sample order must be SQL-expressible
+_MIX_MOD = np.int64(2**31 - 1)
+
+
+def neighbor_sample(edges: Dataset, *, k: int = 3) -> Dataset:
+    """(src, dst, rnk): a deterministic ≤k-neighbor sample per source
+    vertex — the GraphSAGE-style fan-out cap that turns a skewed web
+    graph into bounded GNN mini-batch adjacency (a 5M-degree hub
+    contributes k rows, not 5M). The sample order is a seeded integer
+    mix h = (src·2654435761 + dst·40503) mod (2³¹−1) with dst
+    tie-break: pure int64 arithmetic, so it is vectorized here and
+    byte-identical in ANSI SQL (no library RNG on either side), and it
+    is stable under any partitioning. One bucketed exchange via
+    top_k_per_group."""
+
+    def add_h(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # mod-first keeps every intermediate < 2^63 for ANY positive
+        # int64 id (incl. the 63-bit minted url space) — numpy would
+        # wrap silently on overflow while SQL BIGINT raises
+        h = ((s % _MIX_MOD) * _MIX_A + (d % _MIX_MOD) * _MIX_B) % _MIX_MOD
+        return pa.table({"src": s, "dst": d, "h": h})
+
+    keyed = edges.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True)
+    out = top_k_per_group(
+        keyed,
+        key="src",
+        order_cols=["h", "dst"],
+        k=k,
+        cols=["src", "dst", "h"],
+    )
+    return out.select_columns(["src", "dst", "rnk"])

@@ -166,3 +166,42 @@ def test_inactive_customers_all_active():
     )
     out = inactive_customers(_ds(cust), _ds(orders)).to_pandas()
     assert len(out) == 0
+
+
+def test_revenue_rollup_levels_consistent():
+    from pds_hw2_mpi_connected_components_ray.pipelines.relational import (
+        revenue_rollup,
+    )
+
+    cust, orders, lines = _tables()
+    cust = cust.copy()
+    cust["c_nationkey"] = (cust["c_custkey"] % 4).astype(np.int64)
+    nation = pd.DataFrame(
+        {
+            "n_nationkey": np.arange(4, dtype=np.int64),
+            "n_name": ["ALGERIA", "BRAZIL", "CANADA", "DENMARK"],
+        }
+    )
+    out = revenue_rollup(
+        _ds(cust), _ds(orders), _ds(lines), _ds(nation, parts=1)
+    ).to_pandas()
+    fine = out[(out["n_name"] != "ALL") & (out["o_orderpriority"] != "ALL")]
+    sub = out[(out["n_name"] != "ALL") & (out["o_orderpriority"] == "ALL")]
+    grand = out[(out["n_name"] == "ALL")]
+    assert len(grand) == 1
+    assert grand["o_orderpriority"].iloc[0] == "ALL"
+    # every level re-aggregates exactly from the level below
+    assert fine["revenue_e4"].sum() == grand["revenue_e4"].iloc[0]
+    per_nation = fine.groupby("n_name")["revenue_e4"].sum()
+    for _, row in sub.iterrows():
+        assert row["revenue_e4"] == per_nation[row["n_name"]]
+    # brute check of one fine cell
+    m = lines.merge(orders, left_on="l_orderkey", right_on="o_orderkey").merge(
+        cust, left_on="o_custkey", right_on="c_custkey"
+    ).merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    m["rev"] = np.floor(
+        m["l_extendedprice"] * (1.0 - m["l_discount"]) * 1e4 + 0.5
+    ).astype(np.int64)
+    want = m.groupby(["n_name", "o_orderpriority"])["rev"].sum()
+    got = fine.set_index(["n_name", "o_orderpriority"])["revenue_e4"]
+    assert got.sort_index().equals(want.sort_index().astype(np.int64))

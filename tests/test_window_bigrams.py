@@ -94,3 +94,36 @@ def test_bigrams_split_invariant(ray_session):
             .reset_index(drop=True)
         )
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_neighbor_sample_deterministic_and_bounded(ray_session):
+    from pds_hw2_mpi_connected_components_ray.pipelines.window import neighbor_sample
+
+    rng = np.random.default_rng(41)
+    src = rng.integers(0, 30, size=400).astype(np.int64)
+    dst = rng.integers(0, 30, size=400).astype(np.int64)
+    df = pd.DataFrame({"src": src, "dst": dst}).drop_duplicates()
+    df = df[df["src"] != df["dst"]]
+
+    def run(parts):
+        ds = rd.from_pandas([df.iloc[i::parts] for i in range(parts)])
+        return (
+            neighbor_sample(ds, k=3)
+            .to_pandas()
+            .sort_values(["src", "rnk"])
+            .reset_index(drop=True)
+        )
+
+    a, b = run(2), run(5)
+    # partitioning-invariant and fan-out bounded
+    assert a.equals(b)
+    assert a.groupby("src").size().max() <= 3
+    # matches the SQL-expressible mix order exactly
+    w = df.copy()
+    w["h"] = ((w["src"] % 2147483647) * 2654435761 + (w["dst"] % 2147483647) * 40503) % 2147483647
+    w = w.sort_values(["src", "h", "dst"]).groupby("src").head(3)
+    w["rnk"] = w.groupby("src").cumcount() + 1
+    w = w.sort_values(["src", "rnk"]).reset_index(drop=True)
+    assert np.array_equal(a["dst"].to_numpy(), w["dst"].to_numpy())
+    # every vertex with out-edges is represented
+    assert set(a["src"]) == set(df["src"])
