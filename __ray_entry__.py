@@ -1770,6 +1770,24 @@ def _q_edge_support(sf_dir: str):
     return edge_support(_canon_edges(sf_dir))
 
 
+def _q_negative_edges(sf_dir: str):
+    """Deterministic negative-edge sampling (SQL-expressible mix,
+    broadcast packed-key rejection) for link-prediction training."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.linkpred import negative_edges
+
+    return negative_edges(_canon_edges(sf_dir), k=2)
+
+
+def _q_degree_powerlaw(sf_dir: str):
+    """Power-law tail exponent of the degree distribution (CSN MLE,
+    µnat-quantized ln terms, two exact integer reduces)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.stages.graph import degree_powerlaw
+
+    return degree_powerlaw(_canon_edges(sf_dir), dmin=5)
+
+
 def _q_graph_summary(sf_dir: str):
     """One-row graph profile (counts, degree stats, density, triangles,
     component stats) — composition of oracle-checked primitives."""
@@ -2206,6 +2224,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_support": _q_edge_support,
         "jaccard_links": _q_jaccard_links,
         "graph_summary": _q_graph_summary,
+        "negative_edges": _q_negative_edges,
+        "degree_powerlaw": _q_degree_powerlaw,
         "rich_club": _q_rich_club,
         "ktruss5_r3": _q_ktruss,
         "kcore7": _q_kcore,
@@ -2532,6 +2552,32 @@ FROM le GROUP BY 1, 2"""
             "s AS (SELECT x, y, count(*) AS sup FROM cr GROUP BY x, y) "
             "SELECT o.a, o.b, coalesce(s.sup, 0)::BIGINT AS support "
             "FROM o LEFT JOIN s ON s.x = o.a AND s.y = o.b"
+        ),
+        "negative_edges": (
+            f"WITH {_EDGES_CTES}, "
+            "vr AS (SELECT v, (row_number() OVER (ORDER BY v) - 1)::BIGINT AS rn "
+            "  FROM verts), "
+            "nn AS (SELECT count(*)::BIGINT AS n FROM verts), "
+            "ii AS (SELECT unnest([1, 2]::BIGINT[]) AS i), "
+            "cand AS (SELECT vr.v AS src, ii.i AS i, "
+            "  ((vr.v % 2147483647) * 2654435761 + ii.i * 40503) % 2147483647 AS h "
+            "  FROM vr CROSS JOIN ii), "
+            "c2 AS (SELECT c.src, c.i, m.v AS dst "
+            "  FROM cand c CROSS JOIN nn JOIN vr m ON m.rn = c.h % nn.n) "
+            "SELECT c2.src, c2.dst, c2.i FROM c2 "
+            "LEFT JOIN edges e ON e.src = c2.src AND e.dst = c2.dst "
+            "WHERE e.src IS NULL AND c2.dst <> c2.src"
+        ),
+        "degree_powerlaw": (
+            f"WITH {_EDGES_CTES}, "
+            "simp AS (SELECT src, dst FROM edges WHERE src <> dst), "
+            "deg AS (SELECT src AS v, count(*)::BIGINT AS d FROM simp GROUP BY src), "
+            "t AS (SELECT floor(ln(d::DOUBLE / 4.5) * 1e6 + 0.5)::BIGINT AS mu "
+            "  FROM deg WHERE d >= 5) "
+            "SELECT 5::BIGINT AS dmin, count(*)::BIGINT AS n_tail, "
+            "CASE WHEN sum(mu) > 0 THEN "
+            "floor((1.0 + count(*)::DOUBLE / (sum(mu)::DOUBLE / 1e6)) * 1e6 + 0.5) / 1e6 "
+            "ELSE 0.0 END AS alpha FROM t"
         ),
         "graph_summary": (
             f"WITH RECURSIVE {_EDGES_CTES}, "

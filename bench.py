@@ -263,6 +263,8 @@ def bench_suite() -> dict:
         "inactive_customers",
         "neighbor_sample",
         "revenue_rollup",
+        "negative_edges",
+        "degree_powerlaw",
     ]:
         qtimes[name] = run(name)
     return qtimes

@@ -407,3 +407,113 @@ def adamic_adar_candidates(
 
     cand = merged.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
     return cand.sort(["aa_score", "b", "c"], descending=[True, False, False]).limit(k)
+
+
+_NEG_MIX_A = np.int64(2654435761)
+_NEG_MIX_B = np.int64(40503)
+_NEG_MIX_MOD = np.int64(2**31 - 1)
+_NEG_BROADCAST_EDGES = 20_000_000  # packed int64 pairs ~160 MB
+
+
+def negative_edges(
+    edges: Dataset,
+    *,
+    k: int = 2,
+    broadcast_threshold: int = _NEG_BROADCAST_EDGES,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """(src, dst, i) for i in 1..k: deterministic NEGATIVE samples per
+    vertex — candidate non-edges for link-prediction / GNN contrastive
+    training. Candidate dst is vid[mix(src, i) mod n] under the
+    SQL-expressible integer mix (mod-first, overflow-safe for 63-bit
+    ids); candidates that hit a real edge or a self-loop are dropped,
+    so a vertex yields ≤ k rows and the output is reproducible under
+    any partitioning (no library RNG on either side).
+
+    Plan: the sorted vertex-id array broadcasts once (vertex-bounded;
+    the id→rank map both sides share), candidates generate per vertex
+    batch, and the edge-membership rejection is a broadcast
+    searchsorted against packed (src<<31|dst) keys below the threshold
+    or a left-outer hash join + null filter beyond it (ids ≥ 2^31 also
+    take the join path — packing needs 31-bit ids)."""
+    import ray
+
+    from ..stages.graph import drop_self_loops, vertices
+
+    simple = drop_self_loops(edges).materialize()
+    # candidates come from the FULL vertex set (a self-loop-only vertex
+    # still gets negative samples); membership rejection uses the
+    # simple table (candidates are never self-loops anyway)
+    verts = vertices(edges).materialize()
+    vid = np.sort(
+        np.concatenate(
+            [
+                t["vertex"].to_numpy(zero_copy_only=False)
+                for t in verts.iter_batches(batch_format="pyarrow", batch_size=None)
+            ]
+        ).astype(np.int64)
+    )
+    n = np.int64(len(vid))
+    vref = ray.put(vid)
+    iarr = np.arange(1, k + 1, dtype=np.int64)
+
+    def gen(t: pa.Table) -> pa.Table:
+        vv = ray.get(vref)
+        v = t["vertex"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(v, k)
+        ii = np.tile(iarr, len(v))
+        h = ((src % _NEG_MIX_MOD) * _NEG_MIX_A + ii * _NEG_MIX_B) % _NEG_MIX_MOD
+        dst = vv[(h % n).astype(np.int64)]
+        keep = dst != src
+        return pa.table({"src": src[keep], "dst": dst[keep], "i": ii[keep]})
+
+    cands = verts.map_batches(gen, batch_format="pyarrow", zero_copy_batch=True)
+
+    m = simple.count()
+    fits31 = int(vid[-1]) < 2**31 if len(vid) else True
+    if m <= broadcast_threshold and fits31:
+        shift = np.int64(31)
+        packed = []
+        for t in simple.iter_batches(batch_format="pyarrow", batch_size=None):
+            s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            packed.append((s << shift) | d)
+        keys = np.sort(np.concatenate(packed)) if packed else np.array([], np.int64)
+        kref = ray.put(keys)
+
+        def anti(t: pa.Table) -> pa.Table:
+            ks = ray.get(kref)
+            s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            q = (s << shift) | d
+            if len(ks) == 0:
+                return t
+            pos = np.minimum(np.searchsorted(ks, q), len(ks) - 1)
+            return t.filter(pa.array(ks[pos] != q))
+
+        return cands.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+
+    from ..context import default_parallelism
+    from ..stages.joins import hash_join
+
+    npart = num_partitions or default_parallelism()
+    marked = simple.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "_hit": np.ones(len(t), dtype=np.int64),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    j = hash_join(
+        cands, marked, on=("src", "dst"), join_type="left_outer",
+        num_partitions=npart,
+    )
+    return j.map_batches(
+        lambda t: t.filter(pc.is_null(t["_hit"])).select(["src", "dst", "i"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -593,3 +593,51 @@ def rich_club(
     return pa.table(
         {"k": karr, "n_nodes": n, "n_edges": e, "phi": phi}
     )
+
+
+def degree_powerlaw(
+    edges: Dataset, *, dmin: int = 5
+) -> pd.DataFrame:
+    """One row (dmin, n_tail, alpha): the continuous-MLE power-law
+    exponent α̂ = 1 + n / Σ ln(d / (dmin − ½)) over vertices of degree
+    ≥ dmin (Clauset–Shalizi–Newman) — is this web graph's degree tail
+    Zipf-like, and how heavy? Two scalars suffice: each batch emits a
+    (count, Σµnat) partial with every vertex's ln term quantized to
+    integer µnats BEFORE summation (the bigram_surprisal rule: exact
+    int64 sums, summation order can never diverge from SQL); the final
+    α quantizes half-up at 1e-6 from the two exact integers."""
+    import pandas as _pd
+
+    simple = drop_self_loops(edges)
+    degs = degrees(simple)
+    x0 = float(dmin) - 0.5
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = d[d >= dmin]
+        s = np.floor(np.log(d.astype(np.float64) / x0) * 1e6 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "n": np.array([len(d)], dtype=np.int64),
+                "s": np.array([int(s.sum())], dtype=np.int64),
+            }
+        )
+
+    n_tail, s_mu = 0, 0
+    for t in (
+        degs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ):
+        n_tail += int(t["n"].to_numpy(zero_copy_only=False).sum())
+        s_mu += int(t["s"].to_numpy(zero_copy_only=False).sum())
+    if s_mu > 0:
+        alpha = np.floor((1.0 + n_tail / (s_mu / 1e6)) * 1e6 + 0.5) / 1e6
+    else:
+        alpha = 0.0
+    return _pd.DataFrame(
+        {
+            "dmin": np.array([dmin], dtype=np.int64),
+            "n_tail": np.array([n_tail], dtype=np.int64),
+            "alpha": np.array([alpha], dtype=np.float64),
+        }
+    )

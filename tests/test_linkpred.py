@@ -68,3 +68,70 @@ def test_linkpred_degree_cap_drops_hub_wedges(ray_session):
     # wedge 1-2 centered? center must be adjacent to both ends.
     got = {(int(b), int(c)) for b, c in zip(capped["b"], capped["c"])}
     assert (0, 3) not in got  # hub-centered wedge gone
+
+
+def test_negative_edges_brute_and_modes(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.linkpred import negative_edges
+
+    rng = np.random.default_rng(23)
+    src = rng.integers(0, 25, size=150).astype(np.int64)
+    dst = rng.integers(0, 25, size=150).astype(np.int64)
+    df = pd.DataFrame({"src": src, "dst": dst}).drop_duplicates()
+    both = pd.concat(
+        [df, df.rename(columns={"src": "dst", "dst": "src"})]
+    ).drop_duplicates()
+    ds = rd.from_pandas([both.iloc[i::3] for i in range(3)])
+
+    vid = np.sort(both["src"].unique())
+    n = len(vid)
+    M, A, B = 2**31 - 1, 2654435761, 40503
+    eset = {
+        (s, d) for s, d in both[both["src"] != both["dst"]].itertuples(index=False)
+    }
+    want = []
+    for v in vid:
+        for i in (1, 2):
+            h = ((int(v) % M) * A + i * B) % M
+            d = int(vid[h % n])
+            if d != int(v) and (int(v), d) not in eset:
+                want.append((int(v), d, i))
+    want = sorted(want)
+
+    for thresh in (20_000_000, 0):  # broadcast packed rejection, then join
+        out = negative_edges(ds, k=2, broadcast_threshold=thresh).to_pandas()
+        got = sorted(
+            (int(r.src), int(r.dst), int(r.i)) for r in out.itertuples()
+        )
+        assert got == want
+    # no emitted pair is a real edge
+    assert all((s, d) not in eset for s, d, _ in want)
+
+
+def test_degree_powerlaw_brute(ray_session):
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.stages.graph import degree_powerlaw
+
+    # star + clique mix gives a spread of degrees
+    rows = [(0, i) for i in range(1, 15)] + [
+        (i, j) for i in range(1, 6) for j in range(1, 6) if i != j
+    ]
+    df = pd.DataFrame(rows, columns=["src", "dst"])
+    both = pd.concat(
+        [df, df.rename(columns={"src": "dst", "dst": "src"})]
+    ).drop_duplicates()
+    out = degree_powerlaw(rd.from_pandas(both), dmin=5)
+    deg = both.groupby("src").size()
+    tail = deg[deg >= 5]
+    s_mu = sum(math.floor(math.log(d / 4.5) * 1e6 + 0.5) for d in tail)
+    alpha = math.floor((1.0 + len(tail) / (s_mu / 1e6)) * 1e6 + 0.5) / 1e6
+    assert out["n_tail"].iloc[0] == len(tail)
+    assert out["alpha"].iloc[0] == alpha
