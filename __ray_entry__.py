@@ -2054,6 +2054,17 @@ def _q_contamination_check(sf_dir: str):
     return contamination_check(_docs(sf_dir), test_mod=20)
 
 
+def _q_contamination_bloom(sf_dir: str):
+    """Bloom-filter contamination flags for the held-out split (128 KiB
+    corpus-size-independent broadcast; deterministic SQL-mirrored bits)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.clean import (
+        contamination_bloom,
+    )
+
+    return contamination_bloom(_docs(sf_dir), test_mod=20)
+
+
 def _q_scrub_pii(sf_dir: str):
     """PII scrubbing with PLANTED ground truth: emails/phones are
     appended deterministically (doc_id % 3 / % 5) so real redactions are
@@ -2294,6 +2305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cleaning / curation
         "scrub_pii": _q_scrub_pii,
         "contamination_check": _q_contamination_check,
+        "contamination_bloom": _q_contamination_bloom,
         "neardup_contamination": _q_neardup_contamination,
         "source_stats": _q_source_stats,
         "kmeans_clusters": _q_kmeans,
@@ -2839,6 +2851,24 @@ GROUP BY l.doc_id
         "doc_fingerprints": (
             "SELECT doc_id, ('0x' || substr(md5(coalesce(text,'')), 1, 15))::BIGINT AS fp "
             "FROM documents"
+        ),
+        "contamination_bloom": (
+            "WITH f AS (SELECT doc_id, "
+            "  ('0x' || substr(md5(coalesce(text,'')), 1, 15))::BIGINT AS fp "
+            "  FROM documents), "
+            "pos AS (SELECT DISTINCT "
+            "  ((fp % 2147483647) * 2654435761 + 17) % 2147483647 % 1048576 AS p "
+            "  FROM f WHERE doc_id % 20 <> 0 "
+            "  UNION SELECT DISTINCT "
+            "  ((fp % 2147483647) * 40503 + 29) % 2147483647 % 1048576 "
+            "  FROM f WHERE doc_id % 20 <> 0), "
+            "te AS (SELECT doc_id, "
+            "  ((fp % 2147483647) * 2654435761 + 17) % 2147483647 % 1048576 AS p1, "
+            "  ((fp % 2147483647) * 40503 + 29) % 2147483647 % 1048576 AS p2 "
+            "  FROM f WHERE doc_id % 20 = 0) "
+            "SELECT doc_id, (CASE WHEN p1 IN (SELECT p FROM pos) "
+            "AND p2 IN (SELECT p FROM pos) THEN 1 ELSE 0 END)::BIGINT AS flagged "
+            "FROM te"
         ),
         "neardup_contamination": (
             f"WITH {_CHAR5_PAIR_CTES} "

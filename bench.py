@@ -265,6 +265,7 @@ def bench_suite() -> dict:
         "revenue_rollup",
         "negative_edges",
         "degree_powerlaw",
+        "contamination_bloom",
     ]:
         qtimes[name] = run(name)
     return qtimes

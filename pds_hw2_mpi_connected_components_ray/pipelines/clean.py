@@ -523,3 +523,90 @@ def dedup_lines(docs: Dataset, *, min_docs: int = 2, force_join: bool = False) -
         .groupby("_kb")
         .map_groups(rebuild_bucket, batch_format="pandas")
     )
+
+
+_BLOOM_M_BITS = 1 << 20
+_BLOOM_MIX_MOD = np.int64(2**31 - 1)
+_BLOOM_MIX_A = np.int64(2654435761)
+_BLOOM_MIX_B = np.int64(40503)
+
+
+def _bloom_positions(fp: np.ndarray, m_bits: int) -> tuple[np.ndarray, np.ndarray]:
+    """Two SQL-expressible bit positions per fingerprint (mod-first
+    integer mixes, overflow-safe for the 60-bit md5 fingerprints)."""
+    r = fp.astype(np.int64) % _BLOOM_MIX_MOD
+    p1 = ((r * _BLOOM_MIX_A + 17) % _BLOOM_MIX_MOD) % m_bits
+    p2 = ((r * _BLOOM_MIX_B + 29) % _BLOOM_MIX_MOD) % m_bits
+    return p1, p2
+
+
+def contamination_bloom(
+    docs: Dataset, *, test_mod: int = 20, m_bits: int = _BLOOM_M_BITS
+) -> Dataset:
+    """(doc_id, flagged) for every held-out doc (doc_id % test_mod == 0):
+    does its content fingerprint hit a BLOOM FILTER built over the
+    training split? The 100-TB posture of exact-membership
+    contamination: the train side reduces to an m_bits bitset (128 KiB
+    at the default — constant, corpus-size-independent broadcast,
+    where the sorted-key set contamination_check ships grows with the
+    corpus). Flags are deterministic on both sides — the two bit
+    positions are integer mixes the SQL oracle replicates exactly —
+    so the documented false-positive rate (~(n/m)² per probe pair) is
+    reproducible, never random.
+
+    Plan: one column-pruned pass fingerprints the train split and
+    emits per-batch DISTINCT positions (≤ 2·batch rows, bounded by
+    m_bits); a keyed distinct + driver packbits builds the bitset;
+    test batches probe both bits locally. No shuffle touches the
+    corpus body."""
+    import pyarrow as pa
+
+    import ray
+
+    from ..functions.textstats import fingerprint64_series
+
+    base = docs.select_columns(["doc_id", "text"])
+
+    def _fps(t: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": t["doc_id"].to_numpy(dtype=np.int64),
+                "fp": fingerprint64_series(t["text"]),
+            }
+        )
+
+    def _train_pos(t: pd.DataFrame) -> pd.DataFrame:
+        f = _fps(t)
+        f = f[f["doc_id"].to_numpy() % test_mod != 0]
+        p1, p2 = _bloom_positions(f["fp"].to_numpy(dtype=np.int64), m_bits)
+        return pd.DataFrame({"pos": np.unique(np.concatenate([p1, p2]))})
+
+    pos = (
+        base.map_batches(_train_pos, batch_format="pandas")
+        .groupby("pos")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["pos"])
+        .materialize()
+    )
+    bits = np.zeros(m_bits, dtype=bool)
+    for t in pos.iter_batches(batch_format="pyarrow", batch_size=None):
+        bits[t["pos"].to_numpy(zero_copy_only=False)] = True
+    bitset = np.packbits(bits)
+    ref = ray.put(bitset)
+
+    def _probe(t: pd.DataFrame) -> pd.DataFrame:
+        bs = ray.get(ref)
+        f = _fps(t)
+        f = f[f["doc_id"].to_numpy() % test_mod == 0]
+        fp = f["fp"].to_numpy(dtype=np.int64)
+        p1, p2 = _bloom_positions(fp, m_bits)
+
+        def bit(p):
+            return (bs[(p >> 3).astype(np.int64)] >> (7 - (p & 7)).astype(np.uint8)) & 1
+
+        flagged = (bit(p1) & bit(p2)).astype(np.int64)
+        return pd.DataFrame(
+            {"doc_id": f["doc_id"].to_numpy(dtype=np.int64), "flagged": flagged}
+        )
+
+    return base.map_batches(_probe, batch_format="pandas")

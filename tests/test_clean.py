@@ -256,3 +256,45 @@ def test_quality_classifier_monotone_and_actor_state(ray_session):
     L, T, Y = len(t), len(t.split()), len(set(t.split()))
     z = w[0] + w[1] * math.log(1 + L) + w[2] * math.log(1 + T) + w[3] * (Y / T)
     assert out.loc[1, "score"] == math.floor(1 / (1 + math.exp(-z)) * 1e6 + 0.5) / 1e6
+
+
+def test_contamination_bloom_planted(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.clean import (
+        contamination_bloom,
+    )
+
+    # test docs (id % 20 == 0): id 0 and 40 duplicate train docs, id 20
+    # and 60 are unique -> 0/40 MUST flag (no false negatives ever)
+    texts = {i: f"unique document number {i} with content" for i in range(80)}
+    texts[0] = texts[7]  # exact dup of a train doc
+    texts[40] = texts[13]
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": np.arange(80, dtype=np.int64),
+                "text": [texts[i] for i in range(80)],
+            }
+        )
+    ).repartition(3)
+    out = contamination_bloom(docs, test_mod=20).to_pandas()
+    got = dict(zip(out["doc_id"], out["flagged"]))
+    assert set(got) == {0, 20, 40, 60}
+    assert got[0] == 1 and got[40] == 1  # Bloom never misses a true dup
+    # tiny filter (2^20 bits) over ~150 positions: false positives
+    # possible in principle but astronomically unlikely here
+    assert got[20] == 0 and got[60] == 0
+
+
+def test_bloom_positions_overflow_safe():
+    import numpy as np
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.clean import _bloom_positions
+
+    fp = np.array([0, 1, (1 << 60) - 1, 2**31 - 2], dtype=np.int64)
+    p1, p2 = _bloom_positions(fp, 1 << 20)
+    assert (p1 >= 0).all() and (p1 < (1 << 20)).all()
+    assert (p2 >= 0).all() and (p2 < (1 << 20)).all()
