@@ -1024,6 +1024,19 @@ def _q_event_transitions(sf_dir: str):
     return event_transitions(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_new_users(sf_dir: str):
+    """First-seen users per tumbling window (one user-keyed min, then
+    a window-keyed count — the acquisition-curve metric)."""
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import (
+        new_users_per_window,
+    )
+
+    return new_users_per_window(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_running_totals(sf_dir: str):
     """Per-user running total of value (cumulative window function via
     bucketed sort + vectorized run-boundary reset; exact cents)."""
@@ -2281,6 +2294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_prev": _q_events_asof,
         "event_transitions": _q_event_transitions,
         "events_running_total": _q_running_totals,
+        "events_new_users": _q_new_users,
         "events_asof_enrich": _q_events_asof_enrich,
         "events_sessionize": _q_events_sessionize,
         "events_funnel": _q_funnel,
@@ -3179,6 +3193,12 @@ GROUP BY l.doc_id
             "SELECT s.cw AS cohort_week, (a.w - s.cw)::BIGINT AS week_offset, "
             "count(*)::BIGINT AS n_users "
             "FROM a JOIN s USING (user_id) WHERE a.w >= s.cw GROUP BY 1, 2"
+        ),
+        "events_new_users": (
+            "WITH f AS (SELECT user_id, min(epoch_us(ts)) AS t0 "
+            "FROM events GROUP BY user_id) "
+            "SELECT t0 // 3600000000 AS win, count(*)::BIGINT AS n_new_users "
+            "FROM f GROUP BY win"
         ),
         "events_running_total": (
             "SELECT event_id, user_id, "

@@ -266,6 +266,7 @@ def bench_suite() -> dict:
         "negative_edges",
         "degree_powerlaw",
         "contamination_bloom",
+        "events_new_users",
     ]:
         qtimes[name] = run(name)
     return qtimes

@@ -780,3 +780,44 @@ def running_totals(events: Dataset) -> Dataset:
         .groupby("_kb")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def new_users_per_window(events: Dataset, window_us: int = US_PER_HOUR) -> Dataset:
+    """(win, n_new_users): users appearing for the FIRST time in each
+    tumbling window — the growth/acquisition counterpart of
+    active_users_per_window (which counts presence, not novelty). Two
+    summary-proportional steps: per-batch (user, min-ts) partials + one
+    user-keyed min (the only exchange, user-count bounded), then the
+    first-seen timestamps bucket into windows with a per-batch count
+    combiner + a tiny window-keyed sum."""
+    from ray.data.aggregate import Min, Sum
+
+    def first_partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(
+            np.int64
+        )
+        o = np.argsort(u, kind="stable")
+        us, tss = u[o], ts[o]
+        b = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+        return pa.table(
+            {"user_id": us[b], "t": np.minimum.reduceat(tss, b).astype(np.int64)}
+        )
+
+    first = (
+        events.select_columns(["user_id", "ts"])
+        .map_batches(first_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Min("t", alias_name="t0"))
+    )
+
+    def win_partial(t: pa.Table) -> pa.Table:
+        w = t["t0"].to_numpy(zero_copy_only=False).astype(np.int64) // window_us
+        u, c = np.unique(w, return_counts=True)
+        return pa.table({"win": u, "c": c.astype(np.int64)})
+
+    return (
+        first.map_batches(win_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("win")
+        .aggregate(Sum("c", alias_name="n_new_users"))
+    )

@@ -80,3 +80,44 @@ def test_embedding_covariance_brute(ray_session):
             # sanity: quantized pipeline ≈ true covariance
             true = float(np.mean(xf[:, i] * xf[:, j]) - xf[:, i].mean() * xf[:, j].mean())
             assert abs(got[(i, j)] - true) < 1e-4
+
+
+def test_new_users_per_window_brute(ray_session):
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import (
+        new_users_per_window,
+    )
+
+    rng = np.random.default_rng(29)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 60, size=n).astype(np.int64),
+            "ts": pd.to_datetime(
+                rng.integers(0, 48 * 3600, size=n), unit="s"
+            ).astype("datetime64[us]"),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(4)
+    out = (
+        new_users_per_window(ds)
+        .to_pandas()
+        .sort_values("win")
+        .reset_index(drop=True)
+    )
+    w = df.copy()
+    w["t"] = w["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+    first = w.groupby("user_id")["t"].min()
+    want = (
+        (first // 3_600_000_000)
+        .value_counts()
+        .rename_axis("win")
+        .reset_index(name="n_new_users")
+        .sort_values("win")
+        .reset_index(drop=True)
+    )
+    assert np.array_equal(out["win"].to_numpy(), want["win"].to_numpy())
+    assert np.array_equal(
+        out["n_new_users"].to_numpy(), want["n_new_users"].to_numpy()
+    )
+    # every user is new exactly once
+    assert out["n_new_users"].sum() == df["user_id"].nunique()
