@@ -2067,6 +2067,38 @@ def _q_contamination_check(sf_dir: str):
     return contamination_check(_docs(sf_dir), test_mod=20)
 
 
+def _q_jsonl_roundtrip(sf_dir: str):
+    """documents → sharded JSONL → schema-gated distributed read; the
+    oracle is the parquet source itself (identity contract)."""
+    _configure()
+    import tempfile
+
+    from pds_hw2_mpi_connected_components_ray.sources.text_formats import (
+        read_jsonl_docs,
+        write_jsonl_docs,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="jsonl_rt_", dir="/tmp")
+    write_jsonl_docs(_docs(sf_dir), tmp)
+    return read_jsonl_docs(tmp)
+
+
+def _q_csv_roundtrip(sf_dir: str):
+    """documents → sharded CSV → schema-gated distributed read (quoted
+    newlines/commas must survive); oracle = the parquet source."""
+    _configure()
+    import tempfile
+
+    from pds_hw2_mpi_connected_components_ray.sources.text_formats import (
+        read_csv_docs,
+        write_csv_docs,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="csv_rt_", dir="/tmp")
+    write_csv_docs(_docs(sf_dir), tmp)
+    return read_csv_docs(tmp)
+
+
 def _q_contamination_bloom(sf_dir: str):
     """Bloom-filter contamination flags for the held-out split (128 KiB
     corpus-size-independent broadcast; deterministic SQL-mirrored bits)."""
@@ -2320,6 +2352,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_pii": _q_scrub_pii,
         "contamination_check": _q_contamination_check,
         "contamination_bloom": _q_contamination_bloom,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "csv_roundtrip": _q_csv_roundtrip,
         "neardup_contamination": _q_neardup_contamination,
         "source_stats": _q_source_stats,
         "kmeans_clusters": _q_kmeans,
@@ -2865,6 +2899,12 @@ GROUP BY l.doc_id
         "doc_fingerprints": (
             "SELECT doc_id, ('0x' || substr(md5(coalesce(text,'')), 1, 15))::BIGINT AS fp "
             "FROM documents"
+        ),
+        "jsonl_roundtrip": (
+            "SELECT doc_id, coalesce(text, '') AS text FROM documents"
+        ),
+        "csv_roundtrip": (
+            "SELECT doc_id, coalesce(text, '') AS text FROM documents"
         ),
         "contamination_bloom": (
             "WITH f AS (SELECT doc_id, "

@@ -267,6 +267,8 @@ def bench_suite() -> dict:
         "degree_powerlaw",
         "contamination_bloom",
         "events_new_users",
+        "jsonl_roundtrip",
+        "csv_roundtrip",
     ]:
         qtimes[name] = run(name)
     return qtimes
