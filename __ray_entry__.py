@@ -1783,6 +1783,17 @@ def _q_edge_support(sf_dir: str):
     return edge_support(_canon_edges(sf_dir))
 
 
+def _q_bipartite(sf_dir: str):
+    """Per-component bipartiteness: multi-seed pinned BFS parity + one
+    conflict-count pass over the simple edges."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.bipartite import (
+        bipartite_check,
+    )
+
+    return bipartite_check(_canon_edges(sf_dir))
+
+
 def _q_negative_edges(sf_dir: str):
     """Deterministic negative-edge sampling (SQL-expressible mix,
     broadcast packed-key rejection) for link-prediction training."""
@@ -2281,6 +2292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_links": _q_jaccard_links,
         "graph_summary": _q_graph_summary,
         "negative_edges": _q_negative_edges,
+        "bipartite_check": _q_bipartite,
         "degree_powerlaw": _q_degree_powerlaw,
         "rich_club": _q_rich_club,
         "ktruss5_r3": _q_ktruss,
@@ -2612,6 +2624,29 @@ FROM le GROUP BY 1, 2"""
             "s AS (SELECT x, y, count(*) AS sup FROM cr GROUP BY x, y) "
             "SELECT o.a, o.b, coalesce(s.sup, 0)::BIGINT AS support "
             "FROM o LEFT JOIN s ON s.x = o.a AND s.y = o.b"
+        ),
+        "bipartite_check": (
+            f"WITH RECURSIVE {_EDGES_CTES}, "
+            "cwalk AS (SELECT v, v AS l FROM verts "
+            "  UNION SELECT e.dst AS v, w.l AS l FROM cwalk w "
+            "  JOIN edges e ON e.src = w.v WHERE w.l < e.dst), "
+            "lab AS (SELECT v, min(l) AS label FROM cwalk GROUP BY v), "
+            "roots AS (SELECT DISTINCT label AS s FROM lab), "
+            "hwalk AS (SELECT s AS v, 0 AS h FROM roots "
+            "  UNION SELECT e.dst AS v, w.h + 1 AS h FROM hwalk w "
+            "  JOIN edges e ON e.src = w.v WHERE w.h < 64), "
+            "dist AS (SELECT v, min(h) AS h FROM hwalk GROUP BY v), "
+            "simp AS (SELECT src, dst FROM edges WHERE src <> dst), "
+            "o AS (SELECT src AS a, dst AS b FROM simp WHERE src < dst), "
+            "sizes AS (SELECT label, count(*)::BIGINT AS n_vertices "
+            "  FROM lab GROUP BY label), "
+            "confl AS (SELECT l1.label, count(*)::BIGINT AS c FROM o "
+            "  JOIN dist da ON da.v = o.a JOIN dist db ON db.v = o.b "
+            "  JOIN lab l1 ON l1.v = o.a "
+            "  WHERE (da.h + db.h) % 2 = 0 GROUP BY l1.label) "
+            "SELECT s.label, s.n_vertices, coalesce(c.c, 0)::BIGINT AS n_conflicts, "
+            "(CASE WHEN coalesce(c.c, 0) = 0 THEN 1 ELSE 0 END)::BIGINT AS is_bipartite "
+            "FROM sizes s LEFT JOIN confl c USING (label)"
         ),
         "negative_edges": (
             f"WITH {_EDGES_CTES}, "

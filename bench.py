@@ -269,6 +269,7 @@ def bench_suite() -> dict:
         "events_new_users",
         "jsonl_roundtrip",
         "csv_roundtrip",
+        "bipartite_check",
     ]:
         qtimes[name] = run(name)
     return qtimes

@@ -89,13 +89,18 @@ def bfs_hops_pinned(
                 )
             source = min(mins)
         ns = len(acts)
-        inits = ray.get(
-            [a.bfs_init.remote(i, ns, int(source)) for i, a in enumerate(acts)]
+        seeds = (
+            np.asarray(source, dtype=np.int64)
+            if np.ndim(source) > 0
+            else np.array([int(source)], dtype=np.int64)
         )
-        if sum(o for o, _r in inits) == 0:
+        inits = ray.get(
+            [a.bfs_init.remote(i, ns, seeds) for i, a in enumerate(acts)]
+        )
+        if sum(o for o, _r in inits) < len(np.unique(seeds)):
             raise ValueError(
-                f"source vertex {source} not in the graph (pinned BFS "
-                "requires symmetrized edges: every vertex appears as a dst)"
+                f"some source vertex of {source} is not in the graph (pinned "
+                "BFS requires symmetrized edges: every vertex appears as a dst)"
             )
         if not all(r for _o, r in inits):
             from ..state.shards import establish_subscriptions

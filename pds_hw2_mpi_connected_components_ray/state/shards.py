@@ -290,10 +290,13 @@ class GraphShardActor:
         """Smallest owned vertex id (None if the shard is empty)."""
         return int(self.udst[0]) if len(self.udst) else None
 
-    def bfs_init(self, sid: int, nshards: int, source: int) -> tuple:
-        """Reset BFS state; returns (owns-source, subscriptions-cached).
-        Shares the CC subscription exchange (sub_pos/req_pos are a
-        property of the edge partitioning alone)."""
+    def bfs_init(self, sid: int, nshards: int, source) -> tuple:
+        """Reset BFS state; returns (#sources owned, subscriptions-
+        cached). `source` may be a scalar or an ARRAY of seeds (all
+        start at distance 0 — the multi-seed wave used for disjoint
+        per-component BFS, e.g. bipartiteness). Shares the CC
+        subscription exchange (sub_pos/req_pos are a property of the
+        edge partitioning alone)."""
         self.sid = sid
         self.cc_nshards = nshards
         self.own = self.udst  # sorted unique owned vertices
@@ -302,14 +305,16 @@ class GraphShardActor:
         e = np.array([], dtype=np.int64)
         self.bfs_fr_v, self.bfs_fr_d = e, e
         owns = 0
-        if len(self.udst):
-            pos = np.searchsorted(self.udst, source)
-            if pos < len(self.udst) and self.udst[pos] == source:
-                self.bfs_dist[pos] = 0
-                self.bfs_fr_mask[pos] = True
-                self.bfs_fr_v = np.array([source], dtype=np.int64)
-                self.bfs_fr_d = np.array([0], dtype=np.int64)
-                owns = 1
+        srcs = np.atleast_1d(np.asarray(source, dtype=np.int64))
+        if len(self.udst) and len(srcs):
+            pos = np.searchsorted(self.udst, srcs)
+            posc = np.minimum(pos, len(self.udst) - 1)
+            ok = self.udst[posc] == srcs
+            self.bfs_dist[posc[ok]] = 0
+            self.bfs_fr_mask[posc[ok]] = True
+            self.bfs_fr_v = srcs[ok]
+            self.bfs_fr_d = np.zeros(int(ok.sum()), dtype=np.int64)
+            owns = int(ok.sum())
         return owns, getattr(self, "_subs_ns", None) == nshards
 
     def bfs_frontier_slices(self):

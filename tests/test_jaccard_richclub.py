@@ -151,3 +151,35 @@ def test_graph_summary_brute():
     assert row["largest_component"] == max(comps)
     assert row["avg_degree"] == np.floor(2.0 * m / n * 1e6 + 0.5) / 1e6
     assert row["density"] == np.floor(2.0 * m / (n * (n - 1.0)) * 1e6 + 0.5) / 1e6
+
+
+def test_bipartite_check_planted():
+    from pds_hw2_mpi_connected_components_ray.pipelines.bipartite import (
+        bipartite_check,
+    )
+
+    # component A: even cycle 0-1-2-3-0 (bipartite)
+    # component B: odd cycle 10-11-12-10 (1 conflict edge)
+    # component C: path 20-21 (bipartite)
+    # component D: triangle-with-tail 30-31-32-30, 32-33 (1 conflict)
+    df = pd.DataFrame(
+        [
+            (0, 1), (1, 2), (2, 3), (3, 0),
+            (10, 11), (11, 12), (12, 10),
+            (20, 21),
+            (30, 31), (31, 32), (32, 30), (32, 33),
+        ],
+        columns=["src", "dst"],
+    )
+    ds = _sym_ds(df)
+    for thresh in (5_000_000, 0):
+        out = (
+            bipartite_check(ds, broadcast_threshold=thresh)
+            .to_pandas()
+            .sort_values("label")
+            .reset_index(drop=True)
+        )
+        assert list(out["label"]) == [0, 10, 20, 30]
+        assert list(out["n_vertices"]) == [4, 3, 2, 4]
+        assert list(out["is_bipartite"]) == [1, 0, 1, 0]
+        assert list(out["n_conflicts"]) == [0, 1, 0, 1]
