@@ -2078,6 +2078,15 @@ def _q_contamination_check(sf_dir: str):
     return contamination_check(_docs(sf_dir), test_mod=20)
 
 
+def _q_mixture_sample(sf_dir: str):
+    """Source-equalizing deterministic subsample (integer md5-uniform
+    thresholds; the data-mixing step of a training recipe)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.split import mixture_sample
+
+    return mixture_sample(_docs(sf_dir), seed=17)
+
+
 def _q_jsonl_roundtrip(sf_dir: str):
     """documents → sharded JSONL → schema-gated distributed read; the
     oracle is the parquet source itself (identity contract)."""
@@ -2364,6 +2373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_pii": _q_scrub_pii,
         "contamination_check": _q_contamination_check,
         "contamination_bloom": _q_contamination_bloom,
+        "mixture_sample": _q_mixture_sample,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "csv_roundtrip": _q_csv_roundtrip,
         "neardup_contamination": _q_neardup_contamination,
@@ -2934,6 +2944,18 @@ GROUP BY l.doc_id
         "doc_fingerprints": (
             "SELECT doc_id, ('0x' || substr(md5(coalesce(text,'')), 1, 15))::BIGINT AS fp "
             "FROM documents"
+        ),
+        "mixture_sample": (
+            "WITH t AS (SELECT source, sum(n_chars)::BIGINT AS mass "
+            "  FROM documents GROUP BY source), "
+            "g AS (SELECT count(*)::BIGINT AS k, sum(mass)::DOUBLE AS T FROM t), "
+            "thr AS (SELECT source, least(1152921504606846976, "
+            "  CAST(floor(g.T / g.k / greatest(t.mass, 1)::DOUBLE "
+            "  * 1152921504606846976.0) AS BIGINT)) AS thr "
+            "  FROM t CROSS JOIN g) "
+            "SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source) "
+            "WHERE ('0x' || substr(md5(concat(17, ':', d.doc_id)), 1, 15))::BIGINT "
+            "< thr.thr"
         ),
         "jsonl_roundtrip": (
             "SELECT doc_id, coalesce(text, '') AS text FROM documents"

@@ -270,6 +270,7 @@ def bench_suite() -> dict:
         "jsonl_roundtrip",
         "csv_roundtrip",
         "bipartite_check",
+        "mixture_sample",
     ]:
         qtimes[name] = run(name)
     return qtimes

@@ -230,3 +230,65 @@ def weighted_sample(
         .sort(["s", id_col], descending=[True, False])
         .limit(k)
     )
+
+
+def mixture_sample(docs: Dataset, *, seed: int = 17) -> Dataset:
+    """(doc_id, source): a deterministic subsample that EQUALIZES the
+    char mass contributed by each source — the data-mixing step of a
+    training recipe (don't let one crawl dominate the mix). Each
+    source's keep probability is min(1, (T/k)/mass_s) with T the total
+    char mass and k the source count; a doc is kept iff its seeded
+    md5-int60 uniform falls under the source's integer threshold
+    floor(rate·2⁶⁰) — exact integer comparison, reproducible across
+    runs/partitionings, and byte-identical in the SQL oracle.
+
+    Plan: one column-pruned pass pre-combines per-source char sums
+    (source vocabulary-sized keyed sum); the ≤|sources| thresholds
+    broadcast; the filter pass touches only (doc_id, source). Over-
+    represented sources downsample toward the equal share;
+    under-represented ones pass through whole (rate clamps at 1 —
+    upsampling is a separate repeat-k op, not a filter)."""
+    import pyarrow as pa
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    base = docs.select_columns(["doc_id", "source", "n_chars"])
+
+    def mass_partial(t: pd.DataFrame) -> pd.DataFrame:
+        g = t.groupby("source", sort=False)["n_chars"].sum()
+        return pd.DataFrame(
+            {"source": g.index.astype(str), "m": g.to_numpy(dtype=np.int64)}
+        )
+
+    mass = (
+        base.map_batches(mass_partial, batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum("m", alias_name="mass"))
+        .materialize()
+    )
+    rows = []
+    for t in mass.iter_batches(batch_format="pandas", batch_size=None):
+        rows.append(t)
+    mdf = pd.concat(rows, ignore_index=True)
+    k = len(mdf)
+    total = float(mdf["mass"].sum())
+    m = np.maximum(mdf["mass"].to_numpy(dtype=np.float64), 1.0)
+    thr = np.minimum(
+        np.int64(SPLIT_SCALE),
+        np.floor(total / k / m * float(SPLIT_SCALE)).astype(np.int64),
+    )
+    names = mdf["source"].to_numpy(dtype=str)
+    o = np.argsort(names, kind="stable")
+    ref = ray.put((names[o], thr[o]))
+
+    def keep(t: pd.DataFrame) -> pd.DataFrame:
+        ns, th = ray.get(ref)
+        ids = t["doc_id"].to_numpy(dtype=np.int64)
+        src = t["source"].to_numpy(dtype=str)
+        h = _split_hash(ids, seed)
+        lim = th[np.searchsorted(ns, src)]
+        sel = h < lim
+        return pd.DataFrame({"doc_id": ids[sel], "source": src[sel]})
+
+    return base.map_batches(keep, batch_format="pandas")

@@ -153,3 +153,39 @@ def test_weighted_sample_deterministic_across_partitioning(ray_session):
     a = weighted_sample(rd.from_pandas(df), k=10).to_pandas()
     b = weighted_sample(rd.from_pandas(df).repartition(7), k=10).to_pandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_mixture_sample_equalizes(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.split import mixture_sample
+
+    rng = np.random.default_rng(37)
+    # source 'big' has ~10x the char mass of 'small'
+    n_big, n_small = 2000, 200
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n_big + n_small, dtype=np.int64),
+            "source": ["big"] * n_big + ["small"] * n_small,
+            "n_chars": np.r_[
+                rng.integers(50, 150, n_big), rng.integers(50, 150, n_small)
+            ].astype(np.int64),
+        }
+    )
+    ds = rd.from_pandas([df.iloc[i::4] for i in range(4)])
+    out = mixture_sample(ds, seed=17).to_pandas()
+
+    kept_small = (out["source"] == "small").sum()
+    assert kept_small == n_small  # under-represented passes whole
+    # over-represented source downsamples toward the equal share:
+    # expected keep rate = (T/2)/mass_big
+    mass = df.groupby("source")["n_chars"].sum()
+    rate = (mass.sum() / 2) / mass["big"]
+    kept_big = (out["source"] == "big").sum()
+    assert abs(kept_big / n_big - rate) < 0.05
+    # determinism + partitioning invariance
+    ds2 = rd.from_pandas([df.iloc[i::7] for i in range(7)])
+    out2 = mixture_sample(ds2, seed=17).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
