@@ -1024,6 +1024,19 @@ def _q_event_transitions(sf_dir: str):
     return event_transitions(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_session_hist(sf_dir: str):
+    """Session-length distribution (events per 30-min-gap session),
+    histogram-reduced inside each user bucket."""
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import (
+        session_length_hist,
+    )
+
+    return session_length_hist(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_new_users(sf_dir: str):
     """First-seen users per tumbling window (one user-keyed min, then
     a window-keyed count — the acquisition-curve metric)."""
@@ -2348,6 +2361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_event_transitions,
         "events_running_total": _q_running_totals,
         "events_new_users": _q_new_users,
+        "session_length_hist": _q_session_hist,
         "events_asof_enrich": _q_events_asof_enrich,
         "events_sessionize": _q_events_sessionize,
         "events_funnel": _q_funnel,
@@ -3290,6 +3304,19 @@ GROUP BY l.doc_id
             "SELECT s.cw AS cohort_week, (a.w - s.cw)::BIGINT AS week_offset, "
             "count(*)::BIGINT AS n_users "
             "FROM a JOIN s USING (user_id) WHERE a.w >= s.cw GROUP BY 1, 2"
+        ),
+        "session_length_hist": (
+            "WITH o AS (SELECT user_id, epoch_us(ts) AS t, event_id, "
+            "  lag(epoch_us(ts)) OVER (PARTITION BY user_id "
+            "    ORDER BY epoch_us(ts), event_id) AS pt FROM events), "
+            "s AS (SELECT user_id, "
+            "  sum(CASE WHEN pt IS NULL OR t - pt > 1800000000 THEN 1 ELSE 0 END) "
+            "  OVER (PARTITION BY user_id ORDER BY t, event_id "
+            "    ROWS UNBOUNDED PRECEDING) AS sess FROM o), "
+            "c AS (SELECT user_id, sess, count(*)::BIGINT AS n_events "
+            "  FROM s GROUP BY user_id, sess) "
+            "SELECT n_events, count(*)::BIGINT AS n_sessions "
+            "FROM c GROUP BY n_events"
         ),
         "events_new_users": (
             "WITH f AS (SELECT user_id, min(epoch_us(ts)) AS t0 "

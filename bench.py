@@ -271,6 +271,7 @@ def bench_suite() -> dict:
         "csv_roundtrip",
         "bipartite_check",
         "mixture_sample",
+        "session_length_hist",
     ]:
         qtimes[name] = run(name)
     return qtimes

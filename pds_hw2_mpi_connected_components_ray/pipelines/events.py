@@ -821,3 +821,42 @@ def new_users_per_window(events: Dataset, window_us: int = US_PER_HOUR) -> Datas
         .groupby("win")
         .aggregate(Sum("c", alias_name="n_new_users"))
     )
+
+
+def session_length_hist(events: Dataset, gap_us: int = US_30_MIN) -> Dataset:
+    """(n_events, n_sessions): the distribution of session lengths
+    (events per 30-min-gap session) across all users — the engagement
+    histogram behind session-based sampling decisions. Same bucketed
+    one-pass shape as sessionize, but per-session sizes reduce to a
+    length HISTOGRAM inside each bucket, so the keyed aggregate sees
+    buckets × distinct-lengths rows, never the session count."""
+    from ray.data.aggregate import Sum
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "n_events": pd.Series([], dtype="int64"),
+                    "c": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        users = g["user_id"].to_numpy()
+        t = g["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        first = np.r_[True, users[1:] != users[:-1]]
+        brk = first.copy()
+        brk[1:] |= (~first[1:]) & (np.diff(t) > gap_us)
+        sess = np.cumsum(brk) - 1
+        sizes = np.bincount(sess)
+        u, c = np.unique(sizes, return_counts=True)
+        return pd.DataFrame(
+            {"n_events": u.astype(np.int64), "c": c.astype(np.int64)}
+        )
+
+    return (
+        _bucket_by_key(events, "user_id", ["user_id", "ts", "event_id"])
+        .groupby("_kb")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("n_events")
+        .aggregate(Sum("c", alias_name="n_sessions"))
+    )

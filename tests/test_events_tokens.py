@@ -616,3 +616,42 @@ def test_winsorized_mean_brute(ray_session):
         assert out.loc[et, "n"] == m
     # outlier damping sanity: winsorized mean far below raw mean for 'a'
     assert out.loc["a", "mean_cents"] < cents[: n // 2].mean()
+
+
+def test_session_length_hist_brute():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import (
+        session_length_hist,
+    )
+
+    tab = _events_table(n=500, seed=15)
+    ds = rd.from_arrow(tab).repartition(4)
+    out = (
+        session_length_hist(ds, gap_us=1800 * 10**6)
+        .to_pandas()
+        .sort_values("n_events")
+        .reset_index(drop=True)
+    )
+    df = tab.to_pandas()
+    df["t"] = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+    df = df.sort_values(["user_id", "t", "event_id"])
+    gaps = df.groupby("user_id")["t"].diff()
+    df["brk"] = gaps.isna() | (gaps > 1800 * 10**6)
+    df["sess"] = df["brk"].cumsum()
+    sizes = df.groupby("sess").size()
+    want = (
+        sizes.value_counts()
+        .rename_axis("n_events")
+        .reset_index(name="n_sessions")
+        .sort_values("n_events")
+        .reset_index(drop=True)
+    )
+    assert np.array_equal(out["n_events"].to_numpy(), want["n_events"].to_numpy())
+    assert np.array_equal(
+        out["n_sessions"].to_numpy(), want["n_sessions"].to_numpy()
+    )
+    # total events conserved across the histogram
+    assert (out["n_events"] * out["n_sessions"]).sum() == len(df)
