@@ -1024,6 +1024,19 @@ def _q_event_transitions(sf_dir: str):
     return event_transitions(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_out_of_order(sf_dir: str):
+    """Per-user stream-disorder profile (late events vs running max in
+    arrival order — the watermark-sizing statistic)."""
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import (
+        out_of_order_stats,
+    )
+
+    return out_of_order_stats(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_session_hist(sf_dir: str):
     """Session-length distribution (events per 30-min-gap session),
     histogram-reduced inside each user bucket."""
@@ -1919,6 +1932,31 @@ def _q_corpus_vocab_stats(sf_dir: str):
     return corpus_vocab_stats(_docs(sf_dir))
 
 
+def _q_order_line_stats(sf_dir: str):
+    """Order fan-out histogram (lines per order → order counts)."""
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.relational import (
+        order_line_stats,
+    )
+
+    return order_line_stats(rd.read_parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def _q_embedding_project(sf_dir: str):
+    """Deterministic random projection (JL primitive; zero shuffle,
+    per-term integer quantization)."""
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.similarity import (
+        embedding_project,
+    )
+
+    return embedding_project(rd.read_parquet(f"{sf_dir}/embeddings.parquet"))
+
+
 def _q_embedding_covariance(sf_dir: str):
     """Covariance matrix of the embedding column (distributed X^T·X,
     summary-proportional exchange, integer-quantized terms)."""
@@ -2098,6 +2136,15 @@ def _q_mixture_sample(sf_dir: str):
     from pds_hw2_mpi_connected_components_ray.pipelines.split import mixture_sample
 
     return mixture_sample(_docs(sf_dir), seed=17)
+
+
+def _q_mixture_upsample(sf_dir: str):
+    """Epoch-style repetition toward the equal share (floor(rate)
+    copies + md5-uniform fractional copy; flat_map-shaped, no shuffle)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.split import mixture_upsample
+
+    return mixture_upsample(_docs(sf_dir), seed=19)
 
 
 def _q_jsonl_roundtrip(sf_dir: str):
@@ -2362,6 +2409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_total": _q_running_totals,
         "events_new_users": _q_new_users,
         "session_length_hist": _q_session_hist,
+        "events_out_of_order": _q_out_of_order,
         "events_asof_enrich": _q_events_asof_enrich,
         "events_sessionize": _q_events_sessionize,
         "events_funnel": _q_funnel,
@@ -2388,6 +2436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_check": _q_contamination_check,
         "contamination_bloom": _q_contamination_bloom,
         "mixture_sample": _q_mixture_sample,
+        "mixture_upsample": _q_mixture_upsample,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "csv_roundtrip": _q_csv_roundtrip,
         "neardup_contamination": _q_neardup_contamination,
@@ -2395,6 +2444,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans,
         "label_centroids": _q_label_centroids,
         "embedding_covariance": _q_embedding_covariance,
+        "embedding_project": _q_embedding_project,
+        "order_line_stats": _q_order_line_stats,
         "top_bigrams": _q_top_bigrams,
         "bigram_surprisal": _q_bigram_surprisal,
         "doc_unigram_xent": _q_doc_unigram_xent,
@@ -2536,6 +2587,23 @@ GROUP BY dv.v
             "SELECT e.src AS vertex, "
             "floor(sum(deg.d)::DOUBLE / count(*) * 1e6 + 0.5) / 1e6 AS avg_ndeg "
             "FROM simp e JOIN deg ON deg.v = e.dst GROUP BY e.src"
+        ),
+        "order_line_stats": (
+            "WITH p AS (SELECT l_orderkey, count(*)::BIGINT AS n_lines "
+            "FROM lineitem GROUP BY l_orderkey) "
+            "SELECT n_lines, count(*)::BIGINT AS n_orders FROM p GROUP BY n_lines"
+        ),
+        "embedding_project": (
+            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+            "u AS (SELECT vec_id, unnest(range(1, len(v) + 1))::BIGINT AS i, "
+            "  unnest(v)::DOUBLE AS x FROM e), "
+            "jj AS (SELECT unnest([0, 1]::BIGINT[]) AS dim), "
+            "t AS (SELECT u.vec_id, jj.dim, "
+            "  CAST(floor(u.x * ((((u.i) * 2654435761 + (jj.dim + 1) * 40503) "
+            "  % 2147483647)::DOUBLE / 2147483647.0 - 0.5) * 1e9 + 0.5) AS BIGINT) AS q "
+            "  FROM u CROSS JOIN jj) "
+            "SELECT vec_id, dim, floor(sum(q)::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6 AS y "
+            "FROM t GROUP BY vec_id, dim"
         ),
         "embedding_covariance": (
             "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
@@ -2971,6 +3039,22 @@ GROUP BY l.doc_id
             "WHERE ('0x' || substr(md5(concat(17, ':', d.doc_id)), 1, 15))::BIGINT "
             "< thr.thr"
         ),
+        "mixture_upsample": (
+            "WITH t AS (SELECT source, sum(n_chars)::BIGINT AS mass "
+            "  FROM documents GROUP BY source), "
+            "g AS (SELECT count(*)::BIGINT AS k, sum(mass)::DOUBLE AS T FROM t), "
+            "r AS (SELECT source, "
+            "  greatest(g.T / g.k / greatest(t.mass, 1)::DOUBLE, 1.0) AS rate "
+            "  FROM t CROSS JOIN g), "
+            "thr AS (SELECT source, CAST(floor(rate) AS BIGINT) AS n_full, "
+            "  CAST(floor((rate - floor(rate)) * 1152921504606846976.0) AS BIGINT) "
+            "  AS ft FROM r), "
+            "c AS (SELECT d.doc_id, d.source, thr.n_full + "
+            "  (CASE WHEN ('0x' || substr(md5(concat(19, ':', d.doc_id)), 1, 15))::BIGINT "
+            "  < thr.ft THEN 1 ELSE 0 END) AS n "
+            "  FROM documents d JOIN thr USING (source)) "
+            "SELECT doc_id, source, unnest(range(0, n))::BIGINT AS copy FROM c"
+        ),
         "jsonl_roundtrip": (
             "SELECT doc_id, coalesce(text, '') AS text FROM documents"
         ),
@@ -3304,6 +3388,15 @@ GROUP BY l.doc_id
             "SELECT s.cw AS cohort_week, (a.w - s.cw)::BIGINT AS week_offset, "
             "count(*)::BIGINT AS n_users "
             "FROM a JOIN s USING (user_id) WHERE a.w >= s.cw GROUP BY 1, 2"
+        ),
+        "events_out_of_order": (
+            "WITH o AS (SELECT user_id, epoch_us(ts) AS t, "
+            "  max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id "
+            "    ROWS UNBOUNDED PRECEDING) AS cm FROM events) "
+            "SELECT user_id, count(*)::BIGINT AS n_events, "
+            "sum(CASE WHEN cm > t THEN 1 ELSE 0 END)::BIGINT AS n_late, "
+            "max(cm - t)::BIGINT AS max_disorder_us "
+            "FROM o GROUP BY user_id"
         ),
         "session_length_hist": (
             "WITH o AS (SELECT user_id, epoch_us(ts) AS t, event_id, "

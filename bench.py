@@ -272,6 +272,10 @@ def bench_suite() -> dict:
         "bipartite_check",
         "mixture_sample",
         "session_length_hist",
+        "mixture_upsample",
+        "order_line_stats",
+        "embedding_project",
+        "events_out_of_order",
     ]:
         qtimes[name] = run(name)
     return qtimes

@@ -860,3 +860,55 @@ def session_length_hist(events: Dataset, gap_us: int = US_30_MIN) -> Dataset:
         .groupby("n_events")
         .aggregate(Sum("c", alias_name="n_sessions"))
     )
+
+
+def out_of_order_stats(events: Dataset) -> Dataset:
+    """(user_id, n_events, n_late, max_disorder_us): how out-of-order
+    each user's stream arrives — an event is LATE if its timestamp is
+    older than the running max over earlier arrivals (event_id is the
+    arrival order), and the disorder is that lag. This is the
+    watermark-sizing profile: a streaming window needs its allowed
+    lateness ≥ the observed disorder or it drops these events. Same
+    bucketed one-pass shape as asof_prev: sort each bucket by
+    (user_id, event_id), per-run vectorized cummax, per-user finished
+    stats emitted directly (bucket output is user-count bounded)."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "n_late": pd.Series([], dtype="int64"),
+                    "max_disorder_us": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["user_id", "event_id"], kind="stable")
+        users = g["user_id"].to_numpy(dtype=np.int64)
+        t = g["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        runs = np.diff(np.r_[starts, len(users)])
+        # per-run cummax: global cummax restarted at run boundaries via
+        # the offset trick (subtract a huge step per run, cummax, add back)
+        step = (t.max() - t.min() + 1) if len(t) else 1
+        rid = np.repeat(np.arange(len(starts), dtype=np.int64), runs)
+        shifted = t + rid * (2 * step)
+        cm = np.maximum.accumulate(shifted) - rid * (2 * step)
+        disorder = cm - t  # ≥ 0; > 0 means late vs an earlier arrival
+        late = disorder > 0
+        df = pd.DataFrame({"u": users, "late": late, "d": disorder})
+        out = df.groupby("u", sort=False).agg(
+            n_events=("late", "size"),
+            n_late=("late", "sum"),
+            max_disorder_us=("d", "max"),
+        )
+        out = out.reset_index().rename(columns={"u": "user_id"})
+        for c in ("n_events", "n_late", "max_disorder_us"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return (
+        _bucket_by_key(events, "user_id", ["user_id", "event_id", "ts"])
+        .groupby("_kb")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -114,11 +114,71 @@ def top_orders_by_revenue(
     *,
     segment: str = "BUILDING",
     k: int = 10,
+    broadcast_threshold: int | None = None,
 ) -> Dataset:
     """TPC-H Q3 shape: top-k orders of one market segment by discounted
-    revenue (two key-hash joins, order-keyed pre-combined rollup,
-    (revenue desc, orderkey asc) rank)."""
+    revenue. Below the dimension gate the segment's order-key SET
+    broadcasts and the query is one filtered pass over lineitem + the
+    order-keyed rollup; beyond it, two key-hash joins. Rank is
+    (revenue desc, orderkey asc) either way."""
+    import ray
+
     npart = default_parallelism()
+
+    _thr = _BROADCAST_DIM_ROWS if broadcast_threshold is None else broadcast_threshold
+    if orders.count() <= _thr and customer.count() <= _thr:
+        ctab = _collect_cols(customer, ["c_custkey", "c_mktsegment"])
+        seg_keys = np.sort(
+            ctab.filter(pa.compute.equal(ctab["c_mktsegment"], segment))[
+                "c_custkey"
+            ].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        otab = _collect_cols(orders, ["o_orderkey", "o_custkey"])
+        ok_all = otab["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck_all = otab["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(seg_keys):
+            pos = np.minimum(np.searchsorted(seg_keys, ck_all), len(seg_keys) - 1)
+            keep_orders = np.sort(ok_all[seg_keys[pos] == ck_all])
+        else:
+            keep_orders = np.array([], dtype=np.int64)
+        kref = ray.put(keep_orders)
+
+        def li_pass(t: pa.Table) -> pa.Table:
+            ks = ray.get(kref)
+            ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            if len(ks) == 0:
+                return pa.table(
+                    {
+                        "o_orderkey": pa.array([], pa.int64()),
+                        "r": pa.array([], pa.int64()),
+                    }
+                )
+            pos = np.minimum(np.searchsorted(ks, ok), len(ks) - 1)
+            sel = ks[pos] == ok
+            ok = ok[sel]
+            price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[sel]
+            disc = t["l_discount"].to_numpy(zero_copy_only=False)[sel]
+            rev = np.floor(price * (1.0 - disc) * 1e4 + 0.5).astype(np.int64)
+            order = np.argsort(ok, kind="stable")
+            oks, revs = ok[order], rev[order]
+            b = np.flatnonzero(np.r_[True, oks[1:] != oks[:-1]])
+            return pa.table(
+                {
+                    "o_orderkey": oks[b],
+                    "r": np.add.reduceat(revs, b).astype(np.int64),
+                }
+            )
+
+        return (
+            lineitem.select_columns(
+                ["l_orderkey", "l_extendedprice", "l_discount"]
+            )
+            .map_batches(li_pass, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("o_orderkey")
+            .aggregate(Sum("r", alias_name="revenue_e4"))
+            .sort(["revenue_e4", "o_orderkey"], descending=[True, False])
+            .limit(k)
+        )
 
     cust = customer.map_batches(
         lambda t: t.filter(
@@ -165,16 +225,87 @@ def top_orders_by_revenue(
     ).limit(k)
 
 
+# Dimension-side broadcast gate for the TPC-H pipelines: below this
+# many rows the orders/customer key maps ship once via ray.put and the
+# whole query is ONE pass over lineitem (zero joins) — measured ~10 s
+# of hash-join overhead per query at sf0.1; above it the key-hash join
+# plan keeps exchange edge-proportional.
+_BROADCAST_DIM_ROWS = 5_000_000
+
+
+def _collect_cols(ds: Dataset, cols: list[str]) -> pa.Table:
+    return pa.concat_tables(
+        list(
+            ds.select_columns(cols).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+
+
+def _int_lookup_ref(ds: Dataset, key: str, val: str):
+    from ..stages.joins import put_lookup as _pl
+
+    return _pl(_collect_cols(ds, [key, val]), key, val)
+
+
 def revenue_by_nation(
-    customer: Dataset, orders: Dataset, lineitem: Dataset, nation: Dataset
+    customer: Dataset,
+    orders: Dataset,
+    lineitem: Dataset,
+    nation: Dataset,
+    *,
+    broadcast_threshold: int | None = None,
 ) -> Dataset:
     """TPC-H Q5 shape (simplified to the customer side): discounted
-    revenue rolled up to the customer's nation. Two key-hash joins on
-    high-cardinality keys; the 25-row nation table broadcasts as a
-    sorted lookup; revenue pre-combines per order-key inside batches."""
+    revenue rolled up to the customer's nation. Below the dimension
+    broadcast gate the orderkey→custkey and custkey→nationkey maps
+    ship once and the query is one pass over lineitem; beyond it, two
+    key-hash joins on the high-cardinality keys. The 25-row nation
+    table always broadcasts; revenue pre-combines per order-key inside
+    batches either way."""
     import ray
 
     npart = default_parallelism()
+
+    _thr = _BROADCAST_DIM_ROWS if broadcast_threshold is None else broadcast_threshold
+    if orders.count() <= _thr and customer.count() <= _thr:
+        ntab = _collect_cols(nation, ["n_nationkey", "n_name"])
+        nk = ntab["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nn = ntab["n_name"].to_numpy(zero_copy_only=False).astype(str)
+        no = np.argsort(nk, kind="stable")
+        nref = ray.put((nk[no], nn[no]))
+        oref = _int_lookup_ref(orders, "o_orderkey", "o_custkey")
+        cref = _int_lookup_ref(customer, "c_custkey", "c_nationkey")
+
+        def one_pass(t: pa.Table) -> pa.Table:
+            ol = ray.get(oref)
+            cl = ray.get(cref)
+            keys, names = ray.get(nref)
+            ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = t["l_discount"].to_numpy(zero_copy_only=False)
+            rev = np.floor(price * (1.0 - disc) * 1e4 + 0.5).astype(np.int64)
+            _, ck = ol.get(ok)
+            _, nkey = cl.get(ck)
+            name = names[np.searchsorted(keys, nkey)]
+            df = pd.DataFrame({"n_name": name, "r": rev})
+            g = df.groupby("n_name", sort=False)["r"].sum()
+            return pa.table(
+                {
+                    "n_name": g.index.to_numpy(dtype=str),
+                    "r": g.to_numpy(dtype=np.int64),
+                }
+            )
+
+        return (
+            lineitem.select_columns(
+                ["l_orderkey", "l_extendedprice", "l_discount"]
+            )
+            .map_batches(one_pass, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("n_name")
+            .aggregate(Sum("r", alias_name="revenue_e4"))
+        )
 
     ntab = pa.concat_tables(
         list(nation.select_columns(["n_nationkey", "n_name"]).iter_batches(
@@ -568,7 +699,12 @@ def inactive_customers(
 
 
 def revenue_rollup(
-    customer: Dataset, orders: Dataset, lineitem: Dataset, nation: Dataset
+    customer: Dataset,
+    orders: Dataset,
+    lineitem: Dataset,
+    nation: Dataset,
+    *,
+    broadcast_threshold: int | None = None,
 ) -> Dataset:
     """ROLLUP(n_name, o_orderpriority) over discounted revenue: the
     fine (nation, priority) cells PLUS per-nation subtotals PLUS the
@@ -577,10 +713,66 @@ def revenue_rollup(
     aggregate (vocabulary-sized: |nations|·|priorities| rows), never
     by re-reading the fact table. High-cardinality rollups would chain
     another keyed groupby over the fine cells instead of the driver
-    fold used here (documented small)."""
+    fold used here (documented small). Below the dimension gate the
+    orderkey→(custkey, priority-code) and custkey→nationkey maps
+    broadcast and the fact scan is join-free."""
     import ray
 
     npart = default_parallelism()
+
+    _thr = _BROADCAST_DIM_ROWS if broadcast_threshold is None else broadcast_threshold
+    if orders.count() <= _thr and customer.count() <= _thr:
+        from ..stages.joins import put_lookup as _pl
+
+        ntab = _collect_cols(nation, ["n_nationkey", "n_name"])
+        nk = ntab["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nn = ntab["n_name"].to_numpy(zero_copy_only=False).astype(str)
+        no = np.argsort(nk, kind="stable")
+        otab = _collect_cols(orders, ["o_orderkey", "o_custkey", "o_orderpriority"])
+        prio = otab["o_orderpriority"].to_numpy(zero_copy_only=False).astype(str)
+        pvocab, pcode = np.unique(prio, return_inverse=True)
+        okey_tab = pa.table(
+            {
+                "k": otab["o_orderkey"],
+                "c": pa.array(pcode.astype(np.int64)),
+            }
+        )
+        oc_ref = _pl(otab.select(["o_orderkey", "o_custkey"]), "o_orderkey", "o_custkey")
+        op_ref = _pl(okey_tab, "k", "c")
+        cn_ref = _int_lookup_ref(customer, "c_custkey", "c_nationkey")
+        dims_ref = ray.put((nk[no], nn[no], pvocab))
+
+        def one_pass(t: pa.Table) -> pa.Table:
+            ocl = ray.get(oc_ref)
+            opl = ray.get(op_ref)
+            cnl = ray.get(cn_ref)
+            keys, names, pv = ray.get(dims_ref)
+            ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = t["l_discount"].to_numpy(zero_copy_only=False)
+            rev = np.floor(price * (1.0 - disc) * 1e4 + 0.5).astype(np.int64)
+            _, ck = ocl.get(ok)
+            _, pc_ = opl.get(ok)
+            _, nkey = cnl.get(ck)
+            name = names[np.searchsorted(keys, nkey)]
+            df = pd.DataFrame(
+                {"n_name": name, "o_orderpriority": pv[pc_], "r": rev}
+            )
+            g = df.groupby(["n_name", "o_orderpriority"], sort=False)["r"].sum()
+            out = g.reset_index()
+            out["r"] = out["r"].astype(np.int64)
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        fine = (
+            lineitem.select_columns(
+                ["l_orderkey", "l_extendedprice", "l_discount"]
+            )
+            .map_batches(one_pass, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["n_name", "o_orderpriority"])
+            .aggregate(Sum("r", alias_name="revenue_e4"))
+            .materialize()
+        )
+        return _rollup_finalize(fine)
 
     ntab = pa.concat_tables(
         list(
@@ -645,6 +837,12 @@ def revenue_rollup(
         .aggregate(Sum("r", alias_name="revenue_e4"))
         .materialize()
     )
+    return _rollup_finalize(fine)
+
+
+def _rollup_finalize(fine: Dataset) -> Dataset:
+    """Derive subtotals + grand total from the vocabulary-sized fine
+    cells (driver fold, documented small)."""
     ftab = pa.concat_tables(
         list(fine.iter_batches(batch_format="pyarrow", batch_size=None))
     )
@@ -666,3 +864,48 @@ def revenue_rollup(
     )
     out["revenue_e4"] = out["revenue_e4"].astype(np.int64)
     return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+
+
+def order_line_stats(lineitem: Dataset) -> Dataset:
+    """(n_lines, n_orders): the fact-table fan-out profile — how many
+    orders have exactly N line items. The capacity-planning histogram
+    for any order-bucketed stage (copurchase_pairs' per-bucket pair
+    generation is quadratic in this fan-out). Two summary-proportional
+    reduces: per-batch partial counts per order key → one keyed sum
+    (order-count bounded), then a histogram partial → a tiny keyed
+    sum (distinct-fan-out bounded)."""
+    per_order = (
+        lineitem.select_columns(["l_orderkey"])
+        .map_batches(
+            lambda t: pa.table(
+                dict(
+                    zip(
+                        ("l_orderkey", "n"),
+                        (lambda u, c: (u, c.astype(np.int64)))(
+                            *np.unique(
+                                t["l_orderkey"].to_numpy(zero_copy_only=False),
+                                return_counts=True,
+                            )
+                        ),
+                    )
+                )
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("l_orderkey")
+        .aggregate(Sum("n", alias_name="n_lines"))
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        n = t["n_lines"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(n, return_counts=True)
+        return pa.table({"n_lines": u, "d": c.astype(np.int64)})
+
+    return (
+        per_order.map_batches(
+            hist_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("n_lines")
+        .aggregate(Sum("d", alias_name="n_orders"))
+    )

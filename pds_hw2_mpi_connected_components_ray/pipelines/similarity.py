@@ -469,3 +469,69 @@ def embedding_covariance(embeddings: Dataset, *, batch_size: int = 256) -> Datas
             }
         )
     )
+
+
+_PROJ_MIX_MOD = np.int64(2**31 - 1)
+_PROJ_MIX_A = np.int64(2654435761)
+_PROJ_MIX_B = np.int64(40503)
+
+
+def projection_matrix(d: int, out_dims: int) -> np.ndarray:
+    """Deterministic pseudo-random projection matrix in [-0.5, 0.5):
+    P[i,j] = mix(i,j)/MOD − 0.5 — pure integer arithmetic, so the SQL
+    oracle reproduces it bit-for-bit (no library RNG)."""
+    i = np.arange(d, dtype=np.int64)[:, None]
+    j = np.arange(out_dims, dtype=np.int64)[None, :]
+    h = ((i + 1) * _PROJ_MIX_A + (j + 1) * _PROJ_MIX_B) % _PROJ_MIX_MOD
+    return h.astype(np.float64) / float(_PROJ_MIX_MOD) - 0.5
+
+
+def embedding_project(
+    embeddings: Dataset, *, out_dims: int = 2, batch_size: int = 1024
+) -> Dataset:
+    """(vec_id, dim, y): project every embedding onto `out_dims`
+    deterministic pseudo-random directions — the random-projection /
+    Johnson-Lindenstrauss primitive behind fast visualization, coarse
+    LSH and dimensionality reduction over a 100-TB embedding table.
+    Pure map (zero shuffle): the d×out_dims matrix is built per actor
+    from integer mixes (nothing broadcast), each batch is one numpy
+    matmul-shaped pass.
+
+    Determinism contract: each product term quantizes to integers
+    BEFORE the row sum — q = floor(x_i·P_ij·1e9 + 0.5) — so y is an
+    exact int64 sum scaled back at 1e-6 (the embedding_covariance
+    rule; a raw dot product would differ from SQL's unnest-order sum
+    by ulps)."""
+    import pyarrow as pa
+
+    def project(t: "pa.Table") -> "pa.Table":
+        vs = t["embedding"].to_numpy(zero_copy_only=False)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(vs) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "y": pa.array([], pa.float64()),
+                }
+            )
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        p = projection_matrix(x.shape[1], out_dims)
+        # per-term integer quantization: B × d × out_dims
+        q = np.floor(x[:, :, None] * p[None, :, :] * 1e9 + 0.5).astype(np.int64)
+        s = q.sum(axis=1)  # B × out_dims, exact int64
+        y = np.floor(s.astype(np.float64) / 1e9 * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "vec_id": np.repeat(ids, out_dims),
+                "dim": np.tile(np.arange(out_dims, dtype=np.int64), len(ids)),
+                "y": y.reshape(-1),
+            }
+        )
+
+    return embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        project,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )

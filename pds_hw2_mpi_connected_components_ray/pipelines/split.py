@@ -292,3 +292,73 @@ def mixture_sample(docs: Dataset, *, seed: int = 17) -> Dataset:
         return pd.DataFrame({"doc_id": ids[sel], "source": src[sel]})
 
     return base.map_batches(keep, batch_format="pandas")
+
+
+def mixture_upsample(docs: Dataset, *, seed: int = 19) -> Dataset:
+    """(doc_id, source, copy): the REPETITION side of data mixing —
+    under-represented sources are repeated toward the equal char-mass
+    share (the "N epochs of the small high-quality corpus" recipe),
+    while sources at or above the share emit one copy. Each doc gets
+    floor(rate) whole copies plus one more iff its seeded md5-int60
+    uniform falls under the fractional remainder's integer threshold —
+    exact integer comparison, partition-invariant, byte-identical in
+    SQL. Expansion is per-row flat_map-shaped (np.repeat inside the
+    batch), so no shuffle is introduced; downstream training_shuffle
+    handles order."""
+    import pyarrow as pa
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    base = docs.select_columns(["doc_id", "source", "n_chars"])
+
+    def mass_partial(t: pd.DataFrame) -> pd.DataFrame:
+        g = t.groupby("source", sort=False)["n_chars"].sum()
+        return pd.DataFrame(
+            {"source": g.index.astype(str), "m": g.to_numpy(dtype=np.int64)}
+        )
+
+    mass = (
+        base.map_batches(mass_partial, batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum("m", alias_name="mass"))
+        .materialize()
+    )
+    mdf = pd.concat(
+        list(mass.iter_batches(batch_format="pandas", batch_size=None)),
+        ignore_index=True,
+    )
+    k = len(mdf)
+    total = float(mdf["mass"].sum())
+    m = np.maximum(mdf["mass"].to_numpy(dtype=np.float64), 1.0)
+    rate = np.maximum(total / k / m, 1.0)  # never shrink here: ≥ 1 copy
+    n_full = np.floor(rate).astype(np.int64)
+    frac_thr = np.floor((rate - np.floor(rate)) * float(SPLIT_SCALE)).astype(
+        np.int64
+    )
+    names = mdf["source"].to_numpy(dtype=str)
+    o = np.argsort(names, kind="stable")
+    ref = ray.put((names[o], n_full[o], frac_thr[o]))
+
+    def expand(t: pd.DataFrame) -> pd.DataFrame:
+        ns, nf, ft = ray.get(ref)
+        ids = t["doc_id"].to_numpy(dtype=np.int64)
+        src = t["source"].to_numpy(dtype=str)
+        pos = np.searchsorted(ns, src)
+        h = _split_hash(ids, seed)
+        copies = nf[pos] + (h < ft[pos])
+        out_ids = np.repeat(ids, copies)
+        out_src = np.repeat(src, copies)
+        # copy index 0..copies-1, vectorized over run boundaries
+        total_rows = int(copies.sum())
+        starts = np.r_[0, np.cumsum(copies)[:-1]]
+        copy_idx = np.arange(total_rows) - np.repeat(starts, copies)
+        return pd.DataFrame(
+            {
+                "doc_id": out_ids,
+                "source": out_src,
+                "copy": copy_idx.astype(np.int64),
+            }
+        )
+
+    return base.map_batches(expand, batch_format="pandas")

@@ -655,3 +655,44 @@ def test_session_length_hist_brute():
     )
     # total events conserved across the histogram
     assert (out["n_events"] * out["n_sessions"]).sum() == len(df)
+
+
+def test_out_of_order_stats_brute():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import (
+        out_of_order_stats,
+    )
+
+    tab = _events_table(n=400, seed=21)
+    ds = rd.from_arrow(tab).repartition(4)
+    out = (
+        out_of_order_stats(ds)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    df = tab.to_pandas()
+    df["t"] = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+    df = df.sort_values(["user_id", "event_id"])
+    df["cm"] = df.groupby("user_id")["t"].cummax()
+    want = (
+        df.assign(late=(df["cm"] > df["t"]), d=(df["cm"] - df["t"]))
+        .groupby("user_id")
+        .agg(
+            n_events=("late", "size"),
+            n_late=("late", "sum"),
+            max_disorder_us=("d", "max"),
+        )
+        .reset_index()
+    )
+    assert np.array_equal(out["user_id"].to_numpy(), want["user_id"].to_numpy())
+    assert np.array_equal(out["n_events"].to_numpy(), want["n_events"].to_numpy())
+    assert np.array_equal(out["n_late"].to_numpy(), want["n_late"].to_numpy())
+    assert np.array_equal(
+        out["max_disorder_us"].to_numpy(), want["max_disorder_us"].to_numpy()
+    )
+    # random ts vs sequential ids -> disorder must actually occur
+    assert out["n_late"].sum() > 0

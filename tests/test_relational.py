@@ -205,3 +205,75 @@ def test_revenue_rollup_levels_consistent():
     want = m.groupby(["n_name", "o_orderpriority"])["rev"].sum()
     got = fine.set_index(["n_name", "o_orderpriority"])["revenue_e4"]
     assert got.sort_index().equals(want.sort_index().astype(np.int64))
+
+
+def test_order_line_stats_brute():
+    from pds_hw2_mpi_connected_components_ray.pipelines.relational import (
+        order_line_stats,
+    )
+
+    _, _, lines = _tables()
+    out = (
+        order_line_stats(_ds(lines))
+        .to_pandas()
+        .sort_values("n_lines")
+        .reset_index(drop=True)
+    )
+    per = lines.groupby("l_orderkey").size()
+    want = (
+        per.value_counts()
+        .rename_axis("n_lines")
+        .reset_index(name="n_orders")
+        .sort_values("n_lines")
+        .reset_index(drop=True)
+    )
+    assert np.array_equal(out["n_lines"].to_numpy(), want["n_lines"].to_numpy())
+    assert np.array_equal(out["n_orders"].to_numpy(), want["n_orders"].to_numpy())
+    assert (out["n_lines"] * out["n_orders"]).sum() == len(lines)
+
+
+def test_revenue_pipelines_broadcast_vs_join_modes():
+    """The one-pass broadcast plan and the key-hash join plan must
+    produce identical results (rollup / by-nation / top-orders)."""
+    from pds_hw2_mpi_connected_components_ray.pipelines.relational import (
+        revenue_by_nation,
+        revenue_rollup,
+        top_orders_by_revenue,
+    )
+
+    cust, orders, lines = _tables()
+    cust = cust.copy()
+    cust["c_nationkey"] = (cust["c_custkey"] % 4).astype(np.int64)
+    cust["c_mktsegment"] = np.where(
+        cust["c_custkey"] % 2 == 0, "BUILDING", "MACHINERY"
+    )
+    nation = pd.DataFrame(
+        {
+            "n_nationkey": np.arange(4, dtype=np.int64),
+            "n_name": ["ALGERIA", "BRAZIL", "CANADA", "DENMARK"],
+        }
+    )
+
+    def norm(ds, cols):
+        return ds.to_pandas().sort_values(cols).reset_index(drop=True)
+
+    for thr in (None, 0):
+        kw = {} if thr is None else {"broadcast_threshold": 0}
+        rn = norm(
+            revenue_by_nation(_ds(cust), _ds(orders), _ds(lines), _ds(nation, 1), **kw),
+            ["n_name"],
+        )
+        rr = norm(
+            revenue_rollup(_ds(cust), _ds(orders), _ds(lines), _ds(nation, 1), **kw),
+            ["n_name", "o_orderpriority"],
+        )
+        tk = norm(
+            top_orders_by_revenue(_ds(cust), _ds(orders), _ds(lines), **kw),
+            ["revenue_e4", "o_orderkey"],
+        )
+        if thr is None:
+            base_rn, base_rr, base_tk = rn, rr, tk
+        else:
+            pd.testing.assert_frame_equal(rn, base_rn)
+            pd.testing.assert_frame_equal(rr, base_rr)
+            pd.testing.assert_frame_equal(tk, base_tk)

@@ -121,3 +121,33 @@ def test_new_users_per_window_brute(ray_session):
     )
     # every user is new exactly once
     assert out["n_new_users"].sum() == df["user_id"].nunique()
+
+
+def test_embedding_project_brute(ray_session):
+    from pds_hw2_mpi_connected_components_ray.pipelines.similarity import (
+        embedding_project,
+        projection_matrix,
+    )
+
+    rng = np.random.default_rng(33)
+    n, d = 60, 8
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    tab = pa.table(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": pa.array(list(x), pa.list_(pa.float32())),
+        }
+    )
+    out = embedding_project(
+        rd.from_arrow(tab).repartition(3), out_dims=2, batch_size=16
+    ).to_pandas()
+    assert len(out) == 2 * n
+    p = projection_matrix(d, 2)
+    xf = x.astype(np.float64)
+    q = np.floor(xf[:, :, None] * p[None, :, :] * 1e9 + 0.5).astype(np.int64)
+    want = np.floor(q.sum(axis=1).astype(np.float64) / 1e9 * 1e6 + 0.5) / 1e6
+    got = out.sort_values(["vec_id", "dim"])["y"].to_numpy().reshape(n, 2)
+    assert np.array_equal(got, want)
+    # projection matrix is deterministic and in [-0.5, 0.5)
+    assert np.array_equal(p, projection_matrix(d, 2))
+    assert (p >= -0.5).all() and (p < 0.5).all()

@@ -189,3 +189,41 @@ def test_mixture_sample_equalizes(ray_session):
     ds2 = rd.from_pandas([df.iloc[i::7] for i in range(7)])
     out2 = mixture_sample(ds2, seed=17).to_pandas()
     assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+
+def test_mixture_upsample_epochs(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.split import mixture_upsample
+
+    rng = np.random.default_rng(43)
+    n_big, n_small = 1800, 200
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n_big + n_small, dtype=np.int64),
+            "source": ["big"] * n_big + ["small"] * n_small,
+            "n_chars": np.full(n_big + n_small, 100, dtype=np.int64),
+        }
+    )
+    ds = rd.from_pandas([df.iloc[i::4] for i in range(4)])
+    out = mixture_upsample(ds, seed=19).to_pandas()
+
+    # big source is at/above the share -> exactly one copy each
+    big = out[out["source"] == "big"]
+    assert len(big) == n_big and (big["copy"] == 0).all()
+    # small source: rate = (T/2)/mass_small = 5.0 exactly -> 5 copies
+    small = out[out["source"] == "small"]
+    per = small.groupby("doc_id").size()
+    assert len(per) == n_small
+    rate = (100.0 * (n_big + n_small) / 2) / (100.0 * n_small)
+    assert per.min() >= int(np.floor(rate)) and per.max() <= int(np.ceil(rate))
+    # copy indices are 0..k-1 per doc
+    mx = small.groupby("doc_id")["copy"].max()
+    assert (mx.to_numpy() == per.to_numpy() - 1).all()
+    # partition invariance
+    ds2 = rd.from_pandas([df.iloc[i::7] for i in range(7)])
+    out2 = mixture_upsample(ds2, seed=19).to_pandas()
+    key = lambda d: sorted(map(tuple, d[["doc_id", "copy"]].to_numpy()))
+    assert key(out) == key(out2)
