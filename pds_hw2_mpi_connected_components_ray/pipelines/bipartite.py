@@ -35,17 +35,22 @@ _BROADCAST_VERTICES = 5_000_000
 def bipartite_check(
     edges: Dataset,
     *,
+    labels: Dataset | None = None,
     broadcast_threshold: int = _BROADCAST_VERTICES,
     num_partitions: int | None = None,
 ) -> Dataset:
     """(label, n_vertices, n_conflicts, is_bipartite) per connected
-    component over the canonical symmetric edge table."""
+    component over the canonical symmetric edge table. Pass a
+    precomputed CC label table to share a solve."""
     import ray
 
     from .bfs import bfs_hops_pinned
     from .cc import connected_components
 
-    labels = connected_components(edges).labels.materialize()
+    if labels is None:
+        labels = connected_components(edges).labels.materialize()
+    else:
+        labels = labels.materialize()
     roots = np.sort(
         np.concatenate(
             [

@@ -23,10 +23,12 @@ from ray.data.aggregate import Count
 from ..stages.graph import degrees, drop_self_loops, vertices
 
 
-def graph_summary(edges: Dataset) -> pd.DataFrame:
+def graph_summary(edges: Dataset, labels: Dataset | None = None) -> pd.DataFrame:
     """(n_vertices, n_edges, max_degree, avg_degree, density,
     n_triangles, n_components, largest_component) over the canonical
-    symmetric edge table. n_edges counts undirected simple edges."""
+    symmetric edge table. n_edges counts undirected simple edges.
+    Pass a precomputed CC label table via `labels` to share a solve
+    (the driver layer memoizes one per process)."""
     from .cc import connected_components
     from .triangles import triangle_count
 
@@ -40,9 +42,9 @@ def graph_summary(edges: Dataset) -> pd.DataFrame:
     max_degree = int(degrees(simple).max("degree"))
     n_triangles = int(triangle_count(edges))
 
+    lab = labels if labels is not None else connected_components(edges).labels
     comp = (
-        connected_components(edges)
-        .labels.groupby("label")
+        lab.groupby("label")
         .aggregate(Count(alias_name="sz"))
         .materialize()
     )
