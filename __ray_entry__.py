@@ -1884,6 +1884,17 @@ def _q_graph_summary(sf_dir: str):
     return graph_summary(_canon_edges(sf_dir), labels=_cc_labels_memo(sf_dir))
 
 
+def _q_component_profiles(sf_dir: str):
+    """Per-component structural profile (vertices, degree mass, avg
+    degree, density) — label-keyed stats over the shared CC solve."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.profile import (
+        component_profiles,
+    )
+
+    return component_profiles(_canon_edges(sf_dir), labels=_cc_labels_memo(sf_dir))
+
+
 def _q_jaccard_links(sf_dir: str):
     """Per-edge neighborhood Jaccard (intersection = edge support,
     union by inclusion-exclusion; rational → exact 1e-6 quantize)."""
@@ -2397,6 +2408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_support": _q_edge_support,
         "jaccard_links": _q_jaccard_links,
         "graph_summary": _q_graph_summary,
+        "component_profiles": _q_component_profiles,
         "negative_edges": _q_negative_edges,
         "bipartite_check": _q_bipartite,
         "degree_powerlaw": _q_degree_powerlaw,
@@ -2802,6 +2814,24 @@ FROM le GROUP BY 1, 2"""
             "CASE WHEN sum(mu) > 0 THEN "
             "floor((1.0 + count(*)::DOUBLE / (sum(mu)::DOUBLE / 1e6)) * 1e6 + 0.5) / 1e6 "
             "ELSE 0.0 END AS alpha FROM t"
+        ),
+        "component_profiles": (
+            f"WITH RECURSIVE {_EDGES_CTES}, "
+            "walk AS (SELECT v, v AS l FROM verts "
+            "  UNION SELECT e.dst AS v, w.l AS l FROM walk w "
+            "  JOIN edges e ON e.src = w.v WHERE w.l < e.dst), "
+            "lab AS (SELECT v, min(l) AS label FROM walk GROUP BY v), "
+            "simp AS (SELECT src, dst FROM edges WHERE src <> dst), "
+            "deg AS (SELECT src AS v, count(*)::BIGINT AS d FROM simp GROUP BY src), "
+            "a AS (SELECT lab.label, coalesce(deg.d, 0)::BIGINT AS d "
+            "  FROM lab LEFT JOIN deg ON deg.v = lab.v) "
+            "SELECT label, count(*)::BIGINT AS n_vertices, "
+            "sum(d)::BIGINT AS sum_degree, "
+            "floor(sum(d)::DOUBLE / count(*) * 1e6 + 0.5) / 1e6 AS avg_degree, "
+            "CASE WHEN count(*) >= 2 THEN floor(sum(d)::DOUBLE "
+            "/ (count(*)::DOUBLE * (count(*) - 1.0)) * 1e6 + 0.5) / 1e6 "
+            "ELSE 0.0 END AS density "
+            "FROM a GROUP BY label"
         ),
         "graph_summary": (
             f"WITH RECURSIVE {_EDGES_CTES}, "

@@ -273,6 +273,7 @@ def bench_suite() -> dict:
         "mixture_sample",
         "session_length_hist",
         "mixture_upsample",
+        "component_profiles",
         "order_line_stats",
         "embedding_project",
         "events_out_of_order",

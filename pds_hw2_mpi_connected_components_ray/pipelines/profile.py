@@ -67,3 +67,111 @@ def graph_summary(edges: Dataset, labels: Dataset | None = None) -> pd.DataFrame
             "largest_component": np.array([largest], dtype=np.int64),
         }
     )
+
+
+def component_profiles(
+    edges: Dataset,
+    labels: Dataset | None = None,
+    *,
+    broadcast_threshold: int = 5_000_000,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """(label, n_vertices, sum_degree, avg_degree, density) per
+    connected component — the per-community structural profile
+    (components are edge-closed, so within-component edge count is
+    sum_degree/2 for free, no edge-side label join needed when the
+    degree table carries the label). Degrees attach to labels by
+    broadcast below the threshold, hash join beyond; ratios are
+    rational → exact 1e-6 quantize."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.graph import degrees, drop_self_loops
+    from ..stages.joins import hash_join, put_lookup
+    from .cc import connected_components
+
+    lab = (
+        labels if labels is not None else connected_components(edges).labels
+    ).materialize()
+    simple = drop_self_loops(edges).materialize()
+    degs = degrees(simple).materialize()
+    npart = num_partitions or 8
+
+    # attach degree to every labeled vertex (degree 0 for self-loop-only
+    # / isolated vertices absent from the simple-degree table)
+    if degs.count() <= broadcast_threshold:
+        import pyarrow as pa
+
+        dtab = pa.concat_tables(
+            list(degs.iter_batches(batch_format="pyarrow", batch_size=None))
+        )
+        ref = put_lookup(dtab, "vertex", "degree")
+
+        def attach(t):
+            import pyarrow as pa
+
+            lk = ray.get(ref)
+            v = t["vertex"].to_numpy(zero_copy_only=False)
+            found, d = lk.get(v)
+            d = np.where(found, d, 0).astype(np.int64)
+            return pa.table(
+                {"label": t["label"], "d": d, "one": np.ones(len(v), np.int64)}
+            )
+
+        attached = lab.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        import pyarrow as pa
+
+        j = hash_join(
+            lab,
+            degs.map_batches(
+                lambda t: t.rename_columns(["vertex", "d"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            on=("vertex",),
+            join_type="left_outer",
+            num_partitions=npart,
+        )
+
+        def fix(t):
+            d = t["d"].to_numpy(zero_copy_only=False)
+            d = np.where(np.isnan(d.astype(np.float64)), 0, d).astype(np.int64)
+            return pa.table(
+                {
+                    "label": t["label"],
+                    "d": d,
+                    "one": np.ones(len(t), np.int64),
+                }
+            )
+
+        attached = j.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True)
+
+    agg = attached.groupby("label").aggregate(
+        Sum("one", alias_name="n_vertices"), Sum("d", alias_name="sum_degree")
+    )
+
+    def finalize(t):
+        import pyarrow as pa
+
+        n = t["n_vertices"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sd = t["sum_degree"].to_numpy(zero_copy_only=False).astype(np.float64)
+        avg = np.floor(sd / n * 1e6 + 0.5) / 1e6
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dens = np.where(
+                n >= 2,
+                np.floor(sd / (n * (n - 1.0)) * 1e6 + 0.5) / 1e6,
+                0.0,
+            )
+        return pa.table(
+            {
+                "label": t["label"],
+                "n_vertices": t["n_vertices"],
+                "sum_degree": t["sum_degree"],
+                "avg_degree": avg,
+                "density": dens,
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)

@@ -183,3 +183,30 @@ def test_bipartite_check_planted():
         assert list(out["n_vertices"]) == [4, 3, 2, 4]
         assert list(out["is_bipartite"]) == [1, 0, 1, 0]
         assert list(out["n_conflicts"]) == [0, 1, 0, 1]
+
+
+def test_component_profiles_brute():
+    from pds_hw2_mpi_connected_components_ray.pipelines.profile import (
+        component_profiles,
+    )
+
+    # two components: a triangle (0,1,2) and a path (10-11-12-13)
+    df = pd.DataFrame(
+        [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 13)],
+        columns=["src", "dst"],
+    )
+    ds = _sym_ds(df)
+    for thresh in (5_000_000, 0):
+        out = (
+            component_profiles(ds, broadcast_threshold=thresh)
+            .to_pandas()
+            .sort_values("label")
+            .reset_index(drop=True)
+        )
+        assert list(out["label"]) == [0, 10]
+        assert list(out["n_vertices"]) == [3, 4]
+        assert list(out["sum_degree"]) == [6, 6]
+        assert out["avg_degree"].iloc[0] == 2.0
+        assert out["density"].iloc[0] == 1.0  # triangle is complete
+        assert out["avg_degree"].iloc[1] == 1.5
+        assert out["density"].iloc[1] == 0.5
