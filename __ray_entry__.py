@@ -1846,6 +1846,15 @@ def _q_edge_support(sf_dir: str):
     return edge_support(_canon_edges(sf_dir))
 
 
+def _q_landmark_features(sf_dir: str):
+    """Landmark distance features (k=4 multi-BFS pivoted to one row
+    per reached vertex; -1 per unreached landmark)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.bfs import landmark_features
+
+    return landmark_features(_canon_edges(sf_dir), k=4)
+
+
 def _q_bipartite(sf_dir: str):
     """Per-component bipartiteness: multi-seed pinned BFS parity + one
     conflict-count pass over the simple edges."""
@@ -2411,6 +2420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "component_profiles": _q_component_profiles,
         "negative_edges": _q_negative_edges,
         "bipartite_check": _q_bipartite,
+        "landmark_features": _q_landmark_features,
         "degree_powerlaw": _q_degree_powerlaw,
         "rich_club": _q_rich_club,
         "ktruss5_r3": _q_ktruss,
@@ -2765,6 +2775,23 @@ FROM le GROUP BY 1, 2"""
             "s AS (SELECT x, y, count(*) AS sup FROM cr GROUP BY x, y) "
             "SELECT o.a, o.b, coalesce(s.sup, 0)::BIGINT AS support "
             "FROM o LEFT JOIN s ON s.x = o.a AND s.y = o.b"
+        ),
+        "landmark_features": (
+            f"WITH RECURSIVE {_EDGES_CTES}, "
+            "seeds AS MATERIALIZED (SELECT v AS s, "
+            "  (row_number() OVER (ORDER BY v) - 1)::BIGINT AS r "
+            "  FROM (SELECT v FROM verts ORDER BY v LIMIT 4)), "
+            "walk AS (SELECT s AS source, s AS v, 0 AS h FROM seeds "
+            "  UNION SELECT w.source, e.dst AS v, w.h + 1 AS h "
+            "  FROM walk w JOIN edges e ON e.src = w.v WHERE w.h < 64), "
+            "d AS (SELECT source, v AS vertex, min(h)::BIGINT AS hops "
+            "  FROM walk GROUP BY source, v) "
+            "SELECT d.vertex, "
+            "coalesce(max(CASE WHEN sd.r = 0 THEN d.hops END), -1)::BIGINT AS d0, "
+            "coalesce(max(CASE WHEN sd.r = 1 THEN d.hops END), -1)::BIGINT AS d1, "
+            "coalesce(max(CASE WHEN sd.r = 2 THEN d.hops END), -1)::BIGINT AS d2, "
+            "coalesce(max(CASE WHEN sd.r = 3 THEN d.hops END), -1)::BIGINT AS d3 "
+            "FROM d JOIN seeds sd ON sd.s = d.source GROUP BY d.vertex"
         ),
         "bipartite_check": (
             f"WITH RECURSIVE {_EDGES_CTES}, "

@@ -274,6 +274,7 @@ def bench_suite() -> dict:
         "session_length_hist",
         "mixture_upsample",
         "component_profiles",
+        "landmark_features",
         "order_line_stats",
         "embedding_project",
         "events_out_of_order",

@@ -454,3 +454,47 @@ def sssp_dist_pinned(
         if own_pool:
             for a in acts:
                 ray.kill(a)
+
+
+def landmark_features(edges: Dataset, *, k: int = 4) -> Dataset:
+    """(vertex, d0..d{k-1}): hop distance to each of the k landmark
+    vertices (the k smallest ids — multi_bfs_hops' default seeds),
+    pivoted into one feature row per vertex. The standard cheap graph
+    embedding: landmark distances feed dedup of mirror sites, distance
+    oracles and GNN features. −1 marks unreached-from-that-landmark;
+    vertices reached by NO landmark are absent (same universe as the
+    multi-BFS result, mirrored by the oracle). One bucketed exchange
+    pivots: each vertex's k rows land in one hash bucket, the pivot is
+    a vectorized scatter into a (vertices × k) block."""
+    import pandas as pd
+
+    from .events import _bucket_by_key
+
+    pairs = multi_bfs_hops(edges, k=k).materialize()
+    seed_set: set = set()
+    for t in pairs.iter_batches(batch_format="pyarrow", batch_size=None):
+        seed_set.update(
+            np.unique(t["source"].to_numpy(zero_copy_only=False)).tolist()
+        )
+    seeds = np.sort(np.array(sorted(seed_set), dtype=np.int64))
+    nk = len(seeds)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {f"d{i}": pd.Series([], dtype="int64") for i in range(nk)}
+        if len(g) == 0:
+            return pd.DataFrame({"vertex": pd.Series([], dtype="int64"), **cols})
+        v = g["vertex"].to_numpy(dtype=np.int64)
+        s = g["source"].to_numpy(dtype=np.int64)
+        h = g["hops"].to_numpy(dtype=np.int64)
+        u, inv = np.unique(v, return_inverse=True)
+        out = np.full((len(u), nk), -1, dtype=np.int64)
+        out[inv, np.searchsorted(seeds, s)] = h
+        return pd.DataFrame(
+            {"vertex": u, **{f"d{i}": out[:, i] for i in range(nk)}}
+        )
+
+    return (
+        _bucket_by_key(pairs, "vertex", ["source", "vertex", "hops"])
+        .groupby("_kb")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

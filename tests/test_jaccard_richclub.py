@@ -210,3 +210,27 @@ def test_component_profiles_brute():
         assert out["density"].iloc[0] == 1.0  # triangle is complete
         assert out["avg_degree"].iloc[1] == 1.5
         assert out["density"].iloc[1] == 0.5
+
+
+def test_landmark_features_brute():
+    from pds_hw2_mpi_connected_components_ray.pipelines.bfs import landmark_features
+
+    # path 0-1-2-3-4 plus isolated pair 10-11 (unreached by landmarks
+    # 0..3 -> absent unless a landmark lands in it; landmarks are the
+    # 4 smallest ids = 0,1,2,3, all in the path)
+    df = pd.DataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)], columns=["src", "dst"]
+    )
+    ds = _sym_ds(df)
+    out = (
+        landmark_features(ds, k=4)
+        .to_pandas()
+        .sort_values("vertex")
+        .reset_index(drop=True)
+    )
+    # only the path component is reached
+    assert list(out["vertex"]) == [0, 1, 2, 3, 4]
+    for _, row in out.iterrows():
+        v = int(row["vertex"])
+        for i in range(4):
+            assert row[f"d{i}"] == abs(v - i)
