@@ -1815,6 +1815,27 @@ def _q_scc(sf_dir: str):
     return _scc_labels_memo(sf_dir)
 
 
+def _q_token_length_hist(sf_dir: str):
+    """Whitespace-token length distribution (tokenizer-budget profile)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import (
+        token_length_hist,
+    )
+
+    return token_length_hist(_docs(sf_dir))
+
+
+def _q_charset_profile(sf_dir: str):
+    """One-row corpus character-class fingerprint (exact integer sums,
+    1e-6-quantized rational ratios)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import (
+        charset_profile,
+    )
+
+    return charset_profile(_docs(sf_dir))
+
+
 def _q_doc_unigram_xent(sf_dir: str):
     """Per-doc mean unigram cross-entropy under the corpus MLE unigram
     model (µnat-quantized terms; the cheapest perplexity-bucket signal)."""
@@ -2508,6 +2529,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": _q_top_bigrams,
         "bigram_surprisal": _q_bigram_surprisal,
         "doc_unigram_xent": _q_doc_unigram_xent,
+        "token_length_hist": _q_token_length_hist,
+        "charset_profile": _q_charset_profile,
         "pmi_collocations": _q_pmi,
         "top_docs_per_source": _q_top_docs_per_source,
         "repetition_signals": _q_repetition_signals,
@@ -3629,6 +3652,30 @@ GROUP BY l.doc_id
             "  * 1e6 + 0.5) / 1e6 AS pmi "
             "FROM c2 JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t "
             "WHERE c2.n >= 5 ORDER BY pmi DESC, bigram ASC LIMIT 30"
+        ),
+        "token_length_hist": (
+            "WITH tk AS (SELECT unnest(regexp_extract_all(coalesce(text, ''), "
+            "'\\S+')) AS tok FROM documents) "
+            "SELECT length(tok)::BIGINT AS token_len, count(*)::BIGINT AS n_tokens "
+            "FROM tk GROUP BY token_len"
+        ),
+        # NOTE: \\w/\\s are RE2-ASCII in DuckDB vs unicode in Python —
+        # exact on this ASCII fixture corpus (the doc_quality caveat)
+        "charset_profile": (
+            "WITH s AS (SELECT coalesce(text, '') AS t FROM documents), "
+            "a AS (SELECT sum(length(t))::BIGINT AS n, "
+            "  sum(len(regexp_extract_all(t, '[\\x00-\\x7F]')))::BIGINT AS a, "
+            "  sum(len(regexp_extract_all(t, '[A-Za-z]')))::BIGINT AS l, "
+            "  sum(len(regexp_extract_all(t, '[0-9]')))::BIGINT AS d, "
+            "  sum(len(regexp_extract_all(t, '\\s')))::BIGINT AS sp, "
+            "  sum(len(regexp_extract_all(t, '[^\\w\\s]')))::BIGINT AS p FROM s) "
+            "SELECT n AS n_chars, "
+            "floor(a::DOUBLE / greatest(n, 1) * 1e6 + 0.5) / 1e6 AS ascii_ratio, "
+            "floor(l::DOUBLE / greatest(n, 1) * 1e6 + 0.5) / 1e6 AS letter_ratio, "
+            "floor(d::DOUBLE / greatest(n, 1) * 1e6 + 0.5) / 1e6 AS digit_ratio, "
+            "floor(sp::DOUBLE / greatest(n, 1) * 1e6 + 0.5) / 1e6 AS space_ratio, "
+            "floor(p::DOUBLE / greatest(n, 1) * 1e6 + 0.5) / 1e6 AS punct_ratio "
+            "FROM a"
         ),
         "doc_unigram_xent": (
             "WITH tk AS (SELECT doc_id, "

@@ -275,6 +275,8 @@ def bench_suite() -> dict:
         "mixture_upsample",
         "component_profiles",
         "landmark_features",
+        "token_length_hist",
+        "charset_profile",
         "order_line_stats",
         "embedding_project",
         "events_out_of_order",

@@ -1085,3 +1085,88 @@ def doc_unigram_xent(docs: Dataset, *, force_join: bool = False) -> Dataset:
         )
 
     return per.map_batches(finalize, batch_format="pandas")
+
+
+def token_length_hist(docs: Dataset) -> Dataset:
+    """(token_len, n_tokens): corpus-wide distribution of whitespace-
+    token lengths in characters — the tokenizer-budget profile (long-
+    token mass predicts BPE blowup; a spike at huge lengths usually
+    means base64/URL junk). Per-batch histogram partials (token-length
+    vocabulary is tiny) + one keyed sum."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.split()
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame(
+                {
+                    "token_len": pd.Series([], dtype="int64"),
+                    "c": pd.Series([], dtype="int64"),
+                }
+            )
+        flat = np.concatenate(
+            [np.asarray(x, dtype=object) for x in toks.to_numpy() if len(x)]
+        )
+        tl = np.fromiter((len(t) for t in flat), dtype=np.int64, count=len(flat))
+        u, c = np.unique(tl, return_counts=True)
+        return pd.DataFrame({"token_len": u, "c": c.astype(np.int64)})
+
+    return (
+        docs.select_columns(["text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("token_len")
+        .aggregate(Sum("c", alias_name="n_tokens"))
+    )
+
+
+def charset_profile(docs: Dataset) -> pd.DataFrame:
+    """One row (n_chars, ascii_ratio, letter_ratio, digit_ratio,
+    space_ratio, punct_ratio) over the whole corpus — the encoding /
+    noise fingerprint (a crawl slice whose ascii_ratio drops or whose
+    punct_ratio spikes changed extraction behavior). Six exact integer
+    scalar sums via per-batch vectorized class counts; ratios are
+    rational → half-up 1e-6 quantization matches SQL."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["text"].fillna("")
+        n = t.str.len().sum()
+        ascii_n = t.str.count(r"[\x00-\x7F]").sum()
+        letter = t.str.count(r"[A-Za-z]").sum()
+        digit = t.str.count(r"[0-9]").sum()
+        space = t.str.count(r"\s").sum()
+        punct = t.str.count(r"[^\w\s]").sum()
+        return pd.DataFrame(
+            {
+                "n": [np.int64(n)],
+                "a": [np.int64(ascii_n)],
+                "l": [np.int64(letter)],
+                "d": [np.int64(digit)],
+                "s": [np.int64(space)],
+                "p": [np.int64(punct)],
+            }
+        )
+
+    tot = {k: 0 for k in "naldsp"}
+    for b in (
+        docs.select_columns(["text"])
+        .map_batches(partial, batch_format="pandas")
+        .iter_batches(batch_format="pandas", batch_size=None)
+    ):
+        for k in tot:
+            tot[k] += int(b[k].sum())
+    n = max(tot["n"], 1)
+
+    def q(x: int) -> float:
+        return float(np.floor(x / n * 1e6 + 0.5) / 1e6)
+
+    return pd.DataFrame(
+        {
+            "n_chars": np.array([tot["n"]], dtype=np.int64),
+            "ascii_ratio": [q(tot["a"])],
+            "letter_ratio": [q(tot["l"])],
+            "digit_ratio": [q(tot["d"])],
+            "space_ratio": [q(tot["s"])],
+            "punct_ratio": [q(tot["p"])],
+        }
+    )

@@ -696,3 +696,47 @@ def test_out_of_order_stats_brute():
     )
     # random ts vs sequential ids -> disorder must actually occur
     assert out["n_late"].sum() > 0
+
+
+def test_token_length_hist_and_charset_brute():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import (
+        charset_profile,
+        token_length_hist,
+    )
+
+    texts = ["ab cde f", "hello world 42", "", None, "x!  yz."]
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                      "text": texts})
+    ).repartition(3)
+
+    out = (
+        token_length_hist(docs)
+        .to_pandas()
+        .sort_values("token_len")
+        .reset_index(drop=True)
+    )
+    lens: dict[int, int] = {}
+    for t in texts:
+        for tok in (t or "").split():
+            lens[len(tok)] = lens.get(len(tok), 0) + 1
+    assert dict(zip(out["token_len"], out["n_tokens"])) == lens
+
+    prof = charset_profile(docs)
+    all_text = "".join(t or "" for t in texts)
+    n = len(all_text)
+    assert prof["n_chars"].iloc[0] == n
+    import re as _re
+
+    def q(x):
+        return np.floor(x / n * 1e6 + 0.5) / 1e6
+
+    assert prof["letter_ratio"].iloc[0] == q(len(_re.findall(r"[A-Za-z]", all_text)))
+    assert prof["digit_ratio"].iloc[0] == q(len(_re.findall(r"[0-9]", all_text)))
+    assert prof["space_ratio"].iloc[0] == q(len(_re.findall(r"\s", all_text)))
+    assert prof["punct_ratio"].iloc[0] == q(len(_re.findall(r"[^\w\s]", all_text)))
+    assert prof["ascii_ratio"].iloc[0] == 1.0
