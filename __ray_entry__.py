@@ -1215,6 +1215,45 @@ def _q_dup_groups(sf_dir: str):
     return duplicate_groups(pairs)
 
 
+def _q_dup_family_sizes(sf_dir: str):
+    """Near-dup family-size histogram (how duplicated is the corpus?):
+    minhash pairs → engine CC groups → size counts → tiny histogram."""
+    _configure()
+    from ray.data.aggregate import Count, Sum
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.dedup import (
+        duplicate_groups,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(_docs(sf_dir), threshold=0.5).materialize()
+    if pairs.count() == 0:
+        return pd.DataFrame(
+            {
+                "family_size": pd.Series([], dtype="int64"),
+                "n_families": pd.Series([], dtype="int64"),
+            }
+        )
+    sizes = (
+        duplicate_groups(pairs)
+        .groupby("group_id")
+        .aggregate(Count(alias_name="family_size"))
+    )
+
+    def hist(t):
+        import pyarrow as pa
+
+        s = t["family_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(s, return_counts=True)
+        return pa.table({"family_size": u, "c": c.astype(np.int64)})
+
+    return (
+        sizes.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("family_size")
+        .aggregate(Sum("c", alias_name="n_families"))
+    )
+
+
 def _q_lang_id(sf_dir: str):
     _configure()
     from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import lang_id_stage
@@ -2474,6 +2513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_pairs,
         "embedding_dup_pairs": _q_embedding_pairs,
         "dup_groups": _q_dup_groups,
+        "dup_family_sizes": _q_dup_family_sizes,
         "corpus_prep": _q_corpus_prep,
         # similarity search
         "knn_cosine": _q_knn,
@@ -3233,6 +3273,19 @@ GROUP BY l.doc_id
             "  SELECT e.dst AS v, w.l AS l FROM walk w JOIN de e ON e.src = w.v "
             "  WHERE w.l < e.dst) "
             "SELECT v AS doc_id, min(l) AS group_id FROM walk GROUP BY v"
+        ),
+        "dup_family_sizes": (
+            f"WITH RECURSIVE {_CHAR5_PAIR_CTES}, "
+            "pr AS MATERIALIZED (SELECT a, b FROM jpairs WHERE j >= 0.5), "
+            "de AS (SELECT a AS src, b AS dst FROM pr UNION ALL SELECT b, a FROM pr), "
+            "dv AS (SELECT DISTINCT src AS v FROM de), "
+            "walk AS (SELECT v, v AS l FROM dv UNION "
+            "  SELECT e.dst AS v, w.l AS l FROM walk w JOIN de e ON e.src = w.v "
+            "  WHERE w.l < e.dst), "
+            "lab AS (SELECT v, min(l) AS g FROM walk GROUP BY v), "
+            "sz AS (SELECT g, count(*)::BIGINT AS family_size FROM lab GROUP BY g) "
+            "SELECT family_size, count(*)::BIGINT AS n_families "
+            "FROM sz GROUP BY family_size"
         ),
         "corpus_prep": (
             "WITH RECURSIVE "

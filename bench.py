@@ -277,6 +277,7 @@ def bench_suite() -> dict:
         "landmark_features",
         "token_length_hist",
         "charset_profile",
+        "dup_family_sizes",
         "order_line_stats",
         "embedding_project",
         "events_out_of_order",
