@@ -1973,6 +1973,17 @@ def _q_jaccard_links(sf_dir: str):
     return jaccard_links(_canon_edges(sf_dir))
 
 
+def _q_sampled_triangles(sf_dir: str):
+    """DOULION triangle estimate from a deterministic p=0.5 unordered-
+    edge sample (count/p³; md5-int60 threshold mirrored in SQL)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.triangles import (
+        sampled_triangle_estimate,
+    )
+
+    return sampled_triangle_estimate(_canon_edges(sf_dir), p=0.5, seed=7)
+
+
 def _q_rich_club(sf_dir: str):
     """Rich-club coefficients φ(k) over degree thresholds — hub
     interconnection vs chance; |ks| scalars via per-batch partials."""
@@ -2483,6 +2494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "landmark_features": _q_landmark_features,
         "degree_powerlaw": _q_degree_powerlaw,
         "rich_club": _q_rich_club,
+        "sampled_triangle_estimate": _q_sampled_triangles,
         "ktruss5_r3": _q_ktruss,
         "kcore7": _q_kcore,
         "coreness": _q_coreness,
@@ -2958,6 +2970,19 @@ FROM le GROUP BY 1, 2"""
             "* 1e6 + 0.5) / 1e6 AS jaccard "
             "FROM o LEFT JOIN s ON s.x = o.a AND s.y = o.b "
             "JOIN deg da ON da.v = o.a JOIN deg db ON db.v = o.b"
+        ),
+        "sampled_triangle_estimate": (
+            f"WITH {_EDGES_CTES}, "
+            "samp AS (SELECT src, dst FROM edges WHERE src <> dst AND "
+            "  ('0x' || substr(md5(concat(7, ':', least(src, dst), ':', "
+            "  greatest(src, dst))), 1, 15))::BIGINT < 576460752303423488), "
+            "o AS (SELECT src AS a, dst AS b FROM samp WHERE src < dst), "
+            "tri AS (SELECT e1.a, e1.b, e2.b AS c FROM o e1 "
+            "  JOIN o e2 ON e2.a = e1.b "
+            "  JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b) "
+            "SELECT count(*)::BIGINT AS sampled_triangles, "
+            "CAST(floor(count(*)::DOUBLE / 0.125 + 0.5) AS BIGINT) AS estimate "
+            "FROM tri"
         ),
         "rich_club": (
             f"WITH {_EDGES_CTES}, "

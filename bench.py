@@ -278,6 +278,7 @@ def bench_suite() -> dict:
         "token_length_hist",
         "charset_profile",
         "dup_family_sizes",
+        "sampled_triangle_estimate",
         "order_line_stats",
         "embedding_project",
         "events_out_of_order",

@@ -698,3 +698,56 @@ def jaccard_links(
         )
 
     return attached.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_SAMPLE_SCALE = 1 << 60
+
+
+def sampled_triangle_estimate(
+    edges: Dataset, *, p: float = 0.5, seed: int = 7
+):
+    """One row (sampled_triangles, estimate): estimate the global
+    triangle count from a deterministic p-sample of UNORDERED edges
+    (each triangle survives with probability p³, so count/p³ is
+    unbiased — Tsourakakis et al.'s DOULION). This is the approximate-
+    analytics escape hatch for graphs too large to close exactly: the
+    sample is an md5-int60 threshold on the unordered pair (both
+    directions kept or dropped together, reproducible under any
+    partitioning and byte-identical in SQL), and the exact counter
+    then runs on the p-fraction subgraph.
+
+    The per-row md5 is the _split_hash precedent (no vectorized md5
+    exists; the digest dominates and is embarrassingly parallel)."""
+    import hashlib
+
+    import pandas as pd
+
+    thr = int(p * _SAMPLE_SCALE)
+
+    def samp(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        h = np.empty(len(lo), dtype=np.int64)
+        for i in range(len(lo)):
+            h[i] = int(
+                hashlib.md5(f"{seed}:{lo[i]}:{hi[i]}".encode()).hexdigest()[:15],
+                16,
+            )
+        sel = h < thr
+        return pa.table({"src": s[sel], "dst": d[sel]})
+
+    sampled = edges.map_batches(
+        samp, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n3 = int(triangle_count(sampled)) if sampled.count() else 0
+    est = int(np.floor(n3 / (p * p * p) + 0.5))
+    return pd.DataFrame(
+        {
+            "sampled_triangles": np.array([n3], dtype=np.int64),
+            "estimate": np.array([est], dtype=np.int64),
+        }
+    )

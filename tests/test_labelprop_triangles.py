@@ -182,3 +182,39 @@ def test_kcore_matches_bruteforce():
     want = sorted(adj)
     assert list(got["vertex"]) == want
     assert list(got["degree"]) == [len(adj[v]) for v in want]
+
+
+def test_sampled_triangle_estimate_determinism_and_accuracy(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.triangles import (
+        sampled_triangle_estimate,
+        triangle_count,
+    )
+
+    rng = np.random.default_rng(51)
+    n, m = 60, 500
+    src = rng.integers(0, n, size=m)
+    dst = rng.integers(0, n, size=m)
+    df = pd.DataFrame({"src": src, "dst": dst})
+    df = df[df["src"] != df["dst"]].drop_duplicates()
+    both = pd.concat(
+        [df, df.rename(columns={"src": "dst", "dst": "src"})]
+    ).drop_duplicates()
+
+    def run(parts):
+        ds = rd.from_pandas([both.iloc[i::parts] for i in range(parts)])
+        return sampled_triangle_estimate(ds, p=0.5, seed=7)
+
+    a, b = run(2), run(5)
+    # deterministic + partition-invariant
+    pd.testing.assert_frame_equal(a, b)
+    exact = triangle_count(
+        rd.from_pandas([both.iloc[i::3] for i in range(3)])
+    )
+    est = int(a["estimate"].iloc[0])
+    assert est == int(np.floor(a["sampled_triangles"].iloc[0] / 0.125 + 0.5))
+    # unbiased estimator on a dense-ish graph: within a loose factor
+    assert 0.3 * exact <= est <= 2.5 * exact
