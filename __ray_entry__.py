@@ -1421,6 +1421,30 @@ def _q_corpus_prep(sf_dir: str):
     )
 
 
+def _q_prep_sink_roundtrip(sf_dir: str):
+    """corpus_prep written through the resumable hash-partitioned sink
+    (atomic per-partition dirs, _SUCCESS markers) and read back — the
+    sink exercised INSIDE the correctness gate; oracle = corpus_prep's
+    own SQL (a lossy sink would hash-mismatch)."""
+    _configure()
+    import tempfile
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.prep import corpus_prep
+    from pds_hw2_mpi_connected_components_ray.sources.sinks import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    out = corpus_prep(
+        _docs(sf_dir), min_tokens=5, max_punct_ratio=0.2, jaccard_threshold=0.5
+    )
+    root = tempfile.mkdtemp(prefix="prep_sink_", dir="/tmp")
+    write_partitioned(out, root, key="doc_id", num_partitions=8)
+    # read_parquet hive-infers a `part` column from the directory
+    # layout; project back to the logical schema
+    return read_partitioned(root).select_columns(["doc_id"])
+
+
 def _q_pages_to_edges(sf_dir: str):
     """The PRODUCTION front-end end to end: pages with messy hrefs ->
     extract -> normalize_url -> mint_id -> canonical undirected edge
@@ -2527,6 +2551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_groups": _q_dup_groups,
         "dup_family_sizes": _q_dup_family_sizes,
         "corpus_prep": _q_corpus_prep,
+        "prep_sink_roundtrip": _q_prep_sink_roundtrip,
         # similarity search
         "knn_cosine": _q_knn,
         "knn_ivf": _q_knn_ivf,
@@ -2617,7 +2642,7 @@ def oracle_sql() -> dict[str, str]:
         "WHEN n_el >= n_en THEN 'el' ELSE 'en' END AS lang_pred FROM v"
     )
     cc_sql = _CC_SQL
-    return {
+    out = {
         "edges_build": f"WITH {_EDGES_CTES} SELECT src, dst FROM edges",
         "degree": (
             f"WITH {_EDGES_CTES} "
@@ -3810,3 +3835,6 @@ GROUP BY l.doc_id
             "round(avg(n_chars), 6) AS avg_chars FROM documents GROUP BY source"
         ),
     }
+    # the sink round-trip must reproduce corpus_prep exactly
+    out["prep_sink_roundtrip"] = out["corpus_prep"]
+    return out

@@ -279,6 +279,7 @@ def bench_suite() -> dict:
         "charset_profile",
         "dup_family_sizes",
         "sampled_triangle_estimate",
+        "prep_sink_roundtrip",
         "order_line_stats",
         "embedding_project",
         "events_out_of_order",
