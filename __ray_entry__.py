@@ -2109,6 +2109,19 @@ def _q_embedding_project(sf_dir: str):
     return embedding_project(rd.read_parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def _q_embedding_quantize(sf_dir: str):
+    """Per-dimension min-max int8-range quantization (exact order-free
+    range reduce + broadcast scale + pure-map quantize)."""
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.similarity import (
+        embedding_quantize,
+    )
+
+    return embedding_quantize(rd.read_parquet(f"{sf_dir}/embeddings.parquet"))
+
+
 def _q_embedding_covariance(sf_dir: str):
     """Covariance matrix of the embedding column (distributed X^T·X,
     summary-proportional exchange, integer-quantized terms)."""
@@ -2602,6 +2615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _q_label_centroids,
         "embedding_covariance": _q_embedding_covariance,
         "embedding_project": _q_embedding_project,
+        "embedding_quantize": _q_embedding_quantize,
         "order_line_stats": _q_order_line_stats,
         "top_bigrams": _q_top_bigrams,
         "bigram_surprisal": _q_bigram_surprisal,
@@ -2763,6 +2777,17 @@ GROUP BY dv.v
             "  FROM u CROSS JOIN jj) "
             "SELECT vec_id, dim, floor(sum(q)::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6 AS y "
             "FROM t GROUP BY vec_id, dim"
+        ),
+        "embedding_quantize": (
+            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+            "u AS (SELECT vec_id, unnest(range(1, len(v) + 1))::BIGINT - 1 AS dim, "
+            "  unnest(v)::DOUBLE AS x FROM e), "
+            "r AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM u GROUP BY dim) "
+            "SELECT u.vec_id, u.dim, "
+            "CASE WHEN r.mx > r.mn THEN least(255, "
+            "CAST(floor((u.x - r.mn) / ((r.mx - r.mn) / 255.0)) AS BIGINT)) "
+            "ELSE 0 END::BIGINT AS q "
+            "FROM u JOIN r USING (dim)"
         ),
         "embedding_covariance": (
             "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "

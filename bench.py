@@ -280,6 +280,7 @@ def bench_suite() -> dict:
         "dup_family_sizes",
         "sampled_triangle_estimate",
         "prep_sink_roundtrip",
+        "embedding_quantize",
         "order_line_stats",
         "embedding_project",
         "events_out_of_order",

@@ -151,3 +151,37 @@ def test_embedding_project_brute(ray_session):
     # projection matrix is deterministic and in [-0.5, 0.5)
     assert np.array_equal(p, projection_matrix(d, 2))
     assert (p >= -0.5).all() and (p < 0.5).all()
+
+
+def test_embedding_quantize_brute(ray_session):
+    from pds_hw2_mpi_connected_components_ray.pipelines.similarity import (
+        embedding_quantize,
+    )
+
+    rng = np.random.default_rng(61)
+    n, d = 80, 5
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    x[:, 3] = 7.0  # constant dimension -> q must be 0 everywhere
+    tab = pa.table(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": pa.array(list(x), pa.list_(pa.float32())),
+        }
+    )
+    out = embedding_quantize(
+        rd.from_arrow(tab).repartition(4), batch_size=16
+    ).to_pandas()
+    assert len(out) == n * d
+    got = out.set_index(["vec_id", "dim"])["q"]
+    xf = x.astype(np.float64)
+    lo, hi = xf.min(axis=0), xf.max(axis=0)
+    for i in range(n):
+        for j in range(d):
+            if hi[j] > lo[j]:
+                want = min(255, int(np.floor((xf[i, j] - lo[j]) / ((hi[j] - lo[j]) / 255.0))))
+            else:
+                want = 0
+            assert got[(i, j)] == want
+    # range sanity: 0..255, extremes hit
+    assert got.min() == 0 and got.max() == 255
+    assert (out.loc[out["dim"] == 3, "q"] == 0).all()
