@@ -1930,6 +1930,24 @@ def _q_edge_support(sf_dir: str):
     return edge_support(_canon_edges(sf_dir))
 
 
+def _q_mean_hops(sf_dir: str):
+    """Landmark mean-distance estimate (avg path length proxy; two
+    exact integer scalars from the k batched BFS waves)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.bfs import mean_hops_sampled
+
+    return mean_hops_sampled(_canon_edges(sf_dir), k=4)
+
+
+def _q_degree_gini(sf_dir: str):
+    """Gini coefficient of the degree distribution (exact rank-sum
+    arithmetic over the degree histogram, never per-vertex rows)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.stages.graph import degree_gini
+
+    return degree_gini(_canon_edges(sf_dir))
+
+
 def _q_landmark_features(sf_dir: str):
     """Landmark distance features (k=4 multi-BFS pivoted to one row
     per reached vertex; -1 per unreached landmark)."""
@@ -2529,6 +2547,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "negative_edges": _q_negative_edges,
         "bipartite_check": _q_bipartite,
         "landmark_features": _q_landmark_features,
+        "mean_hops_sampled": _q_mean_hops,
+        "degree_gini": _q_degree_gini,
         "degree_powerlaw": _q_degree_powerlaw,
         "rich_club": _q_rich_club,
         "sampled_triangle_estimate": _q_sampled_triangles,
@@ -2900,6 +2920,28 @@ FROM le GROUP BY 1, 2"""
             "s AS (SELECT x, y, count(*) AS sup FROM cr GROUP BY x, y) "
             "SELECT o.a, o.b, coalesce(s.sup, 0)::BIGINT AS support "
             "FROM o LEFT JOIN s ON s.x = o.a AND s.y = o.b"
+        ),
+        "mean_hops_sampled": (
+            f"WITH RECURSIVE {_EDGES_CTES}, "
+            "seeds AS MATERIALIZED (SELECT v AS s FROM verts ORDER BY v LIMIT 4), "
+            "walk AS (SELECT s AS source, s AS v, 0 AS h FROM seeds "
+            "  UNION SELECT w.source, e.dst AS v, w.h + 1 AS h "
+            "  FROM walk w JOIN edges e ON e.src = w.v WHERE w.h < 64), "
+            "d AS (SELECT source, v, min(h)::BIGINT AS hops "
+            "  FROM walk GROUP BY source, v) "
+            "SELECT count(*)::BIGINT AS n_pairs, "
+            "floor(sum(hops)::DOUBLE / count(*) * 1e6 + 0.5) / 1e6 AS mean_hops "
+            "FROM d"
+        ),
+        "degree_gini": (
+            f"WITH {_EDGES_CTES}, "
+            "simp AS (SELECT src, dst FROM edges WHERE src <> dst), "
+            "deg AS (SELECT src AS v, count(*)::BIGINT AS d FROM simp GROUP BY src), "
+            "r AS (SELECT d, row_number() OVER (ORDER BY d, v)::BIGINT AS rk FROM deg) "
+            "SELECT count(*)::BIGINT AS n_vertices, "
+            "floor((2.0 * sum(rk * d) / (count(*) * sum(d)::DOUBLE) "
+            "- (count(*) + 1.0) / count(*)) * 1e6 + 0.5) / 1e6 AS gini "
+            "FROM r"
         ),
         "landmark_features": (
             f"WITH RECURSIVE {_EDGES_CTES}, "

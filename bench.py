@@ -281,6 +281,8 @@ def bench_suite() -> dict:
         "sampled_triangle_estimate",
         "prep_sink_roundtrip",
         "embedding_quantize",
+        "mean_hops_sampled",
+        "degree_gini",
         "order_line_stats",
         "embedding_project",
         "events_out_of_order",

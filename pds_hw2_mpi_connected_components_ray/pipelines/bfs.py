@@ -498,3 +498,42 @@ def landmark_features(edges: Dataset, *, k: int = 4) -> Dataset:
         .groupby("_kb")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def mean_hops_sampled(edges: Dataset, *, k: int = 4):
+    """One row (n_pairs, mean_hops): mean hop distance over all
+    (landmark, reached-vertex) pairs from the k batched BFS waves —
+    the cheap average-path-length estimate (exact APL is all-pairs;
+    landmarks are the standard O(k·E) proxy). Two exact integer
+    scalars from per-batch partials; the mean quantizes half-up at
+    1e-6 from the integers (order-free)."""
+    import pandas as pd
+
+    pairs = multi_bfs_hops(edges, k=k)
+    n_pairs, s_hops = 0, 0
+    for t in (
+        pairs.map_batches(
+            lambda b: pa.table(
+                {
+                    "n": np.array([len(b)], dtype=np.int64),
+                    "s": np.array(
+                        [int(b["hops"].to_numpy(zero_copy_only=False).sum())],
+                        dtype=np.int64,
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    ):
+        n_pairs += int(t["n"].to_numpy(zero_copy_only=False).sum())
+        s_hops += int(t["s"].to_numpy(zero_copy_only=False).sum())
+    mean = (
+        float(np.floor(s_hops / n_pairs * 1e6 + 0.5) / 1e6) if n_pairs else 0.0
+    )
+    return pd.DataFrame(
+        {
+            "n_pairs": np.array([n_pairs], dtype=np.int64),
+            "mean_hops": np.array([mean], dtype=np.float64),
+        }
+    )

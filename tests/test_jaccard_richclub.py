@@ -234,3 +234,37 @@ def test_landmark_features_brute():
         v = int(row["vertex"])
         for i in range(4):
             assert row[f"d{i}"] == abs(v - i)
+
+
+def test_degree_gini_brute():
+    from pds_hw2_mpi_connected_components_ray.stages.graph import degree_gini
+
+    # star: one hub degree n-1, leaves degree 1 — known unequal dist
+    n = 12
+    df = pd.DataFrame({"src": [0] * (n - 1), "dst": list(range(1, n))})
+    ds = _sym_ds(df)
+    out = degree_gini(ds)
+    degs = sorted([n - 1] + [1] * (n - 1))
+    tot = sum(degs)
+    rank_sum = sum((i + 1) * d for i, d in enumerate(degs))
+    want = np.floor(
+        (2.0 * rank_sum / (n * float(tot)) - (n + 1.0) / n) * 1e6 + 0.5
+    ) / 1e6
+    assert out["n_vertices"].iloc[0] == n
+    assert out["gini"].iloc[0] == want
+    # regular graph -> gini 0
+    ring = pd.DataFrame({"src": list(range(8)), "dst": [(i + 1) % 8 for i in range(8)]})
+    out2 = degree_gini(_sym_ds(ring))
+    assert out2["gini"].iloc[0] == 0.0
+
+
+def test_mean_hops_sampled_path():
+    from pds_hw2_mpi_connected_components_ray.pipelines.bfs import mean_hops_sampled
+
+    # path 0-1-2-3-4; landmarks 0..3 -> hops matrix known exactly
+    df = pd.DataFrame([(0, 1), (1, 2), (2, 3), (3, 4)], columns=["src", "dst"])
+    out = mean_hops_sampled(_sym_ds(df), k=4)
+    hops = [abs(v - s) for s in range(4) for v in range(5)]
+    assert out["n_pairs"].iloc[0] == len(hops)
+    want = np.floor(sum(hops) / len(hops) * 1e6 + 0.5) / 1e6
+    assert out["mean_hops"].iloc[0] == want
