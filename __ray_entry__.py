@@ -1881,6 +1881,29 @@ def _q_scc(sf_dir: str):
     return _scc_labels_memo(sf_dir)
 
 
+def _q_length_rank_by_source(sf_dir: str):
+    """Per-source percent_rank of doc length — the partitioned window
+    computed from broadcast cumulative histograms, no per-group sort."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import (
+        length_rank_by_source,
+    )
+
+    return length_rank_by_source(_docs(sf_dir))
+
+
+def _q_first_touch(sf_dir: str):
+    """First-touch attribution (type of each user's first event)."""
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import (
+        first_touch_counts,
+    )
+
+    return first_touch_counts(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_token_length_hist(sf_dir: str):
     """Whitespace-token length distribution (tokenizer-budget profile)."""
     _configure()
@@ -2644,6 +2667,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_surprisal": _q_bigram_surprisal,
         "doc_unigram_xent": _q_doc_unigram_xent,
         "token_length_hist": _q_token_length_hist,
+        "length_rank_by_source": _q_length_rank_by_source,
+        "events_first_touch": _q_first_touch,
         "charset_profile": _q_charset_profile,
         "pmi_collocations": _q_pmi,
         "top_docs_per_source": _q_top_docs_per_source,
@@ -3825,6 +3850,20 @@ GROUP BY l.doc_id
             "  * 1e6 + 0.5) / 1e6 AS pmi "
             "FROM c2 JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t "
             "WHERE c2.n >= 5 ORDER BY pmi DESC, bigram ASC LIMIT 30"
+        ),
+        "length_rank_by_source": (
+            "WITH l AS (SELECT doc_id, source, "
+            "  length(coalesce(text, ''))::BIGINT AS L FROM documents) "
+            "SELECT doc_id, source, "
+            "floor(percent_rank() OVER (PARTITION BY source ORDER BY L) "
+            "* 1e6 + 0.5) / 1e6 AS pct FROM l"
+        ),
+        "events_first_touch": (
+            "WITH r AS (SELECT event_type, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn "
+            "FROM events) "
+            "SELECT event_type, count(*)::BIGINT AS n_users "
+            "FROM r WHERE rn = 1 GROUP BY event_type"
         ),
         "token_length_hist": (
             "WITH tk AS (SELECT unnest(regexp_extract_all(coalesce(text, ''), "

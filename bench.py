@@ -283,6 +283,8 @@ def bench_suite() -> dict:
         "embedding_quantize",
         "mean_hops_sampled",
         "degree_gini",
+        "length_rank_by_source",
+        "events_first_touch",
         "order_line_stats",
         "embedding_project",
         "events_out_of_order",

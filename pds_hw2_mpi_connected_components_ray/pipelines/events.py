@@ -912,3 +912,36 @@ def out_of_order_stats(events: Dataset) -> Dataset:
         .groupby("_kb")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def first_touch_counts(events: Dataset) -> Dataset:
+    """(event_type, n_users): how many users' FIRST event (by ts,
+    event_id) was of each type — first-touch attribution. Bucketed
+    one-pass shape: each user lands whole in one bucket, the bucket
+    sorts once and takes its run heads, and the bucket emits partial
+    TYPE counts (≤|types| rows), so the keyed aggregate never sees the
+    user count."""
+    from ray.data.aggregate import Sum
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype=object),
+                    "c": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        users = g["user_id"].to_numpy()
+        first = np.r_[True, users[1:] != users[:-1]]
+        et = g["event_type"].to_numpy()[first]
+        u, c = np.unique(et, return_counts=True)
+        return pd.DataFrame({"event_type": u, "c": c.astype(np.int64)})
+
+    return (
+        _bucket_by_key(events, "user_id", ["user_id", "ts", "event_id", "event_type"])
+        .groupby("_kb")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("c", alias_name="n_users"))
+    )

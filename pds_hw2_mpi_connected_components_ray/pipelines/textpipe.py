@@ -1170,3 +1170,72 @@ def charset_profile(docs: Dataset) -> pd.DataFrame:
             "punct_ratio": [q(tot["p"])],
         }
     )
+
+
+def length_rank_by_source(docs: Dataset) -> Dataset:
+    """(doc_id, source, pct): percent_rank of each document's length
+    WITHIN its source — the per-group window function computed with NO
+    per-group sort: percent_rank is (count-of-smaller)/(n−1), and both
+    terms read off the per-source LENGTH HISTOGRAM (bounded by
+    |sources|·|distinct lengths|, a per-batch partial + one keyed sum),
+    broadcast once as cumulative counts. Low-cardinality partition
+    keys are exactly where sort-based windows skew; the histogram
+    formulation sidesteps the skew entirely. Ties share a rank (the
+    SQL percent_rank contract); single-doc sources get 0."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    base = docs.select_columns(["doc_id", "source", "text"])
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "source": b["source"].astype(str),
+                "L": b["text"].fillna("").str.len().astype(np.int64),
+            }
+        )
+        g = df.groupby(["source", "L"], sort=False).size().reset_index(name="c")
+        g["c"] = g["c"].astype(np.int64)
+        return g
+
+    hist = (
+        base.map_batches(hist_partial, batch_format="pandas")
+        .groupby(["source", "L"])
+        .aggregate(Sum("c", alias_name="n"))
+        .materialize()
+    )
+    hdf = pd.concat(
+        list(hist.iter_batches(batch_format="pandas", batch_size=None)),
+        ignore_index=True,
+    ).sort_values(["source", "L"], kind="stable")
+    lookup: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+    for src, g in hdf.groupby("source", sort=False):
+        ls = g["L"].to_numpy(dtype=np.int64)
+        cs = g["n"].to_numpy(dtype=np.int64)
+        below = np.r_[0, np.cumsum(cs)[:-1]]  # docs strictly shorter
+        lookup[str(src)] = (ls, below, int(cs.sum()))
+    ref = ray.put(lookup)
+
+    def rank(b: pd.DataFrame) -> pd.DataFrame:
+        lk = ray.get(ref)
+        src = b["source"].astype(str).to_numpy()
+        L = b["text"].fillna("").str.len().to_numpy(dtype=np.int64)
+        pct = np.zeros(len(b), dtype=np.float64)
+        for s in np.unique(src):
+            ls, below, n = lk[s]
+            m = src == s
+            if n > 1:
+                idx = np.searchsorted(ls, L[m])
+                pct[m] = (
+                    np.floor(below[idx] / (n - 1) * 1e6 + 0.5) / 1e6
+                )
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(dtype=np.int64),
+                "source": src,
+                "pct": pct,
+            }
+        )
+
+    return base.map_batches(rank, batch_format="pandas")

@@ -740,3 +740,67 @@ def test_token_length_hist_and_charset_brute():
     assert prof["space_ratio"].iloc[0] == q(len(_re.findall(r"\s", all_text)))
     assert prof["punct_ratio"].iloc[0] == q(len(_re.findall(r"[^\w\s]", all_text)))
     assert prof["ascii_ratio"].iloc[0] == 1.0
+
+
+def test_first_touch_brute():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import (
+        first_touch_counts,
+    )
+
+    tab = _events_table(n=300, seed=27)
+    ds = rd.from_arrow(tab).repartition(4)
+    out = (
+        first_touch_counts(ds)
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    df = tab.to_pandas()
+    df["t"] = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+    first = df.sort_values(["user_id", "t", "event_id"]).groupby("user_id").head(1)
+    want = (
+        first.groupby("event_type")
+        .size()
+        .reset_index(name="n_users")
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert list(out["event_type"]) == list(want["event_type"])
+    assert np.array_equal(out["n_users"].to_numpy(), want["n_users"].to_numpy())
+    assert out["n_users"].sum() == df["user_id"].nunique()
+
+
+def test_length_rank_by_source_brute():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import (
+        length_rank_by_source,
+    )
+
+    rng = np.random.default_rng(63)
+    n = 200
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": rng.choice(["a", "b", "solo"], n, p=[0.5, 0.495, 0.005]),
+            "text": ["x" * int(k) for k in rng.integers(0, 40, n)],
+        }
+    )
+    ds = rd.from_pandas([df.iloc[i::4] for i in range(4)])
+    out = length_rank_by_source(ds).to_pandas().set_index("doc_id")
+    df["L"] = df["text"].str.len()
+    for src, g in df.groupby("source"):
+        ls = g["L"].to_numpy()
+        nn = len(ls)
+        for _, row in g.iterrows():
+            if nn > 1:
+                want = np.floor((ls < row["L"]).sum() / (nn - 1) * 1e6 + 0.5) / 1e6
+            else:
+                want = 0.0
+            assert out.loc[row["doc_id"], "pct"] == want
