@@ -23,7 +23,16 @@ import time
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--pages", required=True, help="pages Parquet file/dir")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--pages", help="pages Parquet file/dir")
+    src.add_argument(
+        "--mtx",
+        help="MatrixMarket .mtx graph (the reference converter's input: "
+        "mtx_to_bin graph.mtx + mpirun … graph.bin becomes this one flag)",
+    )
+    src.add_argument(
+        "--bin", dest="bin_path", help="reference binary CSC .bin graph"
+    )
     p.add_argument("--out", required=True, help="output root directory")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--resume", action="store_true")
@@ -48,13 +57,40 @@ def main(argv: list[str] | None = None) -> int:
 
     configure_ray_data(quiet=True)
 
-    from .pipelines.extract_pipeline import pages_to_edges
-    from .sources.pages import read_pages
     from .sources.sinks import write_partitioned
 
     t0 = time.perf_counter()
-    pages = read_pages(args.pages, columns=["url", "html"])
-    edges = pages_to_edges(pages).materialize()
+    if args.pages:
+        from .pipelines.extract_pipeline import pages_to_edges
+        from .sources.pages import read_pages
+
+        pages = read_pages(args.pages, columns=["url", "html"])
+        edges = pages_to_edges(pages).materialize()
+    else:
+        # the reference workflow verbatim: .mtx (or its converted .bin)
+        # in, analytics out — symmetric closure matches the converter
+        # (/root/reference/src/converter/mtx_to_bin.c:199-213)
+        import ray.data as rd
+
+        from .sources.mtx import read_bin, read_mtx
+        from .stages.graph import canonical_edges
+
+        if args.mtx:
+            _n, raw = read_mtx(args.mtx)
+        else:
+            _n, raw = read_bin(args.bin_path)
+        import pyarrow as pa
+
+        edges = canonical_edges(
+            rd.from_arrow(
+                pa.table(
+                    {
+                        "src": raw[:, 0].astype("int64"),
+                        "dst": raw[:, 1].astype("int64"),
+                    }
+                )
+            )
+        ).materialize()
     report: dict = {
         "n_edges": edges.count(),
         "etl_sec": round(time.perf_counter() - t0, 3),

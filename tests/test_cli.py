@@ -73,3 +73,40 @@ def test_cli_prep_end_to_end(tmp_path, capsys):
     assert len(kept) == report["n_kept"]
     groups = read_partitioned(f"{out}/dup_groups").to_pandas()
     assert (groups["group_id"] <= groups["doc_id"]).all()
+
+
+def test_cli_mtx_input(tmp_path, capsys):
+    """The reference workflow verbatim: .mtx in → CC out. Two cliques
+    {1,2,3} and {4,5} (1-based mtx ids → 0-based vertices)."""
+    p = tmp_path / "g.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate pattern symmetric\n"
+        "5 5 4\n"
+        "2 1\n3 1\n3 2\n5 4\n"
+    )
+    out = str(tmp_path / "out")
+    rc = main(["--mtx", str(p), "--out", out, "--analytics", "cc,triangles"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["outputs"]["cc"]["n_components"] == 2
+    assert report["outputs"]["triangles"]["total"] == 1
+    labels = read_partitioned(f"{out}/cc_labels").to_pandas()
+    got = dict(zip(labels["vertex"], labels["label"]))
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3}
+
+
+def test_cli_bin_input(tmp_path, capsys):
+    """Converted .bin in → same result (the solver-side input path)."""
+    import numpy as np
+
+    from pds_hw2_mpi_connected_components_ray.sources.mtx import write_bin
+
+    # symmetric expanded edges of a path 0-1-2
+    e = np.array([[0, 1], [1, 0], [1, 2], [2, 1]], dtype=np.int64)
+    p = tmp_path / "g.bin"
+    write_bin(str(p), 3, e)
+    out = str(tmp_path / "out2")
+    rc = main(["--bin", str(p), "--out", out, "--analytics", "cc"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["outputs"]["cc"]["n_components"] == 1
