@@ -1881,6 +1881,17 @@ def _q_scc(sf_dir: str):
     return _scc_labels_memo(sf_dir)
 
 
+def _q_quality_by_source(sf_dir: str):
+    """Per-source curation report (kept docs + mean quality score per
+    crawl slice; actor-pool scoring, |sources|-bounded aggregate)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import (
+        quality_by_source,
+    )
+
+    return quality_by_source(_docs(sf_dir))
+
+
 def _q_length_rank_by_source(sf_dir: str):
     """Per-source percent_rank of doc length — the partitioned window
     computed from broadcast cumulative histograms, no per-group sort."""
@@ -2668,6 +2679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_unigram_xent": _q_doc_unigram_xent,
         "token_length_hist": _q_token_length_hist,
         "length_rank_by_source": _q_length_rank_by_source,
+        "quality_by_source": _q_quality_by_source,
         "events_first_touch": _q_first_touch,
         "charset_profile": _q_charset_profile,
         "pmi_collocations": _q_pmi,
@@ -3662,6 +3674,23 @@ GROUP BY l.doc_id
             "SELECT doc_id, floor(1.0 / (1.0 + exp(-z)) * 1e6 + 0.5) / 1e6 AS score, "
             "(CASE WHEN floor(1.0 / (1.0 + exp(-z)) * 1e6 + 0.5) / 1e6 >= 0.5 "
             "  THEN 1 ELSE 0 END)::BIGINT AS keep FROM z"
+        ),
+        "quality_by_source": (
+            "WITH f AS (SELECT doc_id, "
+            "  length(coalesce(text, ''))::DOUBLE AS L, "
+            "  len(regexp_extract_all(coalesce(text, ''), '\\S+'))::DOUBLE AS T, "
+            "  len(list_distinct(regexp_extract_all(coalesce(text, ''), '\\S+')))::DOUBLE AS Y "
+            "  FROM documents), "
+            "z AS (SELECT doc_id, -2.0 + 0.3 * ln(1.0 + L) + 0.4 * ln(1.0 + T) "
+            "  + 1.5 * (CASE WHEN T > 0 THEN Y / greatest(T, 1.0) ELSE 0.0 END) AS z "
+            "  FROM f), "
+            "m AS (SELECT d.source, "
+            "  CAST(floor(1.0 / (1.0 + exp(-z.z)) * 1e6 + 0.5) AS BIGINT) AS mu "
+            "  FROM z JOIN documents d USING (doc_id)) "
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "sum(CASE WHEN mu >= 500000 THEN 1 ELSE 0 END)::BIGINT AS n_keep, "
+            "floor(sum(mu)::DOUBLE / count(*) + 0.5) / 1e6 AS mean_score "
+            "FROM m GROUP BY source"
         ),
         "weighted_sample": (
             "WITH h AS (SELECT doc_id, n_chars, "

@@ -285,6 +285,7 @@ def bench_suite() -> dict:
         "degree_gini",
         "length_rank_by_source",
         "events_first_touch",
+        "quality_by_source",
         "order_line_stats",
         "embedding_project",
         "events_out_of_order",

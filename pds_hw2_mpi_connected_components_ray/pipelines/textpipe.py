@@ -1239,3 +1239,71 @@ def length_rank_by_source(docs: Dataset) -> Dataset:
         )
 
     return base.map_batches(rank, batch_format="pandas")
+
+
+def quality_by_source(docs: Dataset, concurrency: int | None = None) -> Dataset:
+    """(source, n_docs, n_keep, mean_score): the per-source curation
+    report — which crawl slices the quality filter keeps and at what
+    mean score (the dashboard row behind every mixture decision). One
+    actor-pool pass scores each batch (weights load once per actor,
+    the QualityClassifierStage contract) and emits per-source PARTIALS
+    (n, Σµ, keeps) with the score quantized to integer µ BEFORE
+    summation, so the keyed aggregate sees |sources|-bounded rows and
+    the mean is exact-integer arithmetic."""
+    from ray.data.aggregate import Sum
+
+    class _Stage(QualityClassifierStage):
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            text = batch["text"].fillna("")
+            L = text.str.len().to_numpy(dtype=np.float64)
+            toks = text.str.split()
+            T = toks.str.len().to_numpy(dtype=np.float64)
+            Y = np.array(
+                [len(set(x)) for x in toks.to_numpy()], dtype=np.float64
+            )
+            x1 = np.log(1.0 + L)
+            x2 = np.log(1.0 + T)
+            x3 = np.where(T > 0, Y / np.maximum(T, 1.0), 0.0)
+            w = self.w
+            z = w[0] + w[1] * x1 + w[2] * x2 + w[3] * x3
+            mu = np.floor(1.0 / (1.0 + np.exp(-z)) * 1e6 + 0.5).astype(np.int64)
+            df = pd.DataFrame(
+                {
+                    "source": batch["source"].astype(str),
+                    "mu": mu,
+                    "k": (mu >= 500_000).astype(np.int64),
+                }
+            )
+            g = df.groupby("source", sort=False).agg(
+                n=("mu", "size"), s=("mu", "sum"), k=("k", "sum")
+            )
+            out = g.reset_index()
+            for c in ("n", "s", "k"):
+                out[c] = out[c].astype(np.int64)
+            return out
+
+    kwargs = {"batch_format": "pandas", "concurrency": concurrency or (1, 8)}
+    agg = (
+        docs.select_columns(["doc_id", "source", "text"])
+        .map_batches(_Stage, **kwargs)
+        .groupby("source")
+        .aggregate(
+            Sum("n", alias_name="n_docs"),
+            Sum("k", alias_name="n_keep"),
+            Sum("s", alias_name="s"),
+        )
+    )
+
+    def finalize(t: pd.DataFrame) -> pd.DataFrame:
+        s = t["s"].to_numpy(dtype=np.float64)
+        n = t["n_docs"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "source": t["source"].astype(str),
+                "n_docs": n,
+                "n_keep": t["n_keep"].to_numpy(dtype=np.int64),
+                "mean_score": np.floor(s / n + 0.5) / 1e6,
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas")

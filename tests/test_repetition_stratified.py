@@ -124,3 +124,40 @@ def test_rate_anomalies_handcrafted(ray_session):
     assert out.loc[out["user_id"] == 1, "win"].tolist() == [8]
     z = (10 - 2.0) / np.std([1] * 8 + [10], ddof=1)
     assert out["z"].iloc[0] == round(z, 6)
+
+
+def test_quality_by_source_consistent_with_classifier(ray_session):
+    """Per-source report must re-aggregate exactly from the per-doc
+    classifier output joined to sources."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import (
+        quality_by_source,
+        quality_classifier,
+    )
+
+    rng = np.random.default_rng(71)
+    n = 150
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": rng.choice(["wiki", "web", "code"], n),
+            "text": [
+                " ".join(rng.choice(["alpha", "beta", "gamma", "x"], rng.integers(1, 30)))
+                for _ in range(n)
+            ],
+        }
+    )
+    ds = rd.from_pandas([docs.iloc[i::3] for i in range(3)])
+    rep = quality_by_source(ds).to_pandas().set_index("source")
+    per = quality_classifier(ds).to_pandas().merge(
+        docs[["doc_id", "source"]], on="doc_id"
+    )
+    per["mu"] = np.floor(per["score"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    for src, g in per.groupby("source"):
+        assert rep.loc[src, "n_docs"] == len(g)
+        assert rep.loc[src, "n_keep"] == int(g["keep"].sum())
+        want = np.floor(g["mu"].sum() / len(g) + 0.5) / 1e6
+        assert rep.loc[src, "mean_score"] == want
