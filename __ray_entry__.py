@@ -1881,6 +1881,15 @@ def _q_scc(sf_dir: str):
     return _scc_labels_memo(sf_dir)
 
 
+def _q_zipf_slope(sf_dir: str):
+    """Zipf exponent of the corpus token-frequency curve (top-100 fit,
+    µnat-quantized ln terms, exact integer regression sums)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import zipf_slope
+
+    return zipf_slope(_docs(sf_dir), k=100)
+
+
 def _q_quality_by_source(sf_dir: str):
     """Per-source curation report (kept docs + mean quality score per
     crawl slice; actor-pool scoring, |sources|-bounded aggregate)."""
@@ -2680,6 +2689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_length_hist": _q_token_length_hist,
         "length_rank_by_source": _q_length_rank_by_source,
         "quality_by_source": _q_quality_by_source,
+        "zipf_slope": _q_zipf_slope,
         "events_first_touch": _q_first_touch,
         "charset_profile": _q_charset_profile,
         "pmi_collocations": _q_pmi,
@@ -3674,6 +3684,19 @@ GROUP BY l.doc_id
             "SELECT doc_id, floor(1.0 / (1.0 + exp(-z)) * 1e6 + 0.5) / 1e6 AS score, "
             "(CASE WHEN floor(1.0 / (1.0 + exp(-z)) * 1e6 + 0.5) / 1e6 >= 0.5 "
             "  THEN 1 ELSE 0 END)::BIGINT AS keep FROM z"
+        ),
+        "zipf_slope": (
+            "WITH tk AS (SELECT unnest(regexp_extract_all(coalesce(text, ''), "
+            "'\\S+')) AS token FROM documents), "
+            "c AS (SELECT token, count(*)::BIGINT AS n FROM tk GROUP BY token), "
+            "t AS (SELECT n, row_number() OVER (ORDER BY n DESC, token ASC)::BIGINT "
+            "  AS r FROM c ORDER BY n DESC, token LIMIT 100), "
+            "q AS (SELECT CAST(floor(ln(r::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS x, "
+            "  CAST(floor(ln(n::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS y FROM t) "
+            "SELECT count(*)::BIGINT AS n_terms, "
+            "floor((count(*)::DOUBLE * sum(x * y) - sum(x)::DOUBLE * sum(y)) "
+            "/ (count(*)::DOUBLE * sum(x * x) - sum(x)::DOUBLE * sum(x)) "
+            "* 1e6 + 0.5) / 1e6 AS slope FROM q"
         ),
         "quality_by_source": (
             "WITH f AS (SELECT doc_id, "

@@ -286,6 +286,7 @@ def bench_suite() -> dict:
         "length_rank_by_source",
         "events_first_touch",
         "quality_by_source",
+        "zipf_slope",
         "order_line_stats",
         "embedding_project",
         "events_out_of_order",

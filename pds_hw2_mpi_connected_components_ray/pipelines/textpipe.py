@@ -1307,3 +1307,52 @@ def quality_by_source(docs: Dataset, concurrency: int | None = None) -> Dataset:
         )
 
     return agg.map_batches(finalize, batch_format="pandas")
+
+
+def zipf_slope(docs: Dataset, *, k: int = 100):
+    """One row (n_terms, slope): the least-squares slope of
+    ln(frequency) vs ln(rank) over the corpus's top-k tokens — the
+    Zipf-law exponent (natural text sits near −1; token salad and
+    templated spam drift off). Reuses the top_tokens combiner (the
+    only corpus pass); the k-row fit runs on the driver with every
+    ln term quantized to integer µnats first, so all four regression
+    sums are exact int64 and the closed-form slope is the same double
+    expression over identical integers in SQL."""
+    import pandas as _pd
+
+    top = top_tokens(docs, k=k).materialize()
+    tdf = _pd.concat(
+        list(top.iter_batches(batch_format="pandas", batch_size=None)),
+        ignore_index=True,
+    )
+    # ranks follow the (n desc, token asc) sort order already applied
+    n_terms = len(tdf)
+    if n_terms < 2:
+        return _pd.DataFrame(
+            {
+                "n_terms": np.array([n_terms], dtype=np.int64),
+                "slope": np.array([0.0], dtype=np.float64),
+            }
+        )
+    r = np.arange(1, n_terms + 1, dtype=np.float64)
+    f = tdf["n"].to_numpy(dtype=np.float64)
+    x = np.floor(np.log(r) * 1e6 + 0.5).astype(np.int64)
+    y = np.floor(np.log(f) * 1e6 + 0.5).astype(np.int64)
+    n = np.int64(n_terms)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy, sxx = int((x * y).sum()), int((x * x).sum())
+    slope = float(
+        np.floor(
+            (float(n) * sxy - float(sx) * sy)
+            / (float(n) * sxx - float(sx) * sx)
+            * 1e6
+            + 0.5
+        )
+        / 1e6
+    )
+    return _pd.DataFrame(
+        {
+            "n_terms": np.array([n_terms], dtype=np.int64),
+            "slope": np.array([slope], dtype=np.float64),
+        }
+    )

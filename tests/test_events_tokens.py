@@ -804,3 +804,35 @@ def test_length_rank_by_source_brute():
             else:
                 want = 0.0
             assert out.loc[row["doc_id"], "pct"] == want
+
+
+def test_zipf_slope_planted():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import zipf_slope
+
+    # plant an exact Zipf corpus: token_r appears floor(1200/r) times
+    rng = np.random.default_rng(73)
+    toks = []
+    for r in range(1, 31):
+        toks += [f"tok{r:02d}"] * (1200 // r)
+    rng.shuffle(toks)
+    # split into docs of ~40 tokens
+    texts = [" ".join(toks[i : i + 40]) for i in range(0, len(toks), 40)]
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                      "text": texts})
+    ).repartition(4)
+    out = zipf_slope(docs, k=30)
+    assert out["n_terms"].iloc[0] == 30
+    slope = out["slope"].iloc[0]
+    # true exponent is -1 (floor() quantization of counts bends it a little)
+    assert -1.05 < slope < -0.95
+    # determinism under repartitioning
+    docs2 = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                      "text": texts})
+    ).repartition(7)
+    assert zipf_slope(docs2, k=30)["slope"].iloc[0] == slope
