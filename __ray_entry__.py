@@ -1912,6 +1912,16 @@ def _q_length_rank_by_source(sf_dir: str):
     return length_rank_by_source(_docs(sf_dir))
 
 
+def _q_gap_hist(sf_dir: str):
+    """Inter-event gap log2 histogram (arrival-process profile)."""
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import gap_hist
+
+    return gap_hist(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_first_touch(sf_dir: str):
     """First-touch attribution (type of each user's first event)."""
     _configure()
@@ -2691,6 +2701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_by_source": _q_quality_by_source,
         "zipf_slope": _q_zipf_slope,
         "events_first_touch": _q_first_touch,
+        "events_gap_hist": _q_gap_hist,
         "charset_profile": _q_charset_profile,
         "pmi_collocations": _q_pmi,
         "top_docs_per_source": _q_top_docs_per_source,
@@ -3909,6 +3920,15 @@ GROUP BY l.doc_id
             "SELECT doc_id, source, "
             "floor(percent_rank() OVER (PARTITION BY source ORDER BY L) "
             "* 1e6 + 0.5) / 1e6 AS pct FROM l"
+        ),
+        "events_gap_hist": (
+            "WITH o AS (SELECT user_id, epoch_us(ts) AS t, "
+            "  lag(epoch_us(ts)) OVER (PARTITION BY user_id "
+            "    ORDER BY epoch_us(ts), event_id) AS pt FROM events), "
+            "g AS (SELECT t - pt AS gap FROM o WHERE pt IS NOT NULL) "
+            "SELECT (CASE WHEN gap > 0 THEN "
+            "CAST(floor(ln(gap::DOUBLE) / ln(2.0)) AS BIGINT) ELSE -1 END) AS bucket, "
+            "count(*)::BIGINT AS n_gaps FROM g GROUP BY bucket"
         ),
         "events_first_touch": (
             "WITH r AS (SELECT event_type, row_number() OVER ("

@@ -287,6 +287,7 @@ def bench_suite() -> dict:
         "events_first_touch",
         "quality_by_source",
         "zipf_slope",
+        "events_gap_hist",
         "order_line_stats",
         "embedding_project",
         "events_out_of_order",

@@ -945,3 +945,43 @@ def first_touch_counts(events: Dataset) -> Dataset:
         .groupby("event_type")
         .aggregate(Sum("c", alias_name="n_users"))
     )
+
+
+def gap_hist(events: Dataset) -> Dataset:
+    """(bucket, n_gaps): log₂ histogram of per-user inter-event gaps
+    (bucket = floor(ln(gap)/ln 2) µs; zero gaps land in bucket −1) —
+    the arrival-process profile that sizes session-gap and rate-window
+    thresholds. Same bucketed one-pass shape as asof_prev; the per-
+    bucket output is ≤64 rows. ln(gap)/ln(2) (NOT log2()) keeps the
+    doubles bit-identical to the SQL oracle's ln-quotient."""
+    from ray.data.aggregate import Sum
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype="int64"),
+                    "c": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        users = g["user_id"].to_numpy(dtype=np.int64)
+        t = g["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        same = np.r_[False, users[1:] == users[:-1]]
+        gaps = np.diff(t, prepend=t[:1])[same]
+        b = np.full(len(gaps), -1, dtype=np.int64)
+        pos = gaps > 0
+        with np.errstate(divide="ignore"):
+            b[pos] = np.floor(
+                np.log(gaps[pos].astype(np.float64)) / np.log(2.0)
+            ).astype(np.int64)
+        u, c = np.unique(b, return_counts=True)
+        return pd.DataFrame({"bucket": u, "c": c.astype(np.int64)})
+
+    return (
+        _bucket_by_key(events, "user_id", ["user_id", "ts", "event_id"])
+        .groupby("_kb")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Sum("c", alias_name="n_gaps"))
+    )

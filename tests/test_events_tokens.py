@@ -836,3 +836,28 @@ def test_zipf_slope_planted():
                       "text": texts})
     ).repartition(7)
     assert zipf_slope(docs2, k=30)["slope"].iloc[0] == slope
+
+
+def test_gap_hist_brute():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import gap_hist
+
+    tab = _events_table(n=400, seed=33)
+    ds = rd.from_arrow(tab).repartition(4)
+    out = (
+        gap_hist(ds).to_pandas().sort_values("bucket").reset_index(drop=True)
+    )
+    df = tab.to_pandas()
+    df["t"] = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+    df = df.sort_values(["user_id", "t", "event_id"])
+    gaps = df.groupby("user_id")["t"].diff().dropna().astype(np.int64)
+    want: dict[int, int] = {}
+    for g in gaps:
+        b = int(np.floor(np.log(float(g)) / np.log(2.0))) if g > 0 else -1
+        want[b] = want.get(b, 0) + 1
+    assert dict(zip(out["bucket"], out["n_gaps"])) == want
+    # total gaps = events - users
+    assert out["n_gaps"].sum() == len(df) - df["user_id"].nunique()
