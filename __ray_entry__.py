@@ -1881,6 +1881,17 @@ def _q_scc(sf_dir: str):
     return _scc_labels_memo(sf_dir)
 
 
+def _q_source_similarity(sf_dir: str):
+    """Pairwise vocabulary Jaccard between sources (crawl-slice overlap
+    matrix; token-bucketed intersections, |sources|²-row finalize)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import (
+        source_similarity,
+    )
+
+    return source_similarity(_docs(sf_dir))
+
+
 def _q_zipf_slope(sf_dir: str):
     """Zipf exponent of the corpus token-frequency curve (top-100 fit,
     µnat-quantized ln terms, exact integer regression sums)."""
@@ -2700,6 +2711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_rank_by_source": _q_length_rank_by_source,
         "quality_by_source": _q_quality_by_source,
         "zipf_slope": _q_zipf_slope,
+        "source_similarity": _q_source_similarity,
         "events_first_touch": _q_first_touch,
         "events_gap_hist": _q_gap_hist,
         "charset_profile": _q_charset_profile,
@@ -3695,6 +3707,21 @@ GROUP BY l.doc_id
             "SELECT doc_id, floor(1.0 / (1.0 + exp(-z)) * 1e6 + 0.5) / 1e6 AS score, "
             "(CASE WHEN floor(1.0 / (1.0 + exp(-z)) * 1e6 + 0.5) / 1e6 >= 0.5 "
             "  THEN 1 ELSE 0 END)::BIGINT AS keep FROM z"
+        ),
+        "source_similarity": (
+            "WITH st AS (SELECT DISTINCT source, "
+            "  unnest(regexp_extract_all(coalesce(text, ''), '\\S+')) AS tok "
+            "  FROM documents), "
+            "sz AS (SELECT source, count(*)::BIGINT AS n FROM st GROUP BY source), "
+            "i AS (SELECT x.source AS a, y.source AS b, count(*)::BIGINT AS c "
+            "  FROM st x JOIN st y USING (tok) WHERE x.source < y.source "
+            "  GROUP BY 1, 2) "
+            "SELECT sa.source AS source_a, sb.source AS source_b, "
+            "coalesce(i.c, 0)::BIGINT AS n_common, "
+            "floor(coalesce(i.c, 0)::DOUBLE / (sa.n + sb.n - coalesce(i.c, 0)) "
+            "* 1e6 + 0.5) / 1e6 AS jaccard "
+            "FROM sz sa JOIN sz sb ON sa.source < sb.source "
+            "LEFT JOIN i ON i.a = sa.source AND i.b = sb.source"
         ),
         "zipf_slope": (
             "WITH tk AS (SELECT unnest(regexp_extract_all(coalesce(text, ''), "

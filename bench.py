@@ -288,6 +288,7 @@ def bench_suite() -> dict:
         "quality_by_source",
         "zipf_slope",
         "events_gap_hist",
+        "source_similarity",
         "order_line_stats",
         "embedding_project",
         "events_out_of_order",

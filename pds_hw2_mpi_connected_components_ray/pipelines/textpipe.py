@@ -1356,3 +1356,102 @@ def zipf_slope(docs: Dataset, *, k: int = 100):
             "slope": np.array([slope], dtype=np.float64),
         }
     )
+
+
+def source_similarity(docs: Dataset) -> Dataset:
+    """(source_a, source_b, n_common, jaccard) for every source pair
+    a < b: Jaccard similarity of the sources' DISTINCT token
+    vocabularies — the crawl-slice overlap matrix (two slices with
+    near-1 vocabulary Jaccard are probably the same site family twice).
+    Plan: per-batch distinct (source, token) partials → one keyed
+    dedup (vocab-bounded); intersections count inside token-hash
+    buckets (every holder of a token shares a bucket, each bucket
+    emits ≤|sources|² pair partials); union sizes come from the
+    per-source vocab counts; the |sources|²-row finalize runs on the
+    driver (documented small). Quotients are rational → exact 1e-6."""
+    import itertools
+
+    import ray
+
+    from ray.data.aggregate import Count, Sum
+
+    from .events import _bucket_by_key
+
+    base = docs.select_columns(["source", "text"])
+
+    def pairs_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.split()
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame(
+                {"source": pd.Series([], dtype=str), "tok": pd.Series([], dtype=str)}
+            )
+        flat = np.concatenate(
+            [np.asarray(x, dtype=object) for x in toks.to_numpy() if len(x)]
+        ).astype(str)
+        src = np.repeat(b["source"].astype(str).to_numpy(), lens)
+        return pd.DataFrame({"source": src, "tok": flat}).drop_duplicates()
+
+    st = (
+        base.map_batches(pairs_partial, batch_format="pandas")
+        .groupby(["source", "tok"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["source", "tok"])
+        .materialize()
+    )
+    sizes: dict[str, int] = {}
+    for b in (
+        st.map_batches(
+            lambda d: d.groupby("source", sort=False)
+            .size()
+            .reset_index(name="c"),
+            batch_format="pandas",
+        )
+        .groupby("source")
+        .aggregate(Sum("c", alias_name="n"))
+        .iter_batches(batch_format="pandas", batch_size=None)
+    ):
+        for s, n in zip(b["source"], b["n"]):
+            sizes[str(s)] = int(n)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        inter = (
+            g.merge(g, on="tok")
+            .query("source_x < source_y")
+            .groupby(["source_x", "source_y"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        inter["c"] = inter["c"].astype(np.int64)
+        return inter
+
+    pp = (
+        _bucket_by_key(st, "tok", ["source", "tok"])
+        .groupby("_kb")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["source_x", "source_y"])
+        .aggregate(Sum("c", alias_name="n_common"))
+        .materialize()
+    )
+    idf = pd.concat(
+        list(pp.iter_batches(batch_format="pandas", batch_size=None)),
+        ignore_index=True,
+    )
+    inter_map = {
+        (str(a), str(b)): int(c)
+        for a, b, c in zip(idf["source_x"], idf["source_y"], idf["n_common"])
+    } if len(idf) else {}
+    srcs = sorted(sizes)
+    rows = []
+    for a, b in itertools.combinations(srcs, 2):
+        i = inter_map.get((a, b), 0)
+        u = sizes[a] + sizes[b] - i
+        j = float(np.floor(i / u * 1e6 + 0.5) / 1e6) if u else 0.0
+        rows.append((a, b, i, j))
+    import ray.data as rd
+
+    out = pd.DataFrame(
+        rows, columns=["source_a", "source_b", "n_common", "jaccard"]
+    )
+    out["n_common"] = out["n_common"].astype(np.int64)
+    return rd.from_pandas(out)

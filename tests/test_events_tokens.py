@@ -861,3 +861,46 @@ def test_gap_hist_brute():
     assert dict(zip(out["bucket"], out["n_gaps"])) == want
     # total gaps = events - users
     assert out["n_gaps"].sum() == len(df) - df["user_id"].nunique()
+
+
+def test_source_similarity_brute():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import (
+        source_similarity,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "source": ["a", "a", "b", "b", "c", "c"],
+            "text": [
+                "cat dog bird",
+                "dog fish",
+                "cat dog",
+                "dog horse",
+                "zebra",
+                "yak zebra",
+            ],
+        }
+    )
+    ds = rd.from_pandas([docs.iloc[i::3] for i in range(3)])
+    out = (
+        source_similarity(ds)
+        .to_pandas()
+        .set_index(["source_a", "source_b"])
+    )
+    vocab = {
+        s: set(" ".join(g["text"]).split()) for s, g in docs.groupby("source")
+    }
+    import itertools
+
+    for a, b in itertools.combinations(sorted(vocab), 2):
+        i = len(vocab[a] & vocab[b])
+        u = len(vocab[a] | vocab[b])
+        assert out.loc[(a, b), "n_common"] == i
+        assert out.loc[(a, b), "jaccard"] == np.floor(i / u * 1e6 + 0.5) / 1e6
+    # disjoint sources score 0
+    assert out.loc[("a", "c"), "jaccard"] == 0.0
