@@ -1881,6 +1881,37 @@ def _q_scc(sf_dir: str):
     return _scc_labels_memo(sf_dir)
 
 
+def _q_lang_by_source(sf_dir: str):
+    """Predicted-language × source cross-tab (per-language routing)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import lang_by_source
+
+    return lang_by_source(_docs(sf_dir))
+
+
+def _q_vocab_uniqueness(sf_dir: str):
+    """Per-source vocabulary uniqueness (tokens seen in no other
+    source; token-bucketed holder counts)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import (
+        vocab_uniqueness,
+    )
+
+    return vocab_uniqueness(_docs(sf_dir))
+
+
+def _q_hour_profile(sf_dir: str):
+    """Diurnal activity profile per event type (hour-of-day folds)."""
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import (
+        hour_of_day_profile,
+    )
+
+    return hour_of_day_profile(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_source_similarity(sf_dir: str):
     """Pairwise vocabulary Jaccard between sources (crawl-slice overlap
     matrix; token-bucketed intersections, |sources|²-row finalize)."""
@@ -2712,6 +2743,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_by_source": _q_quality_by_source,
         "zipf_slope": _q_zipf_slope,
         "source_similarity": _q_source_similarity,
+        "lang_by_source": _q_lang_by_source,
+        "vocab_uniqueness": _q_vocab_uniqueness,
+        "events_hour_profile": _q_hour_profile,
         "events_first_touch": _q_first_touch,
         "events_gap_hist": _q_gap_hist,
         "charset_profile": _q_charset_profile,
@@ -3707,6 +3741,27 @@ GROUP BY l.doc_id
             "SELECT doc_id, floor(1.0 / (1.0 + exp(-z)) * 1e6 + 0.5) / 1e6 AS score, "
             "(CASE WHEN floor(1.0 / (1.0 + exp(-z)) * 1e6 + 0.5) / 1e6 >= 0.5 "
             "  THEN 1 ELSE 0 END)::BIGINT AS keep FROM z"
+        ),
+        "lang_by_source": (
+            f"WITH p AS ({_LANG_SQL}) "
+            "SELECT d.source, p.lang_pred, count(*)::BIGINT AS n "
+            "FROM p JOIN documents d USING (doc_id) GROUP BY 1, 2"
+        ),
+        "vocab_uniqueness": (
+            "WITH st AS (SELECT DISTINCT source, "
+            "  unnest(regexp_extract_all(coalesce(text, ''), '\\S+')) AS tok "
+            "  FROM documents), "
+            "h AS (SELECT tok, count(*)::BIGINT AS nh FROM st GROUP BY tok) "
+            "SELECT st.source, count(*)::BIGINT AS n_vocab, "
+            "sum(CASE WHEN h.nh = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique, "
+            "floor(sum(CASE WHEN h.nh = 1 THEN 1 ELSE 0 END)::DOUBLE "
+            "/ greatest(count(*), 1) * 1e6 + 0.5) / 1e6 AS uniqueness "
+            "FROM st JOIN h USING (tok) GROUP BY st.source"
+        ),
+        "events_hour_profile": (
+            "SELECT event_type, "
+            "((epoch_us(ts) // 3600000000) % 24)::BIGINT AS hour, "
+            "count(*)::BIGINT AS n FROM events GROUP BY event_type, hour"
         ),
         "source_similarity": (
             "WITH st AS (SELECT DISTINCT source, "

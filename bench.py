@@ -289,6 +289,9 @@ def bench_suite() -> dict:
         "zipf_slope",
         "events_gap_hist",
         "source_similarity",
+        "lang_by_source",
+        "vocab_uniqueness",
+        "events_hour_profile",
         "order_line_stats",
         "embedding_project",
         "events_out_of_order",

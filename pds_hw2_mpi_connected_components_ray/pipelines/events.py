@@ -985,3 +985,30 @@ def gap_hist(events: Dataset) -> Dataset:
         .groupby("bucket")
         .aggregate(Sum("c", alias_name="n_gaps"))
     )
+
+
+def hour_of_day_profile(events: Dataset) -> Dataset:
+    """(event_type, hour, n): the diurnal activity profile per type —
+    tumbling windows folded onto the 24-hour clock. Pure column
+    derivation + per-batch count partials; the keyed aggregate sees
+    |types|·24 rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(
+            np.int64
+        )
+        hour = (ts // US_PER_HOUR) % 24
+        df = pd.DataFrame(
+            {"event_type": t["event_type"].to_numpy(zero_copy_only=False), "hour": hour}
+        )
+        g = df.groupby(["event_type", "hour"], sort=False).size().reset_index(name="c")
+        g["c"] = g["c"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        events.select_columns(["event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("c", alias_name="n"))
+    )

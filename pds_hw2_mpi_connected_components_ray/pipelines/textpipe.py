@@ -1455,3 +1455,106 @@ def source_similarity(docs: Dataset) -> Dataset:
     )
     out["n_common"] = out["n_common"].astype(np.int64)
     return rd.from_pandas(out)
+
+
+def lang_by_source(docs: Dataset, concurrency: int | None = None) -> Dataset:
+    """(source, lang_pred, n): predicted-language × source cross-tab —
+    which crawl slices are in which language (the routing table for
+    per-language pipelines). One actor-pool lang-id pass emitting
+    per-batch (source, pred) count partials; the keyed aggregate sees
+    |sources|·|langs| rows."""
+    from ray.data.aggregate import Sum
+
+    class _Stage(LangIdStage):
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            preds = super().__call__(batch)
+            df = pd.DataFrame(
+                {
+                    "source": batch["source"].astype(str).to_numpy(),
+                    "lang_pred": preds["lang_pred"].to_numpy(),
+                }
+            )
+            g = df.groupby(["source", "lang_pred"], sort=False).size()
+            out = g.reset_index(name="c")
+            out["c"] = out["c"].astype(np.int64)
+            return out
+
+    kwargs = {"batch_format": "pandas", "concurrency": concurrency or (1, 8)}
+    return (
+        docs.select_columns(["doc_id", "source", "text"])
+        .map_batches(_Stage, **kwargs)
+        .groupby(["source", "lang_pred"])
+        .aggregate(Sum("c", alias_name="n"))
+    )
+
+
+def vocab_uniqueness(docs: Dataset) -> Dataset:
+    """(source, n_vocab, n_unique, uniqueness): how much of each
+    source's distinct-token vocabulary appears in NO other source —
+    near-zero uniqueness across two slices means the same site family
+    crawled twice. From the distinct (source, token) table: a token-
+    bucketed pass counts each token's holder set once (every holder of
+    a token shares its hash bucket), emitting per-source (vocab,
+    unique) partials; the quotient is rational → exact 1e-6."""
+    from ray.data.aggregate import Count, Sum
+
+    from .events import _bucket_by_key
+
+    base = docs.select_columns(["source", "text"])
+
+    def pairs_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.split()
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame(
+                {"source": pd.Series([], dtype=str), "tok": pd.Series([], dtype=str)}
+            )
+        flat = np.concatenate(
+            [np.asarray(x, dtype=object) for x in toks.to_numpy() if len(x)]
+        ).astype(str)
+        src = np.repeat(b["source"].astype(str).to_numpy(), lens)
+        return pd.DataFrame({"source": src, "tok": flat}).drop_duplicates()
+
+    st = (
+        base.map_batches(pairs_partial, batch_format="pandas")
+        .groupby(["source", "tok"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["source", "tok"])
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        holders = g.groupby("tok", sort=False)["source"].transform("size")
+        df = pd.DataFrame(
+            {
+                "source": g["source"].to_numpy(),
+                "v": np.ones(len(g), dtype=np.int64),
+                "u": (holders.to_numpy() == 1).astype(np.int64),
+            }
+        )
+        out = df.groupby("source", sort=False).agg(v=("v", "sum"), u=("u", "sum"))
+        out = out.reset_index()
+        out["v"] = out["v"].astype(np.int64)
+        out["u"] = out["u"].astype(np.int64)
+        return out
+
+    agg = (
+        _bucket_by_key(st, "tok", ["source", "tok"])
+        .groupby("_kb")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum("v", alias_name="n_vocab"), Sum("u", alias_name="n_unique"))
+    )
+
+    def finalize(t: pd.DataFrame) -> pd.DataFrame:
+        v = t["n_vocab"].to_numpy(dtype=np.int64)
+        u = t["n_unique"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "source": t["source"].astype(str),
+                "n_vocab": v,
+                "n_unique": u,
+                "uniqueness": np.floor(u / np.maximum(v, 1) * 1e6 + 0.5) / 1e6,
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas")

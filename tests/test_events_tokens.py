@@ -904,3 +904,51 @@ def test_source_similarity_brute():
         assert out.loc[(a, b), "jaccard"] == np.floor(i / u * 1e6 + 0.5) / 1e6
     # disjoint sources score 0
     assert out.loc[("a", "c"), "jaccard"] == 0.0
+
+
+def test_vocab_uniqueness_brute():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import (
+        vocab_uniqueness,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "source": ["a", "a", "b", "c"],
+            "text": ["cat dog bird", "dog emu", "cat dog", "zebra cat"],
+        }
+    )
+    ds = rd.from_pandas([docs.iloc[i::2] for i in range(2)])
+    out = vocab_uniqueness(ds).to_pandas().set_index("source")
+    vocab = {s: set(" ".join(g["text"]).split()) for s, g in docs.groupby("source")}
+    for s in vocab:
+        others = set().union(*(vocab[o] for o in vocab if o != s))
+        uniq = vocab[s] - others
+        assert out.loc[s, "n_vocab"] == len(vocab[s])
+        assert out.loc[s, "n_unique"] == len(uniq)
+        want = np.floor(len(uniq) / len(vocab[s]) * 1e6 + 0.5) / 1e6
+        assert out.loc[s, "uniqueness"] == want
+
+
+def test_hour_of_day_profile_brute():
+    import numpy as np
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.events import (
+        hour_of_day_profile,
+    )
+
+    tab = _events_table(n=400, seed=39)
+    ds = rd.from_arrow(tab).repartition(4)
+    out = hour_of_day_profile(ds).to_pandas()
+    df = tab.to_pandas()
+    t = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+    df["hour"] = (t // 3_600_000_000) % 24
+    want = df.groupby(["event_type", "hour"]).size()
+    got = out.set_index(["event_type", "hour"])["n"]
+    assert got.sort_index().equals(want.sort_index().astype(np.int64))
+    assert out["n"].sum() == len(df)
