@@ -1634,6 +1634,18 @@ def _q_revenue_by_nation(sf_dir: str):
     )
 
 
+def _q_orders_by_month(sf_dir: str):
+    """Monthly order volume/value (calendar bucketing, exact cents)."""
+    _configure()
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.relational import (
+        orders_by_month,
+    )
+
+    return orders_by_month(rd.read_parquet(f"{sf_dir}/orders.parquet"))
+
+
 def _q_order_priority(sf_dir: str):
     """TPC-H Q4-shape: orders with >=1 returned line per priority
     (distinct-keys semi-join, never duplicating an order)."""
@@ -2592,6 +2604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_by_revenue": _q_top_orders,
         "revenue_by_nation": _q_revenue_by_nation,
         "order_priority_counts": _q_order_priority,
+        "orders_by_month": _q_orders_by_month,
         "customer_order_distribution": _q_cust_order_dist,
         "inactive_customers": _q_inactive_customers,
         "neighbor_sample": _q_neighbor_sample,
@@ -3670,6 +3683,12 @@ GROUP BY l.doc_id
             "JOIN orders o ON o.o_custkey = c.c_custkey "
             "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
             "GROUP BY n.n_name"
+        ),
+        "orders_by_month": (
+            "SELECT strftime(o_orderdate, '%Y-%m') AS month, "
+            "count(*)::BIGINT AS n_orders, "
+            "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT "
+            "AS total_cents FROM orders GROUP BY month"
         ),
         "order_priority_counts": (
             "SELECT o_orderpriority, count(*)::BIGINT AS order_count "

@@ -292,6 +292,7 @@ def bench_suite() -> dict:
         "lang_by_source",
         "vocab_uniqueness",
         "events_hour_profile",
+        "orders_by_month",
         "order_line_stats",
         "embedding_project",
         "events_out_of_order",

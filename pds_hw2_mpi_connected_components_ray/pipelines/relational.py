@@ -909,3 +909,33 @@ def order_line_stats(lineitem: Dataset) -> Dataset:
         .groupby("n_lines")
         .aggregate(Sum("d", alias_name="n_orders"))
     )
+
+
+def orders_by_month(orders: Dataset) -> Dataset:
+    """(month, n_orders, total_cents): monthly order volume and value —
+    calendar bucketing (variable-length months, not fixed windows:
+    datetime64[M] truncation here, strftime in the oracle, identical
+    labels). Per-batch partials; the keyed aggregate sees one row per
+    distinct month."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        month = np.datetime_as_string(ts.astype("datetime64[M]"))
+        cents = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame({"month": month, "c": cents})
+        g = df.groupby("month", sort=False).agg(n=("c", "size"), s=("c", "sum"))
+        out = g.reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        out["s"] = out["s"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        orders.select_columns(["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("month")
+        .aggregate(
+            Sum("n", alias_name="n_orders"), Sum("s", alias_name="total_cents")
+        )
+    )

@@ -277,3 +277,42 @@ def test_revenue_pipelines_broadcast_vs_join_modes():
             pd.testing.assert_frame_equal(rn, base_rn)
             pd.testing.assert_frame_equal(rr, base_rr)
             pd.testing.assert_frame_equal(tk, base_tk)
+
+
+def test_orders_by_month_brute(ray_session):
+    from pds_hw2_mpi_connected_components_ray.pipelines.relational import (
+        orders_by_month,
+    )
+
+    rng = np.random.default_rng(77)
+    n = 300
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n, dtype=np.int64),
+            "o_orderdate": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 500, n), unit="D"),
+            "o_totalprice": np.round(rng.uniform(10, 9000, n), 2),
+        }
+    )
+    orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[us]")
+    out = (
+        orders_by_month(_ds(orders))
+        .to_pandas()
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+    w = orders.copy()
+    w["month"] = w["o_orderdate"].dt.strftime("%Y-%m")
+    w["c"] = np.floor(w["o_totalprice"] * 100 + 0.5).astype(np.int64)
+    want = (
+        w.groupby("month")
+        .agg(n_orders=("c", "size"), total_cents=("c", "sum"))
+        .reset_index()
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+    assert list(out["month"]) == list(want["month"])
+    assert np.array_equal(out["n_orders"].to_numpy(), want["n_orders"].to_numpy())
+    assert np.array_equal(
+        out["total_cents"].to_numpy(), want["total_cents"].to_numpy()
+    )
