@@ -1215,6 +1215,17 @@ def _q_dup_groups(sf_dir: str):
     return duplicate_groups(pairs)
 
 
+def _q_dup_rate_by_source(sf_dir: str):
+    """Per-source exact-duplicate rate (hash-keyed distinct, bodies
+    never shuffled; the boilerplate dashboard row)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.dedup import (
+        dup_rate_by_source,
+    )
+
+    return dup_rate_by_source(_docs(sf_dir))
+
+
 def _q_dup_family_sizes(sf_dir: str):
     """Near-dup family-size histogram (how duplicated is the corpus?):
     minhash pairs → engine CC groups → size counts → tiny histogram."""
@@ -2694,6 +2705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": _q_embedding_pairs,
         "dup_groups": _q_dup_groups,
         "dup_family_sizes": _q_dup_family_sizes,
+        "dup_rate_by_source": _q_dup_rate_by_source,
         "corpus_prep": _q_corpus_prep,
         "prep_sink_roundtrip": _q_prep_sink_roundtrip,
         # similarity search
@@ -3510,6 +3522,13 @@ GROUP BY l.doc_id
             "  SELECT e.dst AS v, w.l AS l FROM walk w JOIN de e ON e.src = w.v "
             "  WHERE w.l < e.dst) "
             "SELECT v AS doc_id, min(l) AS group_id FROM walk GROUP BY v"
+        ),
+        "dup_rate_by_source": (
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "count(DISTINCT coalesce(text, ''))::BIGINT AS n_distinct, "
+            "floor((1.0 - count(DISTINCT coalesce(text, ''))::DOUBLE / count(*)) "
+            "* 1e6 + 0.5) / 1e6 AS dup_ratio "
+            "FROM documents GROUP BY source"
         ),
         "dup_family_sizes": (
             f"WITH RECURSIVE {_CHAR5_PAIR_CTES}, "

@@ -983,3 +983,68 @@ def neardup_contamination(
         )
 
     return pairs.map_batches(cross, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dup_rate_by_source(docs: Dataset) -> Dataset:
+    """(source, n_docs, n_distinct, dup_ratio): per-source exact-
+    duplicate rate — which crawl slice ships boilerplate copies (the
+    curation dashboard row next to quality_by_source). The shuffle key
+    is (source, 128-bit md5) — document bodies never enter the
+    exchange, the exact_dedup contract — and distinct counting is one
+    keyed dedup + per-source count partials. dup_ratio = 1 −
+    n_distinct/n_docs, rational → exact 1e-6."""
+    from ray.data.aggregate import Count, Sum
+
+    base = docs.select_columns(["source", "text"])
+
+    def hash_partial(b: pd.DataFrame) -> pd.DataFrame:
+        h1, h2 = _md5_cols(b["text"])
+        return pd.DataFrame(
+            {"source": b["source"].astype(str).to_numpy(), "h1": h1, "h2": h2}
+        ).drop_duplicates()
+
+    distinct = (
+        base.map_batches(hash_partial, batch_format="pandas")
+        .groupby(["source", "h1", "h2"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["source"])
+    )
+
+    def count_partial(col: str):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            g = b.groupby("source", sort=False).size().reset_index(name=col)
+            g[col] = g[col].astype(np.int64)
+            return g
+
+        return fn
+
+    nd = (
+        distinct.map_batches(count_partial("d"), batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum("d", alias_name="n_distinct"))
+        .materialize()
+    )
+    nt = (
+        base.select_columns(["source"])
+        .map_batches(count_partial("t"), batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum("t", alias_name="n_docs"))
+        .materialize()
+    )
+    ddf = pd.concat(
+        list(nd.iter_batches(batch_format="pandas", batch_size=None)),
+        ignore_index=True,
+    ).set_index("source")
+    tdf = pd.concat(
+        list(nt.iter_batches(batch_format="pandas", batch_size=None)),
+        ignore_index=True,
+    ).set_index("source")
+    out = tdf.join(ddf).reset_index()
+    n = out["n_docs"].to_numpy(dtype=np.int64)
+    d = out["n_distinct"].to_numpy(dtype=np.int64)
+    out["dup_ratio"] = np.floor((1.0 - d / n) * 1e6 + 0.5) / 1e6
+    out["n_docs"] = n
+    out["n_distinct"] = d
+    import ray.data as rd
+
+    return rd.from_pandas(out[["source", "n_docs", "n_distinct", "dup_ratio"]])

@@ -414,3 +414,30 @@ def test_ivf_recall_vs_nprobe_sweep(tmp_path):
     assert all(b >= a - 1e-9 for a, b in zip(recalls, recalls[1:])), recalls
     assert recalls[-1] == 1.0, recalls
     assert recalls[0] >= 0.3, recalls
+
+
+def test_dup_rate_by_source_planted(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.dedup import (
+        dup_rate_by_source,
+    )
+
+    # source 'copy' has 10 docs, only 2 distinct texts; 'fresh' all unique
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(16, dtype=np.int64),
+            "source": ["copy"] * 10 + ["fresh"] * 6,
+            "text": ["boiler A"] * 6 + ["boiler B"] * 4
+            + [f"unique {i}" for i in range(6)],
+        }
+    )
+    ds = rd.from_pandas([docs.iloc[i::3] for i in range(3)])
+    out = dup_rate_by_source(ds).to_pandas().set_index("source")
+    assert out.loc["copy", "n_docs"] == 10
+    assert out.loc["copy", "n_distinct"] == 2
+    assert out.loc["copy", "dup_ratio"] == np.floor((1.0 - 2 / 10) * 1e6 + 0.5) / 1e6
+    assert out.loc["fresh", "n_distinct"] == 6
+    assert out.loc["fresh", "dup_ratio"] == 0.0
