@@ -1904,6 +1904,17 @@ def _q_scc(sf_dir: str):
     return _scc_labels_memo(sf_dir)
 
 
+def _q_median_tokens(sf_dir: str):
+    """Exact per-source median token count from integer histograms
+    (no per-group sort, no sampling)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import (
+        median_tokens_by_source,
+    )
+
+    return median_tokens_by_source(_docs(sf_dir))
+
+
 def _q_lang_by_source(sf_dir: str):
     """Predicted-language × source cross-tab (per-language routing)."""
     _configure()
@@ -2769,6 +2780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_slope": _q_zipf_slope,
         "source_similarity": _q_source_similarity,
         "lang_by_source": _q_lang_by_source,
+        "median_tokens_by_source": _q_median_tokens,
         "vocab_uniqueness": _q_vocab_uniqueness,
         "events_hour_profile": _q_hour_profile,
         "events_first_touch": _q_first_touch,
@@ -3779,6 +3791,14 @@ GROUP BY l.doc_id
             "SELECT doc_id, floor(1.0 / (1.0 + exp(-z)) * 1e6 + 0.5) / 1e6 AS score, "
             "(CASE WHEN floor(1.0 / (1.0 + exp(-z)) * 1e6 + 0.5) / 1e6 >= 0.5 "
             "  THEN 1 ELSE 0 END)::BIGINT AS keep FROM z"
+        ),
+        "median_tokens_by_source": (
+            "WITH l AS (SELECT source, "
+            "  len(regexp_extract_all(coalesce(text, ''), '\\S+'))::BIGINT AS k "
+            "  FROM documents) "
+            "SELECT source, count(*)::BIGINT AS n_docs, "
+            "quantile_disc(k, 0.5)::BIGINT AS median_tokens "
+            "FROM l GROUP BY source"
         ),
         "lang_by_source": (
             f"WITH p AS ({_LANG_SQL}) "

@@ -294,6 +294,7 @@ def bench_suite() -> dict:
         "events_hour_profile",
         "orders_by_month",
         "dup_rate_by_source",
+        "median_tokens_by_source",
         "order_line_stats",
         "embedding_project",
         "events_out_of_order",

@@ -1558,3 +1558,54 @@ def vocab_uniqueness(docs: Dataset) -> Dataset:
         )
 
     return agg.map_batches(finalize, batch_format="pandas")
+
+
+def median_tokens_by_source(docs: Dataset) -> Dataset:
+    """(source, n_docs, median_tokens): exact per-source median
+    whitespace-token count via the integer HISTOGRAM (the winsorized-
+    means trick: discrete quantiles come from cumulative counts over a
+    bounded value vocabulary — no per-group sort, no sampling).
+    quantile_disc semantics: the smallest value whose cumulative count
+    reaches ceil(n/2)."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    base = docs.select_columns(["source", "text"])
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "source": b["source"].astype(str),
+                "k": b["text"].fillna("").str.split().str.len().astype(np.int64),
+            }
+        )
+        g = df.groupby(["source", "k"], sort=False).size().reset_index(name="c")
+        g["c"] = g["c"].astype(np.int64)
+        return g
+
+    hist = (
+        base.map_batches(hist_partial, batch_format="pandas")
+        .groupby(["source", "k"])
+        .aggregate(Sum("c", alias_name="n"))
+        .materialize()
+    )
+    hdf = pd.concat(
+        list(hist.iter_batches(batch_format="pandas", batch_size=None)),
+        ignore_index=True,
+    ).sort_values(["source", "k"], kind="stable")
+    rows = []
+    for src, g in hdf.groupby("source", sort=False):
+        ks = g["k"].to_numpy(dtype=np.int64)
+        cs = g["n"].to_numpy(dtype=np.int64)
+        n = int(cs.sum())
+        cum = np.cumsum(cs)
+        target = (n + 1) // 2  # ceil(n/2): quantile_disc(0.5)
+        med = int(ks[np.searchsorted(cum, target)])
+        rows.append((str(src), n, med))
+    import ray.data as rd
+
+    out = pd.DataFrame(rows, columns=["source", "n_docs", "median_tokens"])
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["median_tokens"] = out["median_tokens"].astype(np.int64)
+    return rd.from_pandas(out)

@@ -952,3 +952,31 @@ def test_hour_of_day_profile_brute():
     got = out.set_index(["event_type", "hour"])["n"]
     assert got.sort_index().equals(want.sort_index().astype(np.int64))
     assert out["n"].sum() == len(df)
+
+
+def test_median_tokens_by_source_brute():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.textpipe import (
+        median_tokens_by_source,
+    )
+
+    rng = np.random.default_rng(81)
+    n = 250
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": rng.choice(["a", "b"], n),
+            "text": [" ".join(["w"] * int(k)) for k in rng.integers(0, 25, n)],
+        }
+    )
+    ds = rd.from_pandas([df.iloc[i::4] for i in range(4)])
+    out = median_tokens_by_source(ds).to_pandas().set_index("source")
+    df["k"] = df["text"].str.split().str.len()
+    for s, g in df.groupby("source"):
+        ks = np.sort(g["k"].to_numpy())
+        want = int(ks[(len(ks) + 1) // 2 - 1])  # quantile_disc(0.5)
+        assert out.loc[s, "n_docs"] == len(g)
+        assert out.loc[s, "median_tokens"] == want
