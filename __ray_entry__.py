@@ -1419,17 +1419,37 @@ def _q_group_safe_split(sf_dir: str):
     return group_safe_split(docs, pairs, train=0.8, val=0.1, seed=42)
 
 
+_CORPUS_PREP_CACHE: dict = {}
+
+
+def _corpus_prep_memo(sf_dir: str):
+    """corpus_prep result (default gate parameters), MEMOIZED per
+    process like _cc_labels_memo: corpus_prep and prep_sink_roundtrip
+    share ONE run of the ~20s prep chain (VERDICT r3 #2); the sink
+    round-trip still writes + reads back its own copy, which is the
+    part it exists to exercise."""
+    import ray
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.prep import corpus_prep
+
+    job = ray.get_runtime_context().get_job_id() if ray.is_initialized() else ""
+    key = f"{job}:{sf_dir}"
+    ds = _CORPUS_PREP_CACHE.get(key)
+    if ds is None:
+        ds = corpus_prep(
+            _docs(sf_dir), min_tokens=5, max_punct_ratio=0.2, jaccard_threshold=0.5
+        ).materialize()
+        _CORPUS_PREP_CACHE[key] = ds
+    return ds
+
+
 def _q_corpus_prep(sf_dir: str):
     """Flagship training-data prep chain: quality gate -> exact dedup ->
     near-dup collapse (minhash + exact-Jaccard verify + CC) -> surviving
     doc ids. Every stage is itself oracle-checked; the composition's SQL
     mirror chains the same predicates and the recursive group walk."""
     _configure()
-    from pds_hw2_mpi_connected_components_ray.pipelines.prep import corpus_prep
-
-    return corpus_prep(
-        _docs(sf_dir), min_tokens=5, max_punct_ratio=0.2, jaccard_threshold=0.5
-    )
+    return _corpus_prep_memo(sf_dir)
 
 
 def _q_prep_sink_roundtrip(sf_dir: str):
@@ -1440,15 +1460,12 @@ def _q_prep_sink_roundtrip(sf_dir: str):
     _configure()
     import tempfile
 
-    from pds_hw2_mpi_connected_components_ray.pipelines.prep import corpus_prep
     from pds_hw2_mpi_connected_components_ray.sources.sinks import (
         read_partitioned,
         write_partitioned,
     )
 
-    out = corpus_prep(
-        _docs(sf_dir), min_tokens=5, max_punct_ratio=0.2, jaccard_threshold=0.5
-    )
+    out = _corpus_prep_memo(sf_dir)
     root = tempfile.mkdtemp(prefix="prep_sink_", dir="/tmp")
     write_partitioned(out, root, key="doc_id", num_partitions=8)
     # read_parquet hive-infers a `part` column from the directory

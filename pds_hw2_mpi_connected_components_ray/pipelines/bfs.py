@@ -357,8 +357,31 @@ def double_sweep_diameter(
     acts = build_shard_pool(edges, nshards or max(2, ncpus))
     try:
         h1 = bfs_hops_pinned(actors=acts)
-        far = h1.sort(["hops", "vertex"], descending=[True, False]).limit(1).take(1)
-        src2 = int(far[0]["vertex"])
+
+        # farthest vertex (max hops, ties -> min id) via a per-block
+        # argmax partial -> one row per block -> two-scalar driver
+        # reduce. The former global sort shuffled the whole hops table
+        # to fetch one row (ADVICE r3).
+        def block_argmax(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {"hops": pa.array([], pa.int64()), "vertex": pa.array([], pa.int64())}
+                )
+            h = t["hops"].to_numpy(zero_copy_only=False)
+            v = t["vertex"].to_numpy(zero_copy_only=False)
+            mx = h.max()
+            return pa.table(
+                {
+                    "hops": pa.array([int(mx)], pa.int64()),
+                    "vertex": pa.array([int(v[h == mx].min())], pa.int64()),
+                }
+            )
+
+        parts = h1.map_batches(
+            block_argmax, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()  # one row per block -- summary-sized
+        mx = max(p["hops"] for p in parts)
+        src2 = min(p["vertex"] for p in parts if p["hops"] == mx)
         h2 = bfs_hops_pinned(actors=acts, source=src2)
         d = int(h2.max("hops"))
     finally:

@@ -59,7 +59,23 @@ def kmeans_assign(
     ties to the lowest cluster id. Empty clusters keep their previous
     centroid (no reseeding -- keeps the SQL mirror exact)."""
     emb = emb.select_columns([id_col, vec_col]).materialize()
-    init = emb.sort(id_col).limit(k).to_pandas()
+    # deterministic init = the k lowest-id vectors, WITHOUT a global
+    # sort (ADVICE r3): each block ships its own k smallest rows (a
+    # combiner), the driver merges <= k*nblocks rows and keeps k.
+
+    def k_min_ids(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) <= k:
+            return t
+        keep = np.argpartition(ids, k)[:k]
+        return t.take(pa.array(np.sort(keep)))
+
+    init = (
+        emb.map_batches(k_min_ids, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values(id_col, kind="stable")
+        .head(k)
+    )
     cent = np.stack(init[vec_col].to_numpy()).astype(np.float64)
 
     def assign_of(X: np.ndarray, C: np.ndarray) -> np.ndarray:
@@ -95,6 +111,14 @@ def kmeans_assign(
         part = emb.map_batches(
             partials, batch_format="pyarrow", zero_copy_batch=True
         ).to_pandas()  # k rows per block -- summary-sized by design
+        # float64 partials are reduced in a DETERMINISTIC order (sort by
+        # cluster id, count, then sum-vector bytes) so the centroid is
+        # partition-arrival-order invariant run to run. The SQL oracle's
+        # avg() may still differ by float-association ~1ulp; an exact
+        # distance tie at that scale is the documented oracle tolerance
+        # (ADVICE r3) -- never observed at the gate's data scales.
+        part = part.assign(_sb=[np.asarray(s, dtype=np.float64).tobytes() for s in part["s"]])
+        part = part.sort_values(["c", "n", "_sb"], kind="stable")
         dd = cent.shape[1]
         sums = np.zeros((k, dd), dtype=np.float64)
         cnts = np.zeros(k, dtype=np.int64)
