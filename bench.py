@@ -54,10 +54,92 @@ def _init_ray():
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            log_to_driver=False,  # keep stdout parseable for the driver
         )
     from pds_hw2_mpi_connected_components_ray.context import configure_ray_data
 
     configure_ray_data(quiet=True)
+
+
+def sys_info(probe_cores: bool = True) -> dict:
+    """Host fingerprint embedded in every bench record, mirroring the
+    reference's sys_info JSON block (/root/reference/src/benchmark.c:92-128,
+    src/json.c:13-70: CPU model, RAM, load). On this shared box the
+    effective core count swings >2x over minutes, so the md5
+    effective-cores probe is the one field that turns a slow number
+    into data instead of a dispute."""
+    import os as _os
+
+    info: dict = {}
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    info["cpu_model"] = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    info["n_logical_cpus"] = _os.cpu_count()
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal"):
+                    info["mem_total_gb"] = round(
+                        int(line.split()[1]) / 1024 / 1024, 1
+                    )
+                    break
+    except OSError:
+        pass
+    try:
+        info["loadavg"] = [round(x, 2) for x in _os.getloadavg()]
+    except OSError:
+        pass
+    if probe_cores:
+        info["effective_cores_of_16"] = round(effective_cores(16), 1)
+    return info
+
+
+def _emit(record: dict, out_name: str = "BENCH.json") -> None:
+    """Publish a bench record so the driver can ALWAYS parse it.
+
+    The driver keeps only the last ~2000 chars of stdout and parses
+    JSON lines inside that window -- round 3's full record (112 query
+    walls, ~4.3 KB) overflowed it and landed as parsed:null. So:
+    (1) the FULL record goes to disk next to this file, (2) the full
+    record prints one line (greppable in logs), (3) a compact (<1.9 KB)
+    summary -- headline, scale-5, sys_info, slowest queries -- prints
+    as the FINAL stdout line, guaranteed whole inside the tail window.
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.environ.get("BENCH_OUT", os.path.join(here, out_name))
+    try:
+        with open(path, "w") as f:
+            json.dump(record, f)
+            f.write("\n")
+    except OSError:
+        path = None
+    full_line = json.dumps(record)
+    compact = {
+        k: record[k]
+        for k in ("metric", "value", "unit", "sf", "num_cpus", "headline",
+                  "headline_scale5", "sys_info", "pipeline")
+        if k in record
+    }
+    q = record.get("queries") or {}
+    if q:
+        slowest = sorted(q.items(), key=lambda kv: -kv[1])[:8]
+        compact["n_queries"] = len(q)
+        compact["queries_total_sec"] = round(sum(q.values()), 1)
+        compact["queries_slowest"] = dict(slowest)
+    if path:
+        compact["full_record"] = path
+    compact_line = json.dumps(compact)
+    if len(compact_line) > 1900:  # belt and braces: never overflow the tail
+        compact.pop("queries_slowest", None)
+        compact_line = json.dumps(compact)
+    if full_line != compact_line:
+        print(full_line)
+    print(compact_line, flush=True)
 
 
 def _timed(fn):
@@ -66,7 +148,9 @@ def _timed(fn):
     return time.perf_counter() - t0, out
 
 
-def bench_headline(trials: int = 3, scale_rep: int | None = None) -> dict:
+def bench_headline(
+    trials: int = 3, scale_rep: int | None = None, calibrate: bool = False
+) -> dict:
     """CC to exact-label convergence on the scaled derived graph,
     reference benchmark shape (/root/reference/src/benchmark.c:242-288):
     load the graph into the pinned actor pool ONCE (load time reported
@@ -94,8 +178,16 @@ def bench_headline(trials: int = 3, scale_rep: int | None = None) -> dict:
     t_load, solver = _timed(lambda: PinnedCCSolver(edges))
     times = []
     counts = []
+    probes = []
     supersteps = 0
     for _ in range(trials):
+        if calibrate:
+            # interleaved md5 contention probe: on this shared host the
+            # effective core count swings >2x over minutes, so each
+            # trial carries its own measurement of how many cores the
+            # host actually delivered (VERDICT r3 #1: the driver's
+            # scale-5 number must be interpretable, not a lottery).
+            probes.append(effective_cores(16))
         t, res = _timed(solver.solve)
         times.append(t)
         counts.append(res.n_components)
@@ -104,8 +196,25 @@ def bench_headline(trials: int = 3, scale_rep: int | None = None) -> dict:
     if len(set(counts)) != 1:  # reference returns code 2 on inconsistency
         raise RuntimeError(f"trial-inconsistent component counts: {counts}")
     mean_t = statistics.mean(times)
+    extra: dict = {
+        # best-of-N is the contention-robust estimator on a shared,
+        # noisy host (min wall time = the trial least stolen from);
+        # mean keeps the reference's reporting shape alongside it.
+        "edges_per_sec_best": n_edges / min(times),
+    }
+    if calibrate and probes:
+        i_best = times.index(min(times))
+        ratio = 16.0 / max(probes[i_best], 1e-9)
+        extra["effective_cores_probes_of_16"] = [round(p, 1) for p in probes]
+        extra["contention_ratio_at_best_trial"] = round(ratio, 2)
+        # quiet-host estimate: best raw x (requested/delivered cores at
+        # that trial). An upper bound when the job is not perfectly
+        # CPU-bound -- published WITH the raw numbers and probes, never
+        # instead of them.
+        extra["edges_per_sec_calibrated"] = n_edges / min(times) * ratio
     return {
         "cc_sec": mean_t,
+        **extra,
         "cc_sec_min": min(times),
         "cc_sec_max": max(times),
         "cc_sec_median": statistics.median(times),
@@ -616,9 +725,15 @@ def run_scaling() -> dict:
     }
 
 
+def _round_rec(rec: dict) -> dict:
+    return {k: (round(v, 3) if isinstance(v, float) else v) for k, v in rec.items()}
+
+
 def main() -> None:
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        rec = run_scaling()
+        rec["sys_info"] = sys_info(probe_cores=False)  # probes already per trial
+        _emit(rec, out_name="BENCH_scaling.json")
         return
 
     _init_ray()
@@ -635,24 +750,22 @@ def main() -> None:
         import ray
 
         mult = int(sys.argv[sys.argv.index("--scale") + 1])
-        rec = bench_headline(trials=2, scale_rep=SCALE_REP * mult)
+        rec = bench_headline(trials=3, scale_rep=SCALE_REP * mult, calibrate=True)
         ray.shutdown()
-        print(
-            json.dumps(
-                {
-                    "metric": f"cc headline at {mult}x data scale",
-                    "value": round(rec["cc_sec"], 3),
-                    "unit": "sec",
-                    "num_cpus": NUM_CPUS,
-                    "sf": SF_DIR,
-                    "headline": {
-                        k: (round(v, 3) if isinstance(v, float) else v)
-                        for k, v in rec.items()
-                    },
-                }
-            )
+        _emit(
+            {
+                "metric": f"cc headline at {mult}x data scale",
+                "value": round(rec["cc_sec"], 3),
+                "unit": "sec",
+                "num_cpus": NUM_CPUS,
+                "sf": SF_DIR,
+                "headline": _round_rec(rec),
+                "sys_info": sys_info(probe_cores=False),
+            },
+            out_name="BENCH_scale.json",
         )
         return
+    host = sys_info()  # one probe up front; scale-5 re-probes per trial
     headline = bench_headline()
     queries = {} if "--headline-only" in sys.argv else bench_suite()
     record = {
@@ -662,24 +775,22 @@ def main() -> None:
         "queries": {k: round(v, 3) for k, v in queries.items()},
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
-        "headline": {
-            k: (round(v, 3) if isinstance(v, float) else v) for k, v in headline.items()
-        },
+        "headline": _round_rec(headline),
+        "sys_info": host,
     }
     if "--headline-only" not in sys.argv and os.environ.get(
         "BENCH_SKIP_SCALE5", ""
     ) != "1":
         # 5x data-scale checkpoint in every full bench run so scale
         # regressions are caught per round (VERDICT r2 next-round #8);
-        # ~328M undirected edges at the default rep
-        s5 = bench_headline(trials=2, scale_rep=SCALE_REP * 5)
-        record["headline_scale5"] = {
-            k: (round(v, 3) if isinstance(v, float) else v) for k, v in s5.items()
-        }
+        # ~328M undirected edges at the default rep. 3 trials with an
+        # interleaved contention probe each (VERDICT r3 #1).
+        s5 = bench_headline(trials=3, scale_rep=SCALE_REP * 5, calibrate=True)
+        record["headline_scale5"] = _round_rec(s5)
     import ray
 
     ray.shutdown()
-    print(json.dumps(record))
+    _emit(record)
 
 
 if __name__ == "__main__":
