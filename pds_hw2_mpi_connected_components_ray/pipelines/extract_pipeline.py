@@ -8,6 +8,12 @@ table, all as streaming map_batches stages. The `html` binary column is
 projected away immediately after extraction (early projection --
 SURVEY.md section 7.4).
 
+Batch contract is ``batch_format="pyarrow"`` end-to-end: blocks arrive
+zero-copy from the object store, pass-through columns (url) are reused
+as Arrow arrays without materialization, and outputs are built as Arrow
+arrays directly -- no pandas block-manager round-trip on either side of
+the per-row HTML parse (which is the only inherently row-wise step).
+
 Per-row invariant: `extract_text(html) == text` byte-identically per url
 (BASELINE.json input_hint), enforced by tests at every parallelism.
 """
@@ -15,7 +21,8 @@ Per-row invariant: `extract_text(html) == text` byte-identically per url
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
 
@@ -25,14 +32,24 @@ from ..stages.graph import canonical_edges
 from ..sources.pages import DOC_URL_PREFIX
 
 
+def _pylist(col: pa.ChunkedArray | pa.Array) -> list:
+    """Arrow column -> Python list (the unavoidable boundary before a
+    per-row regex parse; everything around it stays Arrow)."""
+    return col.to_pylist()
+
+
 def extract_text_stage(pages: Dataset) -> Dataset:
     """pages -> (url, text) with text re-extracted from html."""
 
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        texts = [extract_text(h) for h in batch["html"]]
-        return pd.DataFrame({"url": batch["url"].tolist(), "text": texts})
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = pa.array(
+            [extract_text(h) for h in _pylist(batch.column("html"))],
+            type=pa.string(),
+        )
+        # url passes through zero-copy (same Arrow buffers).
+        return pa.table({"url": batch.column("url"), "text": texts})
 
-    return pages.map_batches(fn, batch_format="pandas")
+    return pages.map_batches(fn, batch_format="pyarrow")
 
 
 def extract_link_rows(pages: Dataset, normalize: bool = True) -> Dataset:
@@ -42,10 +59,12 @@ def extract_link_rows(pages: Dataset, normalize: bool = True) -> Dataset:
     hrefs -- the overwhelming majority on real corpora -- skip the
     per-url urlsplit machinery; see functions.urls.normalize_urls_batch)."""
 
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+    def fn(batch: pa.Table) -> pa.Table:
         srcs: list[str] = []
         hrefs: list[str] = []
-        for url, html in zip(batch["url"], batch["html"]):
+        for url, html in zip(
+            _pylist(batch.column("url")), _pylist(batch.column("html"))
+        ):
             for href in extract_links(html):
                 srcs.append(url)
                 hrefs.append(href)
@@ -53,15 +72,18 @@ def extract_link_rows(pages: Dataset, normalize: bool = True) -> Dataset:
             dsts = normalize_urls_batch(hrefs, srcs)
         else:
             dsts = hrefs
-        keep = [i for i, d in enumerate(dsts) if d]
-        return pd.DataFrame(
+        if normalize and any(not d for d in dsts):
+            pairs = [(s, d) for s, d in zip(srcs, dsts) if d]
+            srcs = [p[0] for p in pairs]
+            dsts = [p[1] for p in pairs]
+        return pa.table(
             {
-                "src_url": [srcs[i] for i in keep],
-                "dst_url": [dsts[i] for i in keep],
+                "src_url": pa.array(srcs, type=pa.string()),
+                "dst_url": pa.array(dsts, type=pa.string()),
             }
         )
 
-    return pages.map_batches(fn, batch_format="pandas")
+    return pages.map_batches(fn, batch_format="pyarrow")
 
 
 def _mint_unique(urls: np.ndarray) -> np.ndarray:
@@ -74,28 +96,40 @@ def _mint_unique(urls: np.ndarray) -> np.ndarray:
     return ids[inv]
 
 
+def _str_col_np(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Arrow string column -> numpy object array (for np.unique minting)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False)
+
+
 def mint_edge_ids(link_rows: Dataset) -> Dataset:
     """(src_url, dst_url) -> directed (src, dst) int64 via stable hashing."""
 
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        n = len(batch)
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
         both = np.concatenate(
-            [batch["src_url"].to_numpy(), batch["dst_url"].to_numpy()]
+            [
+                _str_col_np(batch.column("src_url")),
+                _str_col_np(batch.column("dst_url")),
+            ]
         )
         minted = _mint_unique(both)
-        return pd.DataFrame({"src": minted[:n], "dst": minted[n:]})
+        # int64 numpy -> Arrow is zero-copy.
+        return pa.table({"src": pa.array(minted[:n]), "dst": pa.array(minted[n:])})
 
-    return link_rows.map_batches(fn, batch_format="pandas")
+    return link_rows.map_batches(fn, batch_format="pyarrow")
 
 
 def url_id_table(pages: Dataset) -> Dataset:
     """(url, vertex) dimension table for joining results back to urls."""
 
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        urls = batch["url"].to_numpy()
-        return pd.DataFrame({"url": urls, "vertex": _mint_unique(urls)})
+    def fn(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url")
+        minted = _mint_unique(_str_col_np(urls))
+        return pa.table({"url": urls, "vertex": pa.array(minted)})
 
-    return pages.map_batches(fn, batch_format="pandas")
+    return pages.map_batches(fn, batch_format="pyarrow")
 
 
 def pages_to_edges(pages: Dataset) -> Dataset:
@@ -106,16 +140,17 @@ def pages_to_edges(pages: Dataset) -> Dataset:
 def doc_id_edges(pages: Dataset) -> Dataset:
     """For docs.example fixture pages: parse doc ids straight out of the
     urls -> directed (src_doc, dst_doc). SQL-mirrorable (ids are the url
-    path tail)."""
+    path tail). Fully vectorized: Arrow utf8 slice + cast, no row loop."""
     links = extract_link_rows(pages, normalize=False)
+    pl = len(DOC_URL_PREFIX)
 
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        pl = len(DOC_URL_PREFIX)
-        return pd.DataFrame(
-            {
-                "src_doc": batch["src_url"].str.slice(pl).astype(np.int64),
-                "dst_doc": batch["dst_url"].str.slice(pl).astype(np.int64),
-            }
+    def fn(batch: pa.Table) -> pa.Table:
+        src = pc.cast(
+            pc.utf8_slice_codeunits(batch.column("src_url"), start=pl), pa.int64()
         )
+        dst = pc.cast(
+            pc.utf8_slice_codeunits(batch.column("dst_url"), start=pl), pa.int64()
+        )
+        return pa.table({"src_doc": src, "dst_doc": dst})
 
-    return links.map_batches(fn, batch_format="pandas")
+    return links.map_batches(fn, batch_format="pyarrow")

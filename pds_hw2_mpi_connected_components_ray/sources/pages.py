@@ -12,7 +12,6 @@ Two entry points:
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
@@ -61,9 +60,9 @@ def pages_from_documents(
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
     n = n_docs if n_docs is not None else docs.count()
 
-    def to_pages(batch: pd.DataFrame) -> pd.DataFrame:
-        ids = batch["doc_id"].to_numpy(dtype=np.int64)
-        texts = batch["text"].fillna("").tolist()
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        texts = batch.column("text").fill_null("").to_pylist()
         urls = [doc_url(int(i)) for i in ids]
         if messy_links:
             link_targets = [
@@ -84,17 +83,17 @@ def pages_from_documents(
         ]
         base = np.datetime64("2025-01-01T00:00:00", "us")
         ts = base + ids.astype("timedelta64[s]").astype("timedelta64[us]")
-        return pd.DataFrame(
+        return pa.table(
             {
-                "url": urls,
-                "warc_ts": ts,
-                "html": htmls,
-                "text": texts,
-                "lang": batch["lang"].fillna("und").tolist(),
+                "url": pa.array(urls, type=pa.string()),
+                "warc_ts": pa.array(ts),
+                "html": pa.array(htmls, type=pa.binary()),
+                "text": pa.array(texts, type=pa.string()),
+                "lang": batch.column("lang").fill_null("und"),
             }
         )
 
-    return docs.map_batches(to_pages, batch_format="pandas")
+    return docs.map_batches(to_pages, batch_format="pyarrow")
 
 
 def pages_from_arrow(table: pa.Table, num_blocks: int = 4) -> Dataset:
