@@ -343,8 +343,11 @@ class PinnedCCSolver:
             self.actors = build_shard_pool(edges, nshards)
 
     def shutdown(self) -> None:
+        from ..state.shards import release_pool_placement
+
         for a in self.actors:
             ray.kill(a)
+        release_pool_placement(self.actors)
         self.actors = []
 
     def _jump_lookup_refs(self) -> list:

@@ -18,6 +18,8 @@ collectively like the reference's MPI_Allgatherv
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -76,6 +78,15 @@ class GraphShardActor:
         self._loaded = False
         if block_refs is not None:
             self.load(block_refs)
+
+    def assigned_resources(self) -> dict:
+        """Custom/CPU resources this actor was scheduled with -- lets
+        tests assert that placement constraints (simulated multi-node
+        vnodes, placement-group bundles) were actually honored."""
+        return dict(ray.get_runtime_context().get_assigned_resources())
+
+    def node_id(self) -> str:
+        return ray.get_runtime_context().get_node_id()
 
     def load(self, block_refs: list, nshards: int | None = None) -> int:
         """Build the dst-sorted CSC from this shard's edge blocks. Split
@@ -1398,11 +1409,96 @@ def init_vertex_ownership(actors: list) -> int:
     return int(sum(counts))
 
 
-def spawn_shard_pool(nshards: int) -> list:
+def spawn_shard_pool(
+    nshards: int,
+    placement: str | None = None,
+    resources_per_shard: list[dict] | None = None,
+) -> list:
     """Spawn empty shard actors (worker processes start immediately);
     feed them later with load_shard_pool -- lets actor startup overlap
-    the upstream ETL."""
+    the upstream ETL.
+
+    Multi-node placement (the reference runs one rank per node slot via
+    SLURM, /root/reference/run_slurm.sh): by default Ray places actors
+    wherever CPUs are free, which on a multi-node cluster can pack all
+    shards on one host and turn the peer exchange into a single-NIC
+    hotspot.  Two knobs spread them:
+
+    - ``placement="spread"`` (or env GRAFT_SHARD_PLACEMENT=spread):
+      create a best-effort SPREAD placement group with one 1-CPU bundle
+      per shard and pin actor i to bundle i.  On a real cluster the
+      bundles land round-robin across nodes; on this single-node sandbox
+      the PG is still created and honored (all bundles on the one node),
+      so the scheduling path itself is exercised by tests.
+    - ``resources_per_shard=[{...}, ...]``: explicit per-actor custom
+      resource constraints (one dict per shard).  Tests use this to
+      SIMULATE a two-node cluster on one box: ray.init with custom
+      resources vnode0/vnode1 and pin half the shards to each, then
+      assert labels are identical to the unconstrained pool (the
+      reference's cross-configuration consistency check,
+      /root/reference/src/benchmark.c:275-284).
+
+    The solver's correctness is placement-independent by construction --
+    every peer exchange goes through the object store by ObjectRef, never
+    via node-local paths -- so these knobs affect WHERE shards run, not
+    WHAT they compute.
+    """
+    if placement is None:
+        placement = os.environ.get("GRAFT_SHARD_PLACEMENT") or None
+    if resources_per_shard is not None:
+        if len(resources_per_shard) != nshards:
+            raise ValueError("resources_per_shard must have one dict per shard")
+        # num_cpus=0 explicitly: once ANY resource is specified in
+        # .options(), Ray's actor default flips from "1 CPU to schedule,
+        # 0 held" to "1 CPU held for the actor's lifetime" -- nshards
+        # actors would then pin every core and deadlock the Dataset
+        # tasks that feed them (observed: load_shard_pool blocked
+        # forever at 4 actors on a 4-CPU session).
+        return [
+            GraphShardActor.options(num_cpus=0, resources=res or None).remote()
+            for res in resources_per_shard
+        ]
+    if placement == "spread":
+        from ray.util.placement_group import placement_group
+        from ray.util.scheduling_strategies import PlacementGroupSchedulingStrategy
+
+        # fractional-CPU bundles: SPREAD round-robins BUNDLES across
+        # nodes regardless of their size, and a full-CPU bundle per
+        # shard would reserve every core on the cluster away from the
+        # Dataset tasks that feed the pool (deadlock at nshards ==
+        # ncpus). The shard actors themselves hold ~0 CPU (peer
+        # exchange work runs as actor tasks inside them).
+        pg = placement_group([{"CPU": 0.01}] * nshards, strategy="SPREAD")
+        ray.get(pg.ready())
+        actors = [
+            GraphShardActor.options(
+                num_cpus=0.01,
+                scheduling_strategy=PlacementGroupSchedulingStrategy(
+                    placement_group=pg,
+                    placement_group_bundle_index=i,
+                    placement_group_capture_child_tasks=False,
+                ),
+            ).remote()
+            for i in range(nshards)
+        ]
+        # keep the PG alive as long as its actors are (and removable by
+        # callers that kill the pool -- a leaked PG reserves CPUs)
+        actors[0]._graft_pg = pg  # type: ignore[attr-defined]
+        return actors
     return [GraphShardActor.remote() for _ in range(nshards)]
+
+
+def release_pool_placement(actors: list) -> None:
+    """Remove the placement group backing a spread-spawned pool (no-op
+    for pools spawned without one). Call AFTER killing the actors --
+    a live PG reserves its bundles' CPUs from the rest of the job."""
+    if not actors:
+        return
+    pg = getattr(actors[0], "_graft_pg", None)
+    if pg is not None:
+        from ray.util.placement_group import remove_placement_group
+
+        remove_placement_group(pg)
 
 
 def load_shard_pool(actors: list, edges) -> list:
@@ -1448,9 +1544,16 @@ def load_shard_pool_streaming(actors: list, lazy_edges) -> list:
     return [a.load.remote(g, nshards) for a, g in zip(actors, groups)]
 
 
-def build_shard_pool(edges, nshards: int) -> list:
+def build_shard_pool(
+    edges,
+    nshards: int,
+    placement: str | None = None,
+    resources_per_shard: list[dict] | None = None,
+) -> list:
     """Spawn + load in one call (the common path)."""
-    actors = spawn_shard_pool(nshards)
+    actors = spawn_shard_pool(
+        nshards, placement=placement, resources_per_shard=resources_per_shard
+    )
     ray.get(load_shard_pool(actors, edges))
     return actors
 

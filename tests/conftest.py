@@ -22,6 +22,10 @@ def ray_session():
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # two virtual "nodes" so placement tests can pin shard actors to
+        # disjoint resource pools on this single-box sandbox
+        # (tests/test_placement.py)
+        resources={"vnode0": 8, "vnode1": 8},
     )
     configure_ray_data(quiet=True)
     yield
