@@ -2185,8 +2185,23 @@ def _q_rich_club(sf_dir: str):
 
 
 def _q_ktruss(sf_dir: str):
-    """3 synchronous 5-truss peel rounds (bounded-round contract):
-    recompute support over survivors, drop edges with support < 3."""
+    """3 five-truss peel rounds (bounded-round contract) via the
+    INCREMENTAL sharded support index (pipelines/truss.py): one triangle
+    closure up front, then change-proportional decrement rounds --
+    round-for-round identical to the synchronous recompute (equality
+    test in tests/test_truss.py)."""
+    _configure()
+    from pds_hw2_mpi_connected_components_ray.pipelines.truss import (
+        truss_peel_incremental,
+    )
+
+    return truss_peel_incremental(_canon_edges(sf_dir), k=5, rounds=3)
+
+
+def _q_ktruss_sync(sf_dir: str):
+    """Same 3 bounded 5-truss rounds via the synchronous per-round
+    support recompute (the O(m'^1.5)-per-round formulation) -- kept as
+    its own driver-checkable query so both peel engines stay green."""
     _configure()
     from pds_hw2_mpi_connected_components_ray.pipelines.triangles import truss_peel
 
@@ -2703,6 +2718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rich_club": _q_rich_club,
         "sampled_triangle_estimate": _q_sampled_triangles,
         "ktruss5_r3": _q_ktruss,
+        "ktruss5_sync": _q_ktruss_sync,
         "kcore7": _q_kcore,
         "coreness": _q_coreness,
         "clustering_coeff": _q_clustering_coeff,
@@ -3256,6 +3272,7 @@ FROM le GROUP BY 1, 2"""
             "FROM ks LEFT JOIN nk USING (k) LEFT JOIN ek USING (k)"
         ),
         "ktruss5_r3": _truss_sql(5, rounds=3),
+        "ktruss5_sync": _truss_sql(5, rounds=3),
         "kcore7": _kcore_sql(7, rounds=8),
         "coreness": _coreness_sql(),
         "bfs_hops": (

@@ -78,6 +78,8 @@ def _closure_partials(simple: Dataset, ref, mode: str) -> Dataset:
       mode='corners'      -> {'vertex', 't'} (unique-combined credits)
       mode='edge_credits' -> {'k', 's'} with k = (lo_vid << 31) | hi_vid
                              (callers guarantee vids < 2^31)
+      mode='triangles'    -> {'ta', 'tb', 'tc'} one row per closed
+                             triangle (original vids, unordered corners)
     """
     import ray as _ray
 
@@ -90,6 +92,9 @@ def _closure_partials(simple: Dataset, ref, mode: str) -> Dataset:
             return pa.table(
                 {"vertex": pa.array([], pa.int64()), "t": pa.array([], pa.int64())}
             )
+        if mode == "triangles":
+            e = pa.array([], pa.int64())
+            return pa.table({"ta": e, "tb": e, "tc": e})
         return pa.table({"k": pa.array([], pa.int64()), "s": pa.array([], pa.int64())})
 
     def fn(t: pa.Table) -> pa.Table:
@@ -134,6 +139,8 @@ def _closure_partials(simple: Dataset, ref, mode: str) -> Dataset:
         av = vid_of[np.repeat(rc, npair)[closed]]
         xv = vid_of[x[closed]]
         yv = vid_of[y[closed]]
+        if mode == "triangles":
+            return pa.table({"ta": av, "tb": xv, "tc": yv})
         if mode == "corners":
             u, cnt = np.unique(np.concatenate([av, xv, yv]), return_counts=True)
             return pa.table({"vertex": u, "t": cnt.astype(np.int64)})
@@ -558,6 +565,71 @@ def edge_support(
         return pa.table({"a": t["a"], "b": t["b"], "support": s})
 
     return joined.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def triangle_list(
+    edges: Dataset,
+    *,
+    num_partitions: int | None = None,
+    broadcast_threshold: int = BROADCAST_DEGREE_THRESHOLD,
+) -> Dataset:
+    """(ta, tb, tc): one row per triangle of the undirected simple
+    graph, each triangle exactly once (corners unordered). The input to
+    the incremental k-truss index (pipelines/truss.py), which maintains
+    per-triangle alive bits instead of recomputing closure per round.
+
+    Same degree-oriented wedge-closure plan as edge_support; the local
+    shuffle-free closure below the broadcast threshold, the two-join
+    distributed plan beyond it."""
+    simple = drop_self_loops(edges).materialize()
+    ecount = simple.count()
+    npart = num_partitions or default_parallelism()
+    npart = max(1, min(npart, ecount // 100_000 + 2))
+
+    if _use_local_closure(simple, ecount):
+        ref, _n = _closure_state_ref(simple)
+        return _closure_partials(simple, ref, "triangles")
+
+    oriented = _oriented_edges(simple, npart, broadcast_threshold)
+    right = oriented.map_batches(
+        lambda t: pa.table({"a2": t["a"], "c": t["b"], "dc": t["db"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    wedges = hash_join(oriented, right, on=("a",), right_on=("a2",), num_partitions=npart)
+    wedges = wedges.map_batches(
+        lambda t: t.filter(
+            pc.or_(
+                pc.less(t["db"], t["dc"]),
+                pc.and_(pc.equal(t["db"], t["dc"]), pc.less(t["b"], t["c"])),
+            )
+        ).select(["a", "b", "c"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    closing = oriented.map_batches(
+        lambda t: pa.table({"b2": t["a"], "c2": t["b"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    wcnt = wedges.count()
+    if wcnt == 0:
+        e = pa.array([], pa.int64())
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"ta": e, "tb": e, "tc": e}))
+    tri = hash_join(
+        wedges,
+        closing,
+        on=("b", "c"),
+        right_on=("b2", "c2"),
+        num_partitions=max(1, min(npart, wcnt // 100_000 + 1)),
+    )
+    return tri.map_batches(
+        lambda t: pa.table({"ta": t["a"], "tb": t["b"], "tc": t["c"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 def truss_peel(

@@ -74,3 +74,70 @@ def test_truss_cascade_needs_second_round(ray_session):
 def test_truss_empty_when_all_peeled(ray_session):
     out = truss_peel(_sym([(0, 1), (1, 2), (0, 2)]), k=5, rounds=2).to_pandas()
     assert len(out) == 0
+
+
+# ---------------------------------------------------------- incremental
+
+
+def _peel_df(ds):
+    df = ds.to_pandas()
+    if len(df) == 0:  # Ray to_pandas drops columns on empty datasets
+        return pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)})
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def _brute_truss_fixpoint(pairs, k):
+    und = {tuple(sorted(p)) for p in pairs}
+    while True:
+        sup = _brute_support(und)
+        drop = {e for e, s in sup.items() if s < k - 2}
+        if not drop:
+            return und
+        und -= drop
+
+
+def test_incremental_matches_synchronous_bounded(ray_session):
+    from pds_hw2_mpi_connected_components_ray.pipelines.truss import (
+        truss_peel_incremental,
+    )
+
+    rng = np.random.RandomState(11)
+    pairs = {(int(a), int(b)) for a, b in rng.randint(0, 40, size=(260, 2)) if a != b}
+    edges = _sym(pairs)
+    for k, rounds in [(4, 1), (5, 2), (4, 3)]:
+        sync = _peel_df(truss_peel(edges, k=k, rounds=rounds))
+        inc = _peel_df(truss_peel_incremental(edges, k=k, rounds=rounds, nshards=3))
+        pd.testing.assert_frame_equal(sync, inc)
+
+
+def test_incremental_fixpoint_matches_brute(ray_session):
+    from pds_hw2_mpi_connected_components_ray.pipelines.truss import (
+        truss_peel_incremental,
+    )
+
+    rng = np.random.RandomState(7)
+    pairs = {(int(a), int(b)) for a, b in rng.randint(0, 35, size=(300, 2)) if a != b}
+    want = sorted(_brute_truss_fixpoint(pairs, 5))
+    got = _peel_df(truss_peel_incremental(_sym(pairs), k=5, rounds=None, nshards=4))
+    assert [tuple(r) for r in got.to_numpy()] == want
+
+
+def test_incremental_clique_plus_tail(ray_session):
+    from pds_hw2_mpi_connected_components_ray.pipelines.truss import (
+        truss_peel_incremental,
+    )
+
+    k5 = list(combinations(range(5), 2))
+    got = _peel_df(
+        truss_peel_incremental(_sym(k5 + [(4, 5), (5, 6)]), k=5, rounds=None)
+    )
+    assert [tuple(r) for r in got.to_numpy()] == sorted(k5)
+
+
+def test_incremental_empty_when_all_peeled(ray_session):
+    from pds_hw2_mpi_connected_components_ray.pipelines.truss import (
+        truss_peel_incremental,
+    )
+
+    out = _peel_df(truss_peel_incremental(_sym([(0, 1), (1, 2), (0, 2)]), k=5))
+    assert len(out) == 0
