@@ -1332,7 +1332,7 @@ def _q_knn_ivf_indexed(sf_dir: str):
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     tmp = tempfile.mkdtemp(prefix="ivf_idx_")
     try:
-        idx = ivf_build(emb, tmp, nlist=16)
+        idx = ivf_build(emb, tmp, nlist=16, fit_iters=4)
         out = knn_ivf_indexed(idx, qids, qmat, k=5, nprobe=16)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
