@@ -124,6 +124,15 @@ def write_sorted_zonemap(
     table read file-count-proportional bytes, not table-proportional.
 
     Atomic like write_partitioned: tmp dir -> rename, _SUCCESS last.
+
+    MULTI-NODE CONTRACT (ADVICE r3): zone files are written by Ray
+    worker tasks, so `root` must live on storage every node shares
+    (NFS / object store / fuse mount) — on a multi-node cluster a
+    node-local path scatters the files across hosts. The publish step
+    below verifies every zone file reported by the workers is actually
+    visible on the driver's filesystem and refuses to publish an
+    incomplete layout instead of silently writing a manifest that
+    points at missing files.
     """
     import pyarrow.parquet as pq
 
@@ -182,6 +191,20 @@ def write_sorted_zonemap(
             for r in report.itertuples()
         ],
     }
+    missing = [
+        e["file"]
+        for e in manifest["files"]
+        if not os.path.exists(os.path.join(tmp, e["file"]))
+    ]
+    if missing:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"write_sorted_zonemap: {len(missing)} zone file(s) reported by "
+            f"workers are not visible on the driver (e.g. {missing[:3]}). "
+            f"`{root}` must be on storage shared by every node (NFS/object "
+            "store); node-local paths scatter zone files across hosts on a "
+            "multi-node cluster. Nothing was published."
+        )
     with open(os.path.join(tmp, "manifest.json"), "w") as f:
         json.dump(manifest, f)
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
