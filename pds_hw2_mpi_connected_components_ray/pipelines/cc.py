@@ -676,11 +676,14 @@ def _cc_hashmin_shuffle(
                 zero_copy_batch=True,
             )
         )
-        # 2. grouped min merge (the superstep shuffle); Max(old) recovers
-        #    the pre-superstep label (cand rows carry old=-1)
-        agg = tagged.groupby("vertex").aggregate(
-            Min("label", alias_name="label"), Max("old", alias_name="old")
-        )
+        # 2. grouped min merge (the superstep shuffle); max(old) recovers
+        #    the pre-superstep label (cand rows carry old=-1). Bucketed
+        #    exchange, not the keyed Min/Max aggregate: Ray's
+        #    sort-aggregate reduce costs ~ms per group, which at |V|
+        #    groups was most of this mode's gate wall.
+        from ..stages.skew import bucketed_group_min_max
+
+        agg = bucketed_group_min_max(tagged, "vertex", "label", "old")
         # 3. one pointer-jump round: label <- label(label), via a
         #    broadcast root-map (SURVEY.md T7: "broadcast the (small)
         #    root-map per round"). The distinct-label set collapses

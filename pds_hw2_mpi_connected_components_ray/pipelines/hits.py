@@ -151,11 +151,13 @@ def _hits_shuffle(edges: Dataset, iters: int, num_partitions: int | None) -> Hit
     is one keyed join + one groupby-sum (contribution-proportional)."""
     import pyarrow.compute as pc
 
-    from ray.data.aggregate import Sum
     from ..stages.joins import hash_join
+    from ..stages.skew import bucketed_group_sum
     from .pagerank import _all_vertices
 
     npart = num_partitions or default_parallelism()
+    # clamp to data size: tiny partitions only add per-half-step fixed cost
+    npart = max(2, min(npart, edges.count() // 100_000 + 2))
     verts = _all_vertices(edges).materialize()
 
     scores = verts.map_batches(
@@ -173,26 +175,29 @@ def _hits_shuffle(edges: Dataset, iters: int, num_partitions: int | None) -> Hit
             zero_copy_batch=True,
         )
         joined = hash_join(edges, emit, on=(from_col,), num_partitions=npart)
-        sums = (
-            joined.map_batches(
-                lambda t: pa.table({"vertex": t[to_col], "s": t["w"]}),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
-            .groupby("vertex")
-            .aggregate(Sum("s", alias_name="s"))
-        ).materialize()
-        tot = sums.sum("s") or 0.0
-        merged = hash_join(
-            verts, sums, on=("vertex",), join_type="left_outer", num_partitions=npart
+        contrib = joined.map_batches(
+            lambda t: pa.table({"vertex": t[to_col], "s": t["w"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
-        return merged.map_batches(
+        # zero rows for every vertex ride the same bucketed exchange, so
+        # neither the per-vertex keyed aggregate (ms-per-group reduce at
+        # |V| groups -- the round-3 gate's 75 s wall) nor a left_outer
+        # re-attach join runs
+        zeros = verts.map_batches(
+            lambda t: pa.table(
+                {"vertex": t["vertex"], "s": np.zeros(len(t), dtype=np.float64)}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        sums = bucketed_group_sum(contrib.union(zeros), "vertex", "s").materialize()
+        tot = sums.sum("s") or 0.0
+        return sums.map_batches(
             lambda t: pa.table(
                 {
                     "vertex": t["vertex"],
-                    out: pc.divide(pc.coalesce(t["s"], 0.0), tot)
-                    if tot > 0
-                    else pc.coalesce(t["s"], 0.0),
+                    out: pc.divide(t["s"], tot) if tot > 0 else t["s"],
                 }
             ),
             batch_format="pyarrow",

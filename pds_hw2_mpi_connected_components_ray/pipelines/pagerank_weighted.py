@@ -59,8 +59,26 @@ def pagerank_weighted(
 
 def _normalized_edges(wedges: Dataset) -> Dataset:
     """(src, dst, p) with p = w/W(src) — the surfer transition matrix,
-    computed once (one groupby + one join)."""
-    wd = wedges.groupby("src").aggregate(Sum("weight", alias_name="_W"))
+    computed once (one bucketed exchange + one join). bucketed_group_sum
+    instead of Ray's keyed aggregate: the key is per-VERTEX, and the
+    sort-aggregate's ~ms-per-group reduce overhead at |V| groups
+    dominated this whole pipeline's wall (measured ~10 s for a 4k-vertex
+    table vs ~1 s bucketed)."""
+    from ..stages.skew import bucketed_group_sum
+
+    wd = bucketed_group_sum(
+        wedges.map_batches(
+            lambda t: t.select(["src", "weight"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        "src",
+        "weight",
+    ).map_batches(
+        lambda t: t.rename_columns(["src", "_W"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     j = hash_join(wedges, wd, on=("src",))
     return j.map_batches(
         lambda df: pd.DataFrame(
@@ -182,41 +200,57 @@ def _shuffle(wedges, verts, n, damping, iters, num_partitions) -> Dataset:
     # clamp partitions to data size (same as pipelines.triangles): tiny
     # partitions only add per-iteration shuffle-actor fixed cost
     npart = max(2, min(npart, wedges.count() // 100_000 + 2))
+    from ..stages.skew import bucketed_group_sum
+
     pe = _normalized_edges(wedges)
-    # vertices with out-edges (for the dangling term): summary-sized
-    outs = pe.groupby("src").aggregate(Sum("p", alias_name="_one"))
-    ranks = verts.map_batches(
-        lambda df: pd.DataFrame(
-            {"vertex": df["vertex"].astype(np.int64), "r": np.full(len(df), 1.0 / n)}
+    # dangling flag folded into the rank table ONCE (round-3 gate audit:
+    # a per-iteration hash join just to sum the dangling ranks was pure
+    # fixed cost): vertices with out-edges, via one bucketed exchange
+    outs = bucketed_group_sum(
+        pe.map_batches(
+            lambda t: pa.table(
+                {
+                    "vertex": t["src"],
+                    "_o": np.ones(len(t), dtype=np.float64),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         ),
-        batch_format="pandas",
-    ).materialize()
-    dang_v = hash_join(
-        verts, outs.map_batches(
-            lambda df: pd.DataFrame({"vertex": df["src"].astype(np.int64), "_o": 1}),
-            batch_format="pandas",
-        ),
-        on=("vertex",),
-        join_type="left_outer",
-        num_partitions=npart,
+        "vertex",
+        "_o",
+    )
+    ranks = hash_join(
+        verts, outs, on=("vertex",), join_type="left_outer", num_partitions=npart
     ).map_batches(
-        lambda df: pd.DataFrame({"vertex": df.loc[df["_o"].isna(), "vertex"].astype(np.int64)}),
+        lambda df: pd.DataFrame(
+            {
+                "vertex": df["vertex"].astype(np.int64),
+                "r": np.full(len(df), 1.0 / n),
+                # 1.0 for dangling vertices (no out-edges), else 0.0
+                "dflag": df["_o"].isna().to_numpy().astype(np.float64),
+            }
+        ),
         batch_format="pandas",
     ).materialize()
-    n_dang = dang_v.count()  # static across iterations
+    n_dang = int(
+        ranks.map_batches(
+            lambda df: pd.DataFrame({"s": [float(df["dflag"].sum())]}),
+            batch_format="pandas",
+        ).sum("s")
+        or 0.0
+    )
     for _ in range(iters):
-        # a symmetric edge table has no dangling vertices; skip the join
-        # entirely then (it would also feed Ray's per-partition acero
-        # join schema-less empty partitions, which it rejects)
+        # dangling mass: one tiny scan over the materialized rank table
         dang = 0.0
         if n_dang:
             dang = float(
-                hash_join(dang_v, ranks, on=("vertex",), num_partitions=npart)
-                .map_batches(
-                    lambda df: pd.DataFrame({"s": [df["r"].sum()]}),
+                ranks.map_batches(
+                    lambda df: pd.DataFrame(
+                        {"s": [float((df["r"] * df["dflag"]).sum())]}
+                    ),
                     batch_format="pandas",
-                )
-                .sum("s")
+                ).sum("s")
                 or 0.0
             )
         contrib = hash_join(
@@ -238,19 +272,38 @@ def _shuffle(wedges, verts, n, damping, iters, num_partitions) -> Dataset:
             ),
             batch_format="pandas",
         )
-        inc = contrib.groupby("vertex").aggregate(Sum("c", alias_name="c"))
-        merged = hash_join(
-            verts, inc, on=("vertex",), join_type="left_outer", num_partitions=npart
+        # zero-contribution rows for EVERY vertex union into the same
+        # bucketed exchange, so no left_outer re-attach join is needed
+        # and the per-vertex keyed aggregate (ms-per-group at |V|
+        # groups) never runs
+        zeros = ranks.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "vertex": df["vertex"].astype(np.int64),
+                    "c": np.zeros(len(df), dtype=np.float64),
+                    "dflag": df["dflag"].to_numpy(np.float64),
+                }
+            ),
+            batch_format="pandas",
         )
+        contrib = contrib.map_batches(
+            lambda df: df.assign(dflag=np.zeros(len(df), dtype=np.float64)),
+            batch_format="pandas",
+        )
+        inc = bucketed_group_sum(contrib.union(zeros), "vertex", "c", extra="dflag")
         base = (1 - damping) / n + damping * dang / n
 
         def step(df: pd.DataFrame, _b=base, _d=damping) -> pd.DataFrame:
-            c = df["c"].fillna(0.0).to_numpy(np.float64)
+            c = df["c"].to_numpy(np.float64)
             return pd.DataFrame(
-                {"vertex": df["vertex"].astype(np.int64), "r": _b + _d * c}
+                {
+                    "vertex": df["vertex"].astype(np.int64),
+                    "r": _b + _d * c,
+                    "dflag": df["dflag"].to_numpy(np.float64),
+                }
             )
 
-        ranks = merged.map_batches(step, batch_format="pandas").materialize()
+        ranks = inc.map_batches(step, batch_format="pandas").materialize()
     return ranks.map_batches(
         lambda df: pd.DataFrame(
             {"vertex": df["vertex"].astype(np.int64), "pr": np.round(df["r"].to_numpy(np.float64), 6)}

@@ -45,6 +45,7 @@ def bucketed_group_sum(
     val: str,
     *,
     num_buckets: int | None = None,
+    extra: str | None = None,
 ) -> Dataset:
     """Exact (key -> SUM(val)) for an int64 key, as one bucketed
     exchange instead of Ray's full sort-based keyed aggregate: hash the
@@ -58,6 +59,10 @@ def bucketed_group_sum(
     Per-batch pre-combining (np.unique partials) belongs in the CALLER
     where it can fuse with the producing map; this helper only owns the
     exchange + final reduce.
+
+    `extra` names one additional numeric column summed alongside `val`
+    in the same pass (used by the weighted-PageRank shuffle loop to
+    carry the dangling flag through the exchange).
     """
     from ..context import default_parallelism
 
@@ -75,12 +80,61 @@ def bucketed_group_sum(
         order = np.argsort(k, kind="stable")
         ks, vs = k[order], v[order]
         bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
-        return pa.table({key: ks[bounds], val: np.add.reduceat(vs, bounds)})
+        out = {key: ks[bounds], val: np.add.reduceat(vs, bounds)}
+        if extra is not None:
+            es = t[extra].to_numpy(zero_copy_only=False)[order]
+            out[extra] = np.add.reduceat(es, bounds)
+        return pa.table(out)
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_kb")
         .map_groups(bucket_sum, batch_format="pyarrow")
+    )
+
+
+def bucketed_group_min_max(
+    ds: Dataset,
+    key: str,
+    min_col: str,
+    max_col: str,
+    *,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Exact per-key (MIN(min_col), MAX(max_col)) via the same bucketed
+    exchange as bucketed_group_sum — replaces Ray's keyed
+    Min+Max aggregate whose ms-per-group reduce dominates at |V| groups
+    (the CC shuffle superstep merge). Integer min/max are
+    order-independent, so the result is exactly the keyed aggregate's."""
+    from ..context import default_parallelism
+
+    nb = num_buckets or max(8, default_parallelism())
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_kb", pa.array((k * np.int64(0x9E3779B9)) % nb, pa.int64())
+        )
+
+    def bucket_reduce(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False)
+        mn = t[min_col].to_numpy(zero_copy_only=False)
+        mx = t[max_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        ks = k[order]
+        bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        return pa.table(
+            {
+                key: ks[bounds],
+                min_col: np.minimum.reduceat(mn[order], bounds),
+                max_col: np.maximum.reduceat(mx[order], bounds),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_kb")
+        .map_groups(bucket_reduce, batch_format="pyarrow")
     )
 
 
