@@ -59,7 +59,7 @@ from ray.data.aggregate import Max, Min
 
 from ..context import default_parallelism
 from ..stages.graph import vertices
-from ..stages.joins import hash_join
+from ..stages.joins import broadcast_attach, hash_join, put_lookup
 from ..state import checkpoint as ckpt
 
 _I64MAX = np.iinfo(np.int64).max
@@ -640,18 +640,32 @@ def _cc_hashmin_shuffle(
     k = k0
     while k < max_supersteps:
         t0 = time.perf_counter()
-        if frontier.count() == 0:
+        nf = frontier.count()
+        if nf == 0:
             # resumed from a converged checkpoint: nothing to propagate
             # (an empty frontier dataset also loses its schema and would
             # crash the join below)
             break
-        # 1. propagate frontier labels across edges (hash-shuffle join on src)
-        fr = frontier.map_batches(
-            lambda t: t.rename_columns(["src", "flabel"]),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        cand = hash_join(edges, fr, on=("src",), num_partitions=npart)
+        # 1. propagate frontier labels across edges. Large frontiers take
+        #    the hash-shuffle join; once the frontier shrinks below ~500
+        #    rows per join partition (the same nv/500 discipline as the
+        #    npart clamp above) it is broadcast as a sorted lookup
+        #    instead -- both faster (no shuffle for a dwindling change
+        #    set) and immune to Ray 2.49's empty-join-partition acero
+        #    crash, which a sparse frontier can trip probabilistically.
+        if nf < 500 * npart:
+            flt = pa.concat_tables(
+                list(frontier.iter_batches(batch_format="pyarrow", batch_size=None))
+            )
+            fref = put_lookup(flt, "vertex", "label")
+            cand = broadcast_attach(edges, fref, "src", "flabel")
+        else:
+            fr = frontier.map_batches(
+                lambda t: t.rename_columns(["src", "flabel"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            cand = hash_join(edges, fr, on=("src",), num_partitions=npart)
         cand = cand.map_batches(
             lambda t: pa.table({"vertex": t["dst"], "label": t["flabel"]}),
             batch_format="pyarrow",
@@ -683,7 +697,13 @@ def _cc_hashmin_shuffle(
         #    groups was most of this mode's gate wall.
         from ..stages.skew import bucketed_group_min_max
 
-        agg = bucketed_group_min_max(tagged, "vertex", "label", "old")
+        # num_buckets=npart: the same empty-partition clamp as the join
+        # above -- more buckets than ~nv/500 yields empty output blocks,
+        # and an empty block in the next superstep's frontier side
+        # crashes Ray 2.49's hash-shuffle join (schema loss in acero)
+        agg = bucketed_group_min_max(
+            tagged, "vertex", "label", "old", num_buckets=npart
+        )
         # 3. one pointer-jump round: label <- label(label), via a
         #    broadcast root-map (SURVEY.md T7: "broadcast the (small)
         #    root-map per round"). The distinct-label set collapses

@@ -117,6 +117,11 @@ def bucketed_group_min_max(
         )
 
     def bucket_reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            # typed empty (never schema-less -- downstream joins crash
+            # on schema-less empty blocks in Ray 2.49's acero path)
+            e = pa.array([], pa.int64())
+            return pa.table({key: e, min_col: e, max_col: e})
         k = t[key].to_numpy(zero_copy_only=False)
         mn = t[min_col].to_numpy(zero_copy_only=False)
         mx = t[max_col].to_numpy(zero_copy_only=False)
