@@ -168,9 +168,16 @@ def _hits_shuffle(edges: Dataset, iters: int, num_partitions: int | None) -> Hit
         zero_copy_batch=True,
     ).materialize()
 
-    def half_step(scores: Dataset, col: str, from_col: str, to_col: str, out: str) -> Dataset:
+    def half_step(scores: Dataset, prev_tot: float, from_col: str, to_col: str):
+        """One propagation: emit prev scores normalized BY THE CALLER's
+        total (normalization fused into the emit map -- no separate
+        divide pass + materialize per half-step), join across edges,
+        reduce per receiving vertex. Returns (raw sums, their total)."""
+        div = prev_tot if prev_tot > 0 else 1.0
         emit = scores.map_batches(
-            lambda t: pa.table({from_col: t["vertex"], "w": t[col]}),
+            lambda t: pa.table(
+                {from_col: t["vertex"], "w": pc.divide(t["s"], div)}
+            ),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
@@ -192,24 +199,34 @@ def _hits_shuffle(edges: Dataset, iters: int, num_partitions: int | None) -> Hit
             zero_copy_batch=True,
         )
         sums = bucketed_group_sum(contrib.union(zeros), "vertex", "s").materialize()
-        tot = sums.sum("s") or 0.0
-        return sums.map_batches(
-            lambda t: pa.table(
-                {
-                    "vertex": t["vertex"],
-                    out: pc.divide(t["s"], tot) if tot > 0 else t["s"],
-                }
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        ).materialize()
+        return sums, float(sums.sum("s") or 0.0)
 
-    auths = None
+    scores = verts.map_batches(
+        lambda t: pa.table(
+            {"vertex": t["vertex"], "s": np.ones(len(t), dtype=np.float64)}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    tot_h = 1.0  # initial h = 1 exactly (matches the unrolled oracle)
+    auths, tot_a = None, 1.0
     for _ in range(iters):
-        auths = half_step(scores, "h", "src", "dst", "a")
-        scores = half_step(auths, "a", "dst", "src", "h")
+        auths, tot_a = half_step(scores, tot_h, "src", "dst")
+        scores, tot_h = half_step(auths, tot_a, "dst", "src")
 
-    merged = hash_join(auths, scores, on=("vertex",), num_partitions=npart)
+    da = tot_a if tot_a > 0 else 1.0
+    dh = tot_h if tot_h > 0 else 1.0
+    ar = auths.map_batches(
+        lambda t: pa.table({"vertex": t["vertex"], "a": pc.divide(t["s"], da)}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    hr = scores.map_batches(
+        lambda t: pa.table({"vertex": t["vertex"], "h": pc.divide(t["s"], dh)}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    merged = hash_join(ar, hr, on=("vertex",), num_partitions=npart)
     out = merged.map_batches(
         lambda t: pa.table(
             {
