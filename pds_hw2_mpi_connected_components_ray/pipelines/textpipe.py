@@ -1392,29 +1392,24 @@ def source_similarity(docs: Dataset) -> Dataset:
         src = np.repeat(b["source"].astype(str).to_numpy(), lens)
         return pd.DataFrame({"source": src, "tok": flat}).drop_duplicates()
 
-    st = (
-        base.map_batches(pairs_partial, batch_format="pandas")
-        .groupby(["source", "tok"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["source", "tok"])
-        .materialize()
-    )
-    sizes: dict[str, int] = {}
-    for b in (
-        st.map_batches(
-            lambda d: d.groupby("source", sort=False)
-            .size()
-            .reset_index(name="c"),
-            batch_format="pandas",
-        )
-        .groupby("source")
-        .aggregate(Sum("c", alias_name="n"))
-        .iter_batches(batch_format="pandas", batch_size=None)
-    ):
-        for s, n in zip(b["source"], b["n"]):
-            sizes[str(s)] = int(n)
-
+    # ONE bucketed exchange does everything: the token-hash bucket is a
+    # function of tok alone, so every copy of a (source, tok) pair and
+    # every holder of a token land in the same bucket — global distinct
+    # + per-source vocab-size partials + pair-intersection partials all
+    # come out of a single map_groups pass. (The earlier plan's keyed
+    # groupby(source, tok) dedup created one Ray group per vocabulary
+    # entry; the sort-aggregate's ~ms-per-group reduce made it the
+    # pipeline's wall.)
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["source", "tok"])
+        sz = g.groupby("source", sort=False).size().reset_index(name="c")
+        sz = pd.DataFrame(
+            {
+                "source_x": sz["source"].astype(str),
+                "source_y": "",  # size partials: sentinel pair side
+                "c": sz["c"].astype(np.int64),
+            }
+        )
         inter = (
             g.merge(g, on="tok")
             .query("source_x < source_y")
@@ -1423,24 +1418,26 @@ def source_similarity(docs: Dataset) -> Dataset:
             .reset_index(name="c")
         )
         inter["c"] = inter["c"].astype(np.int64)
-        return inter
+        return pd.concat([sz, inter], ignore_index=True)
 
-    pp = (
-        _bucket_by_key(st, "tok", ["source", "tok"])
+    parts = (
+        _bucket_by_key(
+            base.map_batches(pairs_partial, batch_format="pandas"),
+            "tok",
+            ["source", "tok"],
+        )
         .groupby("_kb")
         .map_groups(per_bucket, batch_format="pandas")
-        .groupby(["source_x", "source_y"])
-        .aggregate(Sum("c", alias_name="n_common"))
-        .materialize()
     )
-    idf = pd.concat(
-        list(pp.iter_batches(batch_format="pandas", batch_size=None)),
-        ignore_index=True,
-    )
-    inter_map = {
-        (str(a), str(b)): int(c)
-        for a, b, c in zip(idf["source_x"], idf["source_y"], idf["n_common"])
-    } if len(idf) else {}
+    sizes: dict[str, int] = {}
+    inter_map: dict[tuple[str, str], int] = {}
+    for b in parts.iter_batches(batch_format="pandas", batch_size=None):
+        for a, y, c in zip(b["source_x"], b["source_y"], b["c"]):
+            if y == "":
+                sizes[str(a)] = sizes.get(str(a), 0) + int(c)
+            else:
+                k = (str(a), str(y))
+                inter_map[k] = inter_map.get(k, 0) + int(c)
     srcs = sorted(sizes)
     rows = []
     for a, b in itertools.combinations(srcs, 2):
