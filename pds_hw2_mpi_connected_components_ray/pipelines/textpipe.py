@@ -1371,10 +1371,6 @@ def source_similarity(docs: Dataset) -> Dataset:
     driver (documented small). Quotients are rational → exact 1e-6."""
     import itertools
 
-    import ray
-
-    from ray.data.aggregate import Count, Sum
-
     from .events import _bucket_by_key
 
     base = docs.select_columns(["source", "text"])
@@ -1493,7 +1489,7 @@ def vocab_uniqueness(docs: Dataset) -> Dataset:
     bucketed pass counts each token's holder set once (every holder of
     a token shares its hash bucket), emitting per-source (vocab,
     unique) partials; the quotient is rational → exact 1e-6."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     from .events import _bucket_by_key
 
@@ -1512,14 +1508,14 @@ def vocab_uniqueness(docs: Dataset) -> Dataset:
         src = np.repeat(b["source"].astype(str).to_numpy(), lens)
         return pd.DataFrame({"source": src, "tok": flat}).drop_duplicates()
 
-    st = (
-        base.map_batches(pairs_partial, batch_format="pandas")
-        .groupby(["source", "tok"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["source", "tok"])
-    )
+    # distinct (source, token) happens INSIDE the token-hash bucket (the
+    # bucket is a function of tok alone, so all copies co-locate): no
+    # keyed dedup aggregate whose ~ms-per-group reduce at vocabulary
+    # cardinality would dominate the wall (same fix as source_similarity)
+    st = base.map_batches(pairs_partial, batch_format="pandas")
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["source", "tok"])
         holders = g.groupby("tok", sort=False)["source"].transform("size")
         df = pd.DataFrame(
             {
