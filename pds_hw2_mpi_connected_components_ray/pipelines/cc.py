@@ -613,12 +613,16 @@ def _cc_hashmin_shuffle(
         )
         return pa.table({"vertex": vs, "label": lab})
 
-    labels = (
-        edges.map_batches(_contract_block, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("vertex")
-        .aggregate(Min("label", alias_name="label"))
-        .materialize()
-    )
+    from ..stages.skew import bucketed_group_reduce
+
+    labels = bucketed_group_reduce(
+        edges.map_batches(
+            _contract_block, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "vertex",
+        "label",
+        "min",
+    ).materialize()
     # clamp partition count so no hash partition of the (small) labels
     # side is empty -- Ray 2.49's hash-shuffle join loses the schema of
     # empty left partitions and crashes in acero

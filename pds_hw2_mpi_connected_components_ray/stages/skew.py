@@ -143,6 +143,53 @@ def bucketed_group_min_max(
     )
 
 
+def bucketed_group_reduce(
+    ds: Dataset,
+    key: str,
+    val: str,
+    how: str = "min",
+    *,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Exact per-key min/max/sum/count of `val` for an int64 key via the
+    bucketed exchange (see bucketed_group_sum for why: Ray's keyed
+    sort-aggregate reduce costs ~ms per group, which at data-
+    proportional key cardinality — per-vertex, per-document, per-pair —
+    dominates the wall at small scale and is structurally unusable at
+    billions of groups). `how="count"` counts rows per key (val is
+    still projected but ignored)."""
+    from ..context import default_parallelism
+
+    nb = num_buckets or max(8, default_parallelism())
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_kb", pa.array((k * np.int64(0x9E3779B9)) % nb, pa.int64())
+        )
+
+    def bucket_reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            e = pa.array([], pa.int64())
+            return pa.table({key: e, val: e})
+        k = t[key].to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        ks = k[order]
+        bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        if how == "count":
+            cnt = np.diff(np.r_[bounds, len(ks)]).astype(np.int64)
+            return pa.table({key: ks[bounds], val: cnt})
+        v = t[val].to_numpy(zero_copy_only=False)[order]
+        red = {"min": np.minimum, "max": np.maximum, "sum": np.add}[how].reduceat
+        return pa.table({key: ks[bounds], val: red(v, bounds)})
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_kb")
+        .map_groups(bucket_reduce, batch_format="pyarrow")
+    )
+
+
 def combine_per_batch(ds: Dataset, key: str, val: str, how: str = "min") -> Dataset:
     """Per-batch (key -> min/max val) combiner. The output carries ONLY
     the (key, val) columns -- any other input columns are dropped, so
