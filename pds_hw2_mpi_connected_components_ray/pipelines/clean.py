@@ -172,7 +172,12 @@ def contamination_check(
         hits = hash_join(train_grams, test_grams, on=("g",)).select_columns(
             ["doc_id"]
         )
-    return hits.groupby("doc_id").aggregate(Count(alias_name="n_shared"))
+    # per-doc count via the bucketed exchange: groups = contaminated
+    # documents (data-proportional; see stages/skew.py on Ray's
+    # ms-per-group keyed-aggregate reduce)
+    from ..stages.skew import bucketed_group_reduce
+
+    return bucketed_group_reduce(hits, "doc_id", "n_shared", "count")
 
 
 def source_stats(docs: Dataset) -> Dataset:
@@ -325,13 +330,14 @@ def duplicate_ngram_stats(docs: Dataset, *, force_join: bool = False) -> Dataset
             }
         )
 
-    per = (
-        attached.map_batches(partial, batch_format="pandas")
-        .groupby("doc_id")
-        .aggregate(
-            Sum("n_grams", alias_name="n_grams"),
-            Sum("shared_grams", alias_name="shared_grams"),
-        )
+    from ..stages.skew import bucketed_group_sum
+
+    # per-doc sums via the bucketed exchange (groups = documents)
+    per = bucketed_group_sum(
+        attached.map_batches(partial, batch_format="pandas"),
+        "doc_id",
+        "n_grams",
+        extra="shared_grams",
     )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:

@@ -349,11 +349,39 @@ def rate_anomalies(
         )
         return pa.table({"user_id": batch["user_id"], "win": ts // window_us})
 
+    # (user, window) counts via a user-hash bucketed exchange: groups =
+    # users x windows (data-proportional; Ray's keyed aggregate pays
+    # ~ms per group). Bucket on user_id alone so each user's windows
+    # co-locate; exact pair counts from one lexsort per bucket.
+    from ..context import default_parallelism as _dp
+
+    nbk = max(8, _dp())
+
+    def _bkt(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_kb", pa.array((u * np.int64(0x9E3779B9)) % nbk, pa.int64())
+        )
+
+    def _pair_count(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            e = pa.array([], pa.int64())
+            return pa.table({"user_id": e, "win": e, "n": e})
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        w = t["win"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, u))
+        us, ws = u[order], w[order]
+        new = np.r_[True, (us[1:] != us[:-1]) | (ws[1:] != ws[:-1])]
+        bounds = np.flatnonzero(new)
+        n = np.diff(np.r_[bounds, len(us)]).astype(np.int64)
+        return pa.table({"user_id": us[bounds], "win": ws[bounds], "n": n})
+
     counts = (
         events.select_columns(["user_id", "ts"])
         .map_batches(add_win, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "win"])
-        .aggregate(Count(alias_name="n"))
+        .map_batches(_bkt, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_kb")
+        .map_groups(_pair_count, batch_format="pyarrow")
     ).materialize()
     stats = counts.groupby("user_id").aggregate(
         Mean("n", alias_name="m"),
@@ -479,11 +507,17 @@ def cohort_retention(
             }
         )
 
+    from ..stages.skew import bucketed_group_reduce as _bgr
+
     su = (
-        events.select_columns(["user_id", "ts", "event_type"])
-        .map_batches(signup_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .aggregate(Min("t0", alias_name="t0"))
+        _bgr(
+            events.select_columns(["user_id", "ts", "event_type"]).map_batches(
+                signup_partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            "user_id",
+            "t0",
+            "min",
+        )
         .map_batches(
             lambda t: pa.table(
                 {
