@@ -745,7 +745,37 @@ def simhash_pairs(
     pairs = hashes.map_batches(
         add_coarse, batch_format="pyarrow", zero_copy_batch=True
     ).groupby("_cb").map_groups(coarse_bucket, batch_format="pandas")
-    dedup = pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+    # pair-dedup via an a-hash bucketed exchange (groups = candidate
+    # pairs, data-proportional; Ray's keyed aggregate pays ~ms/group):
+    # same (a, b) always co-locates when bucketed on a alone
+    from ..context import default_parallelism as _dp
+
+    nbk = max(8, _dp())
+
+    def _bkt_a(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_kb", pa.array((a * np.int64(0x9E3779B9)) % nbk, pa.int64())
+        )
+
+    def _pair_min(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            e = pa.array([], pa.int64())
+            return pa.table({"a": e, "b": e, "hamming": e})
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        h = t["hamming"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((h, b, a))
+        as_, bs, hs = a[order], b[order], h[order]
+        new = np.r_[True, (as_[1:] != as_[:-1]) | (bs[1:] != bs[:-1])]
+        bounds = np.flatnonzero(new)
+        return pa.table({"a": as_[bounds], "b": bs[bounds], "hamming": hs[bounds]})
+
+    dedup = (
+        pairs.map_batches(_bkt_a, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_kb")
+        .map_groups(_pair_min, batch_format="pyarrow")
+    )
     if verify_threshold is None:
         return dedup
     dedup = dedup.materialize()
@@ -1032,12 +1062,24 @@ def dup_rate_by_source(docs: Dataset) -> Dataset:
             {"source": b["source"].astype(str).to_numpy(), "h1": h1, "h2": h2}
         ).drop_duplicates()
 
-    distinct = (
-        base.map_batches(hash_partial, batch_format="pandas")
-        .groupby(["source", "h1", "h2"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["source"])
-    )
+    # distinct (source, hash) INSIDE h1-hash buckets (every copy of a
+    # (source, h1, h2) triple co-locates), emitting per-source distinct
+    # counts straight out of the bucket -- the keyed dedup aggregate at
+    # per-source-distinct-document cardinality never runs
+    from ..context import default_parallelism as _dp
+
+    nbk = max(8, _dp())
+
+    def _bkt_h(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(
+            _kb=(b["h1"].to_numpy(dtype=np.int64) * np.int64(0x9E3779B9)) % nbk
+        )
+
+    def _bucket_distinct_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["source", "h1", "h2"])
+        out = g.groupby("source", sort=False).size().reset_index(name="d")
+        out["d"] = out["d"].astype(np.int64)
+        return out[["source", "d"]]
 
     def count_partial(col: str):
         def fn(b: pd.DataFrame) -> pd.DataFrame:
@@ -1048,7 +1090,10 @@ def dup_rate_by_source(docs: Dataset) -> Dataset:
         return fn
 
     nd = (
-        distinct.map_batches(count_partial("d"), batch_format="pandas")
+        base.map_batches(hash_partial, batch_format="pandas")
+        .map_batches(_bkt_h, batch_format="pandas")
+        .groupby("_kb")
+        .map_groups(_bucket_distinct_counts, batch_format="pandas")
         .groupby("source")
         .aggregate(Sum("d", alias_name="n_distinct"))
         .materialize()
