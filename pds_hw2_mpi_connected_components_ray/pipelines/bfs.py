@@ -317,10 +317,15 @@ def landmark_harmonic_centrality(
             }
         )
 
-    agg = (
-        hops.map_batches(inv, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("vertex")
-        .aggregate(Sum("c", alias_name="c"))
+    from ..stages.skew import bucketed_group_sum
+
+    # per-vertex sum via the bucketed exchange: Ray's keyed aggregate
+    # pays ~ms per group, and groups here = |V| (111 s of the sf0.1
+    # bench wall was this one reduce)
+    agg = bucketed_group_sum(
+        hops.map_batches(inv, batch_format="pyarrow", zero_copy_batch=True),
+        "vertex",
+        "c",
     )
     return agg.map_batches(
         lambda t: pa.table(

@@ -119,10 +119,15 @@ def modularity(edges: Dataset, labels: Dataset, **attach_kw) -> Dataset:
             same[np.searchsorted(u, us)] = cs
         return pa.table({"ca": u, "dc": cnt.astype(np.int64), "same": same})
 
-    percomm = (
-        le.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("ca")
-        .aggregate(Sum("dc", alias_name="dc"), Sum("same", alias_name="same"))
+    from ..stages.skew import bucketed_group_sum
+
+    # per-community sums via the bucketed exchange (groups = communities,
+    # data-proportional on fragmented graphs)
+    percomm = bucketed_group_sum(
+        le.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "ca",
+        "dc",
+        extra="same",
     )
 
     def squares(t: pa.Table) -> pa.Table:
