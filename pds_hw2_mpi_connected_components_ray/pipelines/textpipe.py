@@ -104,6 +104,26 @@ def lang_id_stage(docs: Dataset, concurrency=None) -> Dataset:
     )
 
 
+def _bucketed_str_sum(ds: Dataset, key: str, val: str) -> Dataset:
+    """Exact (string key -> SUM(val)) via the token-hash bucketed
+    exchange: groups = VOCABULARY entries, so Ray's keyed aggregate
+    (~ms per group) is data-proportional and unusable at corpus scale;
+    buckets are ~parallelism-many and each reduces with one pandas
+    hash groupby."""
+    from .events import _bucket_by_key
+
+    def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(key, sort=False)[val].sum().reset_index()
+        out[val] = out[val].astype(np.int64)
+        return out
+
+    return (
+        _bucket_by_key(ds, key, [key, val])
+        .groupby("_kb")
+        .map_groups(bucket_sum, batch_format="pandas")
+    )
+
+
 def top_tokens(docs: Dataset, k: int = 50) -> Dataset:
     """Corpus-wide top-k tokens by frequency: per-batch token counts (a
     combiner -- each batch ships at most its distinct tokens, not its
@@ -118,11 +138,12 @@ def top_tokens(docs: Dataset, k: int = 50) -> Dataset:
             {"token": vc.index.astype(str), "n": vc.to_numpy(dtype=np.int64)}
         )
 
-    agg = (
-        docs.select_columns(["text"])
-        .map_batches(explode_count, batch_format="pandas")
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="n"))
+    agg = _bucketed_str_sum(
+        docs.select_columns(["text"]).map_batches(
+            explode_count, batch_format="pandas"
+        ),
+        "token",
+        "n",
     )
     return agg.sort(["n", "token"], descending=[True, False]).limit(k)
 
@@ -166,11 +187,12 @@ def top_bigrams(docs: Dataset, k: int = 30) -> Dataset:
             {"bigram": vc.index.astype(str), "n": vc.to_numpy(dtype=np.int64)}
         )
 
-    agg = (
-        docs.select_columns(["text"])
-        .map_batches(bigram_count, batch_format="pandas")
-        .groupby("bigram")
-        .aggregate(Sum("n", alias_name="n"))
+    agg = _bucketed_str_sum(
+        docs.select_columns(["text"]).map_batches(
+            bigram_count, batch_format="pandas"
+        ),
+        "bigram",
+        "n",
     )
     return agg.sort(["n", "bigram"], descending=[True, False]).limit(k)
 
@@ -236,9 +258,12 @@ def tfidf_top_terms(docs: Dataset, k: int = 3) -> Dataset:
 
     tf = base.map_batches(tf_count, batch_format="pandas")
     df = (
-        base.map_batches(df_partial, batch_format="pandas")
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="df"))
+        _bucketed_str_sum(
+            base.map_batches(df_partial, batch_format="pandas"), "token", "n"
+        )
+        .map_batches(
+            lambda d: d.rename(columns={"n": "df"}), batch_format="pandas"
+        )
         .materialize()
     )
     vocab_n = df.count()
@@ -609,10 +634,12 @@ def bigram_surprisal(docs: Dataset, *, force_join: bool = False) -> Dataset:
             }
         )
 
-    per = (
-        j.map_batches(term, batch_format="pandas")
-        .groupby("doc_id")
-        .aggregate(Sum("mt", alias_name="mt"), Sum("m", alias_name="n_bigrams"))
+    from ..stages.skew import bucketed_group_sum
+
+    per = bucketed_group_sum(
+        j.map_batches(term, batch_format="pandas"), "doc_id", "mt", extra="m"
+    ).map_batches(
+        lambda d: d.rename(columns={"m": "n_bigrams"}), batch_format="pandas"
     )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -1067,10 +1094,12 @@ def doc_unigram_xent(docs: Dataset, *, force_join: bool = False) -> Dataset:
             }
         )
 
-    per = (
-        j.map_batches(term, batch_format="pandas")
-        .groupby("doc_id")
-        .aggregate(Sum("mt", alias_name="mt"), Sum("m", alias_name="n_tokens"))
+    from ..stages.skew import bucketed_group_sum
+
+    per = bucketed_group_sum(
+        j.map_batches(term, batch_format="pandas"), "doc_id", "mt", extra="m"
+    ).map_batches(
+        lambda d: d.rename(columns={"m": "n_tokens"}), batch_format="pandas"
     )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
