@@ -29,6 +29,7 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Sum
 
 from ..context import default_parallelism
+from ..stages.skew import bucketed_distinct, bucketed_group_sum
 from ..stages.joins import hash_join
 
 
@@ -170,12 +171,20 @@ def top_orders_by_revenue(
             )
 
         return (
-            lineitem.select_columns(
-                ["l_orderkey", "l_extendedprice", "l_discount"]
+            bucketed_group_sum(
+                lineitem.select_columns(
+                    ["l_orderkey", "l_extendedprice", "l_discount"]
+                ).map_batches(
+                    li_pass, batch_format="pyarrow", zero_copy_batch=True
+                ),
+                "o_orderkey",
+                "r",
             )
-            .map_batches(li_pass, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("o_orderkey")
-            .aggregate(Sum("r", alias_name="revenue_e4"))
+            .map_batches(
+                lambda t: t.rename_columns(["o_orderkey", "revenue_e4"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
             .sort(["revenue_e4", "o_orderkey"], descending=[True, False])
             .limit(k)
         )
@@ -211,14 +220,18 @@ def top_orders_by_revenue(
     j = hash_join(
         li, oj, on=("l_orderkey",), right_on=("o_orderkey",), num_partitions=npart
     )
-    per_order = (
-        j.groupby("l_orderkey")
-        .aggregate(Sum("r", alias_name="revenue_e4"))
-        .map_batches(
-            lambda t: t.rename_columns(["o_orderkey", "revenue_e4"]),
+    per_order = bucketed_group_sum(
+        j.map_batches(
+            lambda t: t.select(["l_orderkey", "r"]),
             batch_format="pyarrow",
             zero_copy_batch=True,
-        )
+        ),
+        "l_orderkey",
+        "r",
+    ).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "revenue_e4"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     return per_order.sort(
         ["revenue_e4", "o_orderkey"], descending=[True, False]
@@ -376,12 +389,11 @@ def order_priority_counts(orders: Dataset, lineitem: Dataset) -> Dataset:
         ok = t.filter(keep)["l_orderkey"].to_numpy(zero_copy_only=False)
         return pa.table({"l_orderkey": np.unique(ok)})
 
-    rkeys = (
-        lineitem.select_columns(["l_orderkey", "l_returnflag"])
-        .map_batches(key_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("l_orderkey")
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["l_orderkey"])
+    rkeys = bucketed_distinct(
+        lineitem.select_columns(["l_orderkey", "l_returnflag"]).map_batches(
+            key_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "l_orderkey",
     )
     j = hash_join(
         orders.select_columns(["o_orderkey", "o_orderpriority"]),
@@ -433,8 +445,11 @@ def customer_order_distribution(customer: Dataset, orders: Dataset) -> Dataset:
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        .groupby("o_custkey")
-        .aggregate(Sum("n", alias_name="c_count"))
+    )
+    per_cust = bucketed_group_sum(per_cust, "o_custkey", "n").map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_count"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
     def hist_partial(t: pa.Table) -> pa.Table:
@@ -510,8 +525,20 @@ def returned_top_customers(
         num_partitions=npart,
     )
     topk = (
-        j.groupby("o_custkey")
-        .aggregate(Sum("r", alias_name="revenue_e4"))
+        bucketed_group_sum(
+            j.map_batches(
+                lambda t: t.select(["o_custkey", "r"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            "o_custkey",
+            "r",
+        )
+        .map_batches(
+            lambda t: t.rename_columns(["o_custkey", "revenue_e4"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
         .sort(["revenue_e4", "o_custkey"], descending=[True, False])
         .limit(k)
         .materialize()
@@ -639,11 +666,9 @@ def inactive_customers(
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        .groupby("o_custkey")
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["o_custkey"])
         .materialize()
     )
+    okeys = bucketed_distinct(okeys, "o_custkey").materialize()
 
     if okeys.count() <= broadcast_threshold:
         keys = np.sort(
@@ -893,8 +918,11 @@ def order_line_stats(lineitem: Dataset) -> Dataset:
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        .groupby("l_orderkey")
-        .aggregate(Sum("n", alias_name="n_lines"))
+    )
+    per_order = bucketed_group_sum(per_order, "l_orderkey", "n").map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "n_lines"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
     def hist_partial(t: pa.Table) -> pa.Table:
