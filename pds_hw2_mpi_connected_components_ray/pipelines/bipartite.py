@@ -23,7 +23,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ray.data import Dataset
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
+
+from ..stages.skew import bucketed_distinct as _bucketed_distinct
+from ..stages.skew import bucketed_group_reduce as _bgr
 
 from ..context import default_parallelism
 from ..stages.graph import drop_self_loops
@@ -55,16 +58,14 @@ def bipartite_check(
         np.concatenate(
             [
                 t["label"].to_numpy(zero_copy_only=False)
-                for t in labels.groupby("label")
-                .aggregate(Count(alias_name="n_vertices"))
-                .select_columns(["label"])
+                for t in _bucketed_distinct(labels, "label")
                 .iter_batches(batch_format="pyarrow", batch_size=None)
             ]
         ).astype(np.int64)
     )
     dist = bfs_hops_pinned(edges, roots).materialize()
 
-    sizes = labels.groupby("label").aggregate(Count(alias_name="n_vertices"))
+    sizes = _bgr(labels, "label", "n_vertices", "count")
 
     simple = drop_self_loops(edges).materialize()
     und = simple.map_batches(
@@ -99,12 +100,17 @@ def bipartite_check(
             u, c = np.unique(lc, return_counts=True)
             return pa.table({"label": u, "c": c.astype(np.int64)})
 
-        confl = (
+        confl = _bgr(
             und.map_batches(
                 conflict_partial, batch_format="pyarrow", zero_copy_batch=True
-            )
-            .groupby("label")
-            .aggregate(Sum("c", alias_name="n_conflicts"))
+            ),
+            "label",
+            "c",
+            "sum",
+        ).map_batches(
+            lambda t: t.rename_columns(["label", "n_conflicts"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
     else:
         da = dist.map_batches(
@@ -142,12 +148,17 @@ def bipartite_check(
             u, c = np.unique(lc, return_counts=True)
             return pa.table({"label": u, "c": c.astype(np.int64)})
 
-        confl = (
+        confl = _bgr(
             j.map_batches(
                 conflict_partial_j, batch_format="pyarrow", zero_copy_batch=True
-            )
-            .groupby("label")
-            .aggregate(Sum("c", alias_name="n_conflicts"))
+            ),
+            "label",
+            "c",
+            "sum",
+        ).map_batches(
+            lambda t: t.rename_columns(["label", "n_conflicts"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
 
     joined = hash_join(

@@ -43,6 +43,56 @@ _PACK_SHIFT = np.int64(31)
 _PACK_MASK = np.int64((1 << 31) - 1)
 
 
+
+def _bucketed_pair_sum_max(ds, sum_col: str, max_col: str = "_adj"):
+    """Per-(b, c) SUM(sum_col) + MAX(max_col) via a b-hash bucketed
+    exchange — groups are candidate PAIRS (data-proportional), where
+    Ray's keyed sort-aggregate pays ~ms per group; the two tag-union
+    keyed all-to-alls this replaces were the link-prediction wall."""
+    from ..context import default_parallelism
+
+    nb = max(8, default_parallelism())
+
+    def bkt(t: pa.Table) -> pa.Table:
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_kb", pa.array((b * np.int64(0x9E3779B9)) % nb, pa.int64())
+        )
+
+    def red(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            e = pa.array([], pa.int64())
+            vt = (
+                t.schema.field(sum_col).type
+                if sum_col in t.column_names
+                else pa.int64()
+            )
+            return pa.table(
+                {"b": e, "c": e, sum_col: pa.array([], vt), max_col: e}
+            )
+        b = t["b"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        v = t[sum_col].to_numpy(zero_copy_only=False)
+        m = t[max_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, b))
+        bs, cs = b[order], c[order]
+        new = np.r_[True, (bs[1:] != bs[:-1]) | (cs[1:] != cs[:-1])]
+        bounds = np.flatnonzero(new)
+        return pa.table(
+            {
+                "b": bs[bounds],
+                "c": cs[bounds],
+                sum_col: np.add.reduceat(v[order], bounds),
+                max_col: np.maximum.reduceat(m[order], bounds),
+            }
+        )
+
+    return (
+        ds.map_batches(bkt, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_kb")
+        .map_groups(red, batch_format="pyarrow")
+    )
+
 def _packed_pair_scores(
     simple: Dataset,
     left: Dataset,
@@ -206,14 +256,20 @@ def common_neighbor_candidates(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    counts = wedges.groupby(["b", "c"]).aggregate(Count(alias_name="common_neighbors"))
-
-    # anti-join as a tag-union groupby: the (b, c) groups seeing an
-    # adjacency tag are existing edges. One keyed all-to-all, same
-    # volume as a hash anti-join, and (unlike Ray's per-partition acero
-    # join) indifferent to empty shuffle partitions.
-    tagged_counts = counts.map_batches(
-        lambda t: t.append_column("_adj", pa.array(np.zeros(len(t), dtype=np.int64))),
+    # anti-join as a tag-union: wedge rows carry (n=1, _adj=0),
+    # adjacency rows (n=0, _adj=1); ONE fused bucketed exchange sums n
+    # (= common-neighbor count) and maxes the tag per pair -- replacing
+    # the former two pair-keyed all-to-alls, and (unlike Ray's
+    # per-partition acero join) indifferent to empty shuffle partitions.
+    tagged_wedges = wedges.map_batches(
+        lambda t: pa.table(
+            {
+                "b": t["b"],
+                "c": t["c"],
+                "common_neighbors": np.ones(len(t), dtype=np.int64),
+                "_adj": np.zeros(len(t), dtype=np.int64),
+            }
+        ),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -229,15 +285,8 @@ def common_neighbor_candidates(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    from ray.data.aggregate import Max, Sum
-
-    merged = (
-        tagged_counts.union(tagged_adj)
-        .groupby(["b", "c"])
-        .aggregate(
-            Sum("common_neighbors", alias_name="common_neighbors"),
-            Max("_adj", alias_name="_adj"),
-        )
+    merged = _bucketed_pair_sum_max(
+        tagged_wedges.union(tagged_adj), "common_neighbors"
     )
     cand = merged.map_batches(
         lambda t: t.filter(
@@ -368,12 +417,15 @@ def adamic_adar_candidates(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    from ray.data.aggregate import Max, Sum
-
-    scores = wedges.groupby(["b", "c"]).aggregate(Sum("w", alias_name="aa"))
-
-    tagged_scores = scores.map_batches(
-        lambda t: t.append_column("_adj", pa.array(np.zeros(len(t), dtype=np.int64))),
+    tagged_wedges = wedges.map_batches(
+        lambda t: pa.table(
+            {
+                "b": t["b"],
+                "c": t["c"],
+                "aa": t["w"],
+                "_adj": np.zeros(len(t), dtype=np.int64),
+            }
+        ),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -389,11 +441,8 @@ def adamic_adar_candidates(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    merged = (
-        tagged_scores.union(tagged_adj)
-        .groupby(["b", "c"])
-        .aggregate(Sum("aa", alias_name="aa"), Max("_adj", alias_name="_adj"))
-    )
+    # one fused bucketed pair exchange (see _bucketed_pair_sum_max)
+    merged = _bucketed_pair_sum_max(tagged_wedges.union(tagged_adj), "aa")
 
     def finalize(t: pa.Table) -> pa.Table:
         t = t.filter(pc.and_(pc.equal(t["_adj"], 0), pc.greater(t["aa"], 0.0)))

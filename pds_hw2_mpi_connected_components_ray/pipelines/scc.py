@@ -67,13 +67,11 @@ def _pad_with_self_loops(directed: Dataset, reverse: bool) -> Dataset:
         return pa.table({"vertex": u})
 
     base = directed.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
-    from ray.data.aggregate import Count
+    from ..stages.skew import bucketed_distinct
 
-    verts = (
-        base.map_batches(vert_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("vertex")
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
+    verts = bucketed_distinct(
+        base.map_batches(vert_partial, batch_format="pyarrow", zero_copy_batch=True),
+        "vertex",
     )
     loops = verts.map_batches(
         lambda t: pa.table({"src": t["vertex"], "dst": t["vertex"]}),
@@ -190,10 +188,9 @@ def scc_labels(
 
 def scc_counts(directed_edges: Dataset, **kw) -> Dataset:
     """(label, size) per strongly connected component."""
-    from ray.data.aggregate import Count
+    from ..stages.skew import bucketed_group_reduce
 
-    return (
-        scc_labels(directed_edges, **kw)
-        .groupby("label")
-        .aggregate(Count(alias_name="size"))
+    # per-component count (groups = components, data-proportional)
+    return bucketed_group_reduce(
+        scc_labels(directed_edges, **kw), "label", "size", "count"
     )

@@ -193,10 +193,15 @@ def deterministic_walks(
             h = _hash_expr(u, w, _step, seed)
             return pa.table({"walk_id": w, "_key": h * (2**32) + u})
 
-        nxt = (
-            cand.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("walk_id")
-            .aggregate(Min("_key", alias_name="_key"))
+        from ..stages.skew import bucketed_group_reduce
+
+        # per-walk min via the bucketed exchange (groups = walks,
+        # data-proportional; Ray's keyed aggregate pays ~ms per group)
+        nxt = bucketed_group_reduce(
+            cand.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True),
+            "walk_id",
+            "_key",
+            "min",
         )
 
         def unpack(t: pa.Table, _step=step) -> pa.Table:
