@@ -87,11 +87,18 @@ def canonical_edges(raw_directed: Dataset) -> Dataset:
 def degrees(edges: Dataset) -> Dataset:
     """(vertex, degree) from a symmetric edge table: degree = out-degree
     = in-degree = count of rows per src (self-loop counts once)."""
-    agg = edges.groupby("src").aggregate(Count(alias_name="degree"))
-    return agg.map_batches(
-        lambda t: t.rename_columns(["vertex", "degree"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    # per-batch combiner + bucketed exchange: groups = |V| (Ray's keyed
+    # sort-aggregate pays ~ms per group -- data-proportional here)
+    from .skew import bucketed_group_sum
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t["src"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"vertex": u, "degree": c.astype(np.int64)})
+
+    return bucketed_group_sum(
+        edges.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True),
+        "vertex",
+        "degree",
     )
 
 
@@ -105,9 +112,10 @@ def vertices(edges: Dataset) -> Dataset:
         u = pc.unique(t["src"])
         return pa.table({"vertex": u})
 
+    from .skew import bucketed_distinct
+
     local = edges.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
-    agg = local.groupby("vertex").aggregate(Count(alias_name="_n"))
-    return agg.drop_columns(["_n"])
+    return bucketed_distinct(local, "vertex")
 
 
 def local_min_labels(
