@@ -15,12 +15,12 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-import pyarrow.compute as pc
+import pyarrow as pa
 
 from ray.data import Dataset
 from ray.data.aggregate import Count
 
-from ..stages.graph import degrees, drop_self_loops, vertices
+from ..stages.graph import degrees, drop_self_loops
 
 
 def graph_summary(edges: Dataset, labels: Dataset | None = None) -> pd.DataFrame:
@@ -32,24 +32,59 @@ def graph_summary(edges: Dataset, labels: Dataset | None = None) -> pd.DataFrame
     from .cc import connected_components
     from .triangles import triangle_count
 
-    n_vertices = vertices(edges).count()
+    # ONE materialized simple table + ONE materialized degree table are
+    # shared across every leg (count/degree/triangle); the scalar
+    # reductions over each small summary table are fused into a single
+    # per-block-partial pass instead of separate .count()/.max()/.sum()
+    # executions (r4 regression: ~6 independent Ray executions over the
+    # same edge table doubled the wall).
     simple = drop_self_loops(edges).materialize()
-    n_edges = simple.map_batches(
-        lambda t: t.filter(pc.less(t["src"], t["dst"])),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).count()
-    max_degree = int(degrees(simple).max("degree"))
-    n_triangles = int(triangle_count(edges))
+    degs = degrees(simple).materialize()
 
+    def deg_partial(t):
+        d = t["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "s": pa.array([int(d.sum())], pa.int64()),
+                "mx": pa.array([int(d.max()) if len(d) else 0], pa.int64()),
+            }
+        )
+
+    sum_deg, max_degree = 0, 0
+    for t in degs.map_batches(
+        deg_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        sum_deg += int(t["s"].to_numpy(zero_copy_only=False).sum())
+        max_degree = max(max_degree, int(t["mx"].to_numpy(zero_copy_only=False).max()))
+    # symmetric self-loop-free table: every undirected edge is 2 rows
+    n_edges = sum_deg // 2
+
+    n_triangles = int(triangle_count(edges, simple=simple, degs=degs))
+
+    # label table has exactly one row per vertex (self-loop-only /
+    # isolated-in-simple vertices included), so the component-size
+    # aggregate also yields n_vertices as its size sum — one execution
+    # for all three scalars.
     lab = labels if labels is not None else connected_components(edges).labels
-    comp = (
-        lab.groupby("label")
-        .aggregate(Count(alias_name="sz"))
-        .materialize()
-    )
-    n_components = comp.count()
-    largest = int(comp.max("sz"))
+    comp = lab.groupby("label").aggregate(Count(alias_name="sz"))
+
+    def comp_partial(t):
+        sz = t["sz"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(sz)], pa.int64()),
+                "mx": pa.array([int(sz.max()) if len(sz) else 0], pa.int64()),
+                "sv": pa.array([int(sz.sum())], pa.int64()),
+            }
+        )
+
+    n_components, largest, n_vertices = 0, 0, 0
+    for t in comp.map_batches(
+        comp_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        n_components += int(t["n"].to_numpy(zero_copy_only=False).sum())
+        largest = max(largest, int(t["mx"].to_numpy(zero_copy_only=False).max()))
+        n_vertices += int(t["sv"].to_numpy(zero_copy_only=False).sum())
 
     n = float(n_vertices)
     m = float(n_edges)

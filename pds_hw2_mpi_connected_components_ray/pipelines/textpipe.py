@@ -1428,11 +1428,14 @@ def source_similarity(docs: Dataset) -> Dataset:
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(subset=["source", "tok"])
         sz = g.groupby("source", sort=False).size().reset_index(name="c")
+        # explicit row-kind flag (not a sentinel value in source_y: an
+        # empty-string SOURCE NAME is legal and must not be misrouted)
         sz = pd.DataFrame(
             {
                 "source_x": sz["source"].astype(str),
-                "source_y": "",  # size partials: sentinel pair side
+                "source_y": "",
                 "c": sz["c"].astype(np.int64),
+                "_is_size": np.ones(len(sz), dtype=np.int64),
             }
         )
         inter = (
@@ -1443,6 +1446,7 @@ def source_similarity(docs: Dataset) -> Dataset:
             .reset_index(name="c")
         )
         inter["c"] = inter["c"].astype(np.int64)
+        inter["_is_size"] = np.zeros(len(inter), dtype=np.int64)
         return pd.concat([sz, inter], ignore_index=True)
 
     parts = (
@@ -1457,8 +1461,10 @@ def source_similarity(docs: Dataset) -> Dataset:
     sizes: dict[str, int] = {}
     inter_map: dict[tuple[str, str], int] = {}
     for b in parts.iter_batches(batch_format="pandas", batch_size=None):
-        for a, y, c in zip(b["source_x"], b["source_y"], b["c"]):
-            if y == "":
+        for a, y, c, is_size in zip(
+            b["source_x"], b["source_y"], b["c"], b["_is_size"]
+        ):
+            if int(is_size):
                 sizes[str(a)] = sizes.get(str(a), 0) + int(c)
             else:
                 k = (str(a), str(y))

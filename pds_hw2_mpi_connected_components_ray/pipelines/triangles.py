@@ -224,11 +224,15 @@ def _orient_join(edges: Dataset, degs: Dataset, npart: int) -> Dataset:
 
 
 def _oriented_edges(
-    simple: Dataset, npart: int, broadcast_threshold: int
+    simple: Dataset, npart: int, broadcast_threshold: int,
+    degs: Dataset | None = None,
 ) -> Dataset:
     """Degree-oriented edge table (a, b, db): broadcast attach for small
-    vertex sets, two-hash-join attach beyond the threshold."""
-    degs = degrees(simple).materialize()
+    vertex sets, two-hash-join attach beyond the threshold. Pass a
+    precomputed materialized degree table via `degs` to share the scan
+    with callers that already hold one (graph_summary)."""
+    if degs is None:
+        degs = degrees(simple).materialize()
     if degs.count() <= broadcast_threshold:
         deg_tab = pa.concat_tables(
             list(degs.iter_batches(batch_format="pyarrow", batch_size=None))
@@ -243,13 +247,20 @@ def triangle_count(
     *,
     num_partitions: int | None = None,
     broadcast_threshold: int = BROADCAST_DEGREE_THRESHOLD,
+    simple: Dataset | None = None,
+    degs: Dataset | None = None,
 ) -> int:
     """Total triangles in the canonical symmetric deduped edge table.
 
     Degree attach is broadcast below `broadcast_threshold` vertices
     (16 B/vertex via ray.put) and a two-hash-join beyond it (the scale
-    path; semantics identical, tested through both)."""
-    simple = drop_self_loops(edges).materialize()
+    path; semantics identical, tested through both).
+
+    Callers that already hold the materialized self-loop-free table
+    and/or its materialized degree table (graph_summary) pass them via
+    `simple`/`degs` to share the scans instead of recomputing."""
+    if simple is None:
+        simple = drop_self_loops(edges).materialize()
     ecount = simple.count()
     if _use_local_closure(simple, ecount):
         ref, _n = _closure_state_ref(simple)
@@ -259,7 +270,7 @@ def triangle_count(
     # overhead and risk Ray's empty-partition join crash
     npart = num_partitions or default_parallelism()
     npart = max(2, min(npart, ecount // 100_000 + 2))
-    oriented = _oriented_edges(simple, npart, broadcast_threshold)
+    oriented = _oriented_edges(simple, npart, broadcast_threshold, degs=degs)
 
     right = oriented.map_batches(
         lambda t: pa.table({"a2": t["a"], "c": t["b"], "dc": t["db"]}),

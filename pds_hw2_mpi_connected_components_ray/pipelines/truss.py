@@ -188,7 +188,10 @@ def truss_peel_incremental(
         return rd.from_arrow(empty)
     if int(vmax) >= 2**31:
         # minted 63-bit id space: two ids don't pack into int64
-        return truss_peel(edges, k=k, rounds=rounds or _MAX_ROUNDS)
+        # (rounds=0 is a valid no-op bound — don't coerce it to the max)
+        return truss_peel(
+            edges, k=k, rounds=rounds if rounds is not None else _MAX_ROUNDS
+        )
 
     und = simple.map_batches(
         lambda t: t.filter(pc.less(t["src"], t["dst"])).rename_columns(["a", "b"]),

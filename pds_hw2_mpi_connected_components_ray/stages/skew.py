@@ -26,6 +26,20 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
 
+def _typed_empty(t: pa.Table, cols: dict[str, pa.DataType | None]) -> pa.Table:
+    """Zero-row table whose column types mirror the input block's schema
+    (never schema-less — downstream unions/joins crash on schema-less
+    empty blocks in Ray 2.49's acero path). `cols` maps output column ->
+    explicit type, or None to inherit the type of the same-named input
+    column."""
+    return pa.table(
+        {
+            name: pa.array([], typ if typ is not None else t.schema.field(name).type)
+            for name, typ in cols.items()
+        }
+    )
+
+
 def high_degree_vertices(edges: Dataset, threshold: int) -> Dataset:
     """(vertex, degree) for vertices with degree > threshold (group on
     src of the symmetric edge table)."""
@@ -75,6 +89,11 @@ def bucketed_group_sum(
         )
 
     def bucket_sum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            cols: dict[str, pa.DataType | None] = {key: None, val: None}
+            if extra is not None:
+                cols[extra] = None
+            return _typed_empty(t, cols)
         k = t[key].to_numpy(zero_copy_only=False)
         v = t[val].to_numpy(zero_copy_only=False)
         order = np.argsort(k, kind="stable")
@@ -118,10 +137,7 @@ def bucketed_group_min_max(
 
     def bucket_reduce(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            # typed empty (never schema-less -- downstream joins crash
-            # on schema-less empty blocks in Ray 2.49's acero path)
-            e = pa.array([], pa.int64())
-            return pa.table({key: e, min_col: e, max_col: e})
+            return _typed_empty(t, {key: None, min_col: None, max_col: None})
         k = t[key].to_numpy(zero_copy_only=False)
         mn = t[min_col].to_numpy(zero_copy_only=False)
         mx = t[max_col].to_numpy(zero_copy_only=False)
@@ -170,8 +186,11 @@ def bucketed_group_reduce(
 
     def bucket_reduce(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            e = pa.array([], pa.int64())
-            return pa.table({key: e, val: e})
+            # count mode always emits int64 counts; min/max/sum inherit
+            # the input value type
+            return _typed_empty(
+                t, {key: None, val: pa.int64() if how == "count" else None}
+            )
         k = t[key].to_numpy(zero_copy_only=False)
         order = np.argsort(k, kind="stable")
         ks = k[order]
@@ -208,7 +227,7 @@ def bucketed_distinct(
 
     def uniq(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table({key: pa.array([], pa.int64())})
+            return _typed_empty(t, {key: None})
         return pa.table({key: np.unique(t[key].to_numpy(zero_copy_only=False))})
 
     return (

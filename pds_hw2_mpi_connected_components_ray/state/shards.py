@@ -1482,10 +1482,20 @@ def spawn_shard_pool(
             for i in range(nshards)
         ]
         # keep the PG alive as long as its actors are (and removable by
-        # callers that kill the pool -- a leaked PG reserves CPUs)
+        # callers that kill the pool -- a leaked PG reserves CPUs).
+        # Registered under every actor's id in a module-level map so
+        # release works even if callers copy/rebuild the handle list;
+        # the handle attribute is kept as a convenience mirror.
+        for a in actors:
+            _POOL_PLACEMENT_GROUPS[a._actor_id.hex()] = pg
         actors[0]._graft_pg = pg  # type: ignore[attr-defined]
         return actors
     return [GraphShardActor.remote() for _ in range(nshards)]
+
+
+# actor-id -> placement group backing its spread-spawned pool (all
+# actors of one pool map to the same PG); survives handle copies.
+_POOL_PLACEMENT_GROUPS: dict = {}
 
 
 def release_pool_placement(actors: list) -> None:
@@ -1494,7 +1504,11 @@ def release_pool_placement(actors: list) -> None:
     a live PG reserves its bundles' CPUs from the rest of the job."""
     if not actors:
         return
-    pg = getattr(actors[0], "_graft_pg", None)
+    pg = None
+    for a in actors:
+        pg = _POOL_PLACEMENT_GROUPS.pop(getattr(a, "_actor_id").hex(), None) or pg
+    if pg is None:
+        pg = getattr(actors[0], "_graft_pg", None)
     if pg is not None:
         from ray.util.placement_group import remove_placement_group
 
