@@ -2621,6 +2621,47 @@ def _q_cc_checkpointed(sf_dir: str):
         return res.labels
 
 
+def _q_pagerank_checkpointed(sf_dir: str):
+    """PageRank with per-iteration checkpointing + resume in one call:
+    run 2 iterations under the distributed shuffle writer, 'die', then
+    resume the remaining 18 under local mode — the checkpoint state
+    (vertex, rank) is a format contract across execution modes. Final
+    ranks must equal an uninterrupted 20-iteration run (the pagerank20
+    oracle)."""
+    _configure()
+    import tempfile
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.pagerank import pagerank
+
+    edges = _canon_edges(sf_dir)
+    with tempfile.TemporaryDirectory(prefix="pr_ck_") as ck:
+        pagerank(edges, max_iters=2, mode="shuffle", checkpoint_dir=ck)
+        res = pagerank(edges, max_iters=20, mode="local", checkpoint_dir=ck, resume=True)
+        assert res.resumed_from == 2
+        df = res.ranks.to_pandas()
+        return pd.DataFrame(
+            {"vertex": df["vertex"], "pr": np.round(df["rank"].to_numpy(), 6)}
+        )
+
+
+def _q_labelprop_checkpointed(sf_dir: str):
+    """Sync LPA with per-iteration checkpointing + resume in one call
+    (2 iterations checkpointed under shuffle, resumed to 4 under local;
+    deterministic tie-break makes resumed == fresh == the labelprop4
+    oracle)."""
+    _configure()
+    import tempfile
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.labelprop import labelprop
+
+    edges = _canon_edges(sf_dir)
+    with tempfile.TemporaryDirectory(prefix="lp_ck_") as ck:
+        labelprop(edges, iterations=2, mode="shuffle", checkpoint_dir=ck)
+        res = labelprop(edges, iterations=4, mode="local", checkpoint_dir=ck, resume=True)
+        assert res.resumed_from == 2
+        return res.labels
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: pages -> link extraction -> canonical
     edge table -> connected components -> labels with component sizes."""
@@ -2670,6 +2711,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_labels_shuffle": lambda sf: _q_cc_labels(sf, mode="shuffle"),
         "cc_labels_unionfind": lambda sf: _q_cc_labels(sf, method="unionfind"),
         "cc_checkpoint_resume": _q_cc_checkpointed,
+        "pagerank_checkpoint_resume": _q_pagerank_checkpointed,
+        "labelprop_checkpoint_resume": _q_labelprop_checkpointed,
         "cc_incremental": _q_cc_incremental,
         "scc_labels": _q_scc,
         "scc_counts": _q_scc_counts,
@@ -2863,6 +2906,8 @@ def oracle_sql() -> dict[str, str]:
         "cc_labels_shuffle": cc_sql,
         "cc_labels_unionfind": cc_sql,
         "cc_checkpoint_resume": cc_sql,
+        "pagerank_checkpoint_resume": _pagerank_sql(20),
+        "labelprop_checkpoint_resume": _labelprop_sql(4),
         "cc_incremental": cc_sql,
         "pagerank_weighted": _pagerank_weighted_sql(10),
         "pagerank_weighted_shuffle": _pagerank_weighted_sql(4),

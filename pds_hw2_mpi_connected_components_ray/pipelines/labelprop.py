@@ -42,6 +42,7 @@ class LabelPropResult:
     labels: Dataset  # (vertex:int64, label:int64)
     iterations: int
     mode: str
+    resumed_from: int | None = None
 
 
 def labelprop(
@@ -51,20 +52,41 @@ def labelprop(
     mode: str = "auto",
     broadcast_threshold: int = 2_000_000,
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> LabelPropResult:
-    """Run sync LPA on a canonical symmetric deduped edge table."""
+    """Run sync LPA on a canonical symmetric deduped edge table.
+
+    `checkpoint_dir` saves the (vertex, label) state after every
+    iteration (atomic tmp+rename+_SUCCESS, the CC checkpoint layout);
+    `resume=True` restarts from the latest complete iteration and runs
+    only the remaining ones — sync LPA is deterministic, so a resumed
+    run's labels equal a fresh run's. The state schema is a FORMAT
+    contract: any mode can resume a checkpoint any mode wrote."""
     edges = edges.materialize()
     if mode == "auto":
         n = vertices(edges).count()
         mode = "local" if n <= broadcast_threshold else "shuffle"
     if mode == "pinned":
-        return _lp_pinned(edges, iterations)
+        return _lp_pinned(
+            edges, iterations, checkpoint_dir=checkpoint_dir, resume=resume
+        )
     if mode == "local":
-        return _lp_local(edges, iterations)
-    return _lp_shuffle(edges, iterations, num_partitions)
+        return _lp_local(
+            edges, iterations, checkpoint_dir=checkpoint_dir, resume=resume
+        )
+    return _lp_shuffle(
+        edges, iterations, num_partitions,
+        checkpoint_dir=checkpoint_dir, resume=resume,
+    )
 
 
-def _lp_pinned(edges: Dataset, iterations: int) -> LabelPropResult:
+def _lp_pinned(
+    edges: Dataset,
+    iterations: int,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> LabelPropResult:
     """DECENTRALIZED actor-pool sync LPA over pinned dst-hash CSC
     shards: each shard owns its vertex partition's labels, computes
     COMPLETE per-dst neighbor-label modes locally (shards are
@@ -79,7 +101,18 @@ def _lp_pinned(edges: Dataset, iterations: int) -> LabelPropResult:
         init_vertex_ownership(actors)
         ns = len(actors)
         ray.get([a.lp_start.remote() for a in actors])
-        for _ in range(iterations):
+        from ..state import checkpoint as ckpt
+
+        resumed_from = None
+        start_it = 1
+        if resume and checkpoint_dir is not None:
+            last = ckpt.latest_superstep(checkpoint_dir)
+            if last is not None:
+                step_dir = ckpt.step_dir(checkpoint_dir, last)
+                ray.get([a.lp_load_checkpoint.remote(step_dir) for a in actors])
+                resumed_from = last
+                start_it = last + 1
+        for it in range(start_it, iterations + 1):
             # per-subscriber label slices (request-order values only):
             # same edge-cut-proportional push as PageRank/CC; the
             # emit-to-all form shipped the whole O(n) label vector to
@@ -100,6 +133,15 @@ def _lp_pinned(edges: Dataset, iterations: int) -> LabelPropResult:
             else:
                 ls0 = [a.lp_emit_slices.remote() for a in actors]
                 changed = sum(ray.get([actors[0].lp_step.remote(ls0)]))
+            if checkpoint_dir is not None:
+                tmp = ckpt.begin_state_tmp(checkpoint_dir, it)
+                ray.get([a.lp_write_checkpoint.remote(tmp) for a in actors])
+                ckpt.commit_superstep(
+                    checkpoint_dir,
+                    it,
+                    {"iteration": it, "changed": int(changed),
+                     "mode": "pinned", "kernel": "labelprop"},
+                )
             if changed == 0:
                 break
         import ray.data as rd
@@ -110,7 +152,10 @@ def _lp_pinned(edges: Dataset, iterations: int) -> LabelPropResult:
         for a in actors:
             ray.kill(a)
 
-    return LabelPropResult(labels=labels, iterations=iterations, mode="pinned")
+    return LabelPropResult(
+        labels=labels, iterations=iterations, mode="pinned",
+        resumed_from=resumed_from,
+    )
 
 
 def _mode_per_vertex(d: np.ndarray, lab: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -153,13 +198,30 @@ class _NeighborLabels:
         )
 
 
-def _lp_local(edges: Dataset, iterations: int) -> LabelPropResult:
+def _lp_local(
+    edges: Dataset,
+    iterations: int,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> LabelPropResult:
+    from ..state import checkpoint as ckpt
     from .cc import _collect_vertices
 
     verts = _collect_vertices(edges)
     n = len(verts)
     labels = verts.copy()
-    for _ in range(iterations):
+    resumed_from = None
+    start_it = 1
+    if resume and checkpoint_dir is not None:
+        last = ckpt.latest_superstep(checkpoint_dir)
+        if last is not None:
+            st, _lin = ckpt.load_state(checkpoint_dir, last)
+            sv = st["vertex"].to_numpy(zero_copy_only=False)
+            sl = st["label"].to_numpy(zero_copy_only=False)
+            labels[np.searchsorted(verts, sv)] = sl
+            resumed_from = last
+            start_it = last + 1
+    for it in range(start_it, iterations + 1):
         ref = ray.put((verts, labels))
         partials = edges.map_batches(
             _NeighborLabels(ref), batch_format="pyarrow", zero_copy_batch=True
@@ -189,6 +251,14 @@ def _lp_local(edges: Dataset, iterations: int) -> LabelPropResult:
         if np.array_equal(new, labels):
             break
         labels = new
+        if checkpoint_dir is not None:
+            # local mode is driver-sized by definition
+            ckpt.save_state_table(
+                checkpoint_dir,
+                it,
+                pa.table({"vertex": verts, "label": labels}),
+                {"iteration": it, "mode": "local", "kernel": "labelprop"},
+            )
 
     import ray.data as rd
 
@@ -196,6 +266,7 @@ def _lp_local(edges: Dataset, iterations: int) -> LabelPropResult:
         labels=rd.from_arrow(pa.table({"vertex": verts, "label": labels})),
         iterations=iterations,
         mode="local",
+        resumed_from=resumed_from,
     )
 
 
@@ -203,11 +274,35 @@ def _lp_local(edges: Dataset, iterations: int) -> LabelPropResult:
 
 
 def _lp_shuffle(
-    edges: Dataset, iterations: int, num_partitions: int | None
+    edges: Dataset,
+    iterations: int,
+    num_partitions: int | None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> LabelPropResult:
+    from ..state import checkpoint as ckpt
+
     npart = num_partitions or default_parallelism()
     labels = init_labels(edges).materialize()
-    for _ in range(iterations):
+    resumed_from = None
+    start_it = 1
+    if resume and checkpoint_dir is not None:
+        last = ckpt.latest_superstep(checkpoint_dir)
+        if last is not None:
+            import os
+
+            import ray.data as rd
+
+            labels = (
+                rd.read_parquet(
+                    os.path.join(ckpt.step_dir(checkpoint_dir, last), "state")
+                )
+                .select_columns(["vertex", "label"])
+                .materialize()
+            )
+            resumed_from = last
+            start_it = last + 1
+    for it in range(start_it, iterations + 1):
         fr = labels.map_batches(
             lambda t: t.rename_columns(["src", "slabel"]),
             batch_format="pyarrow",
@@ -250,4 +345,15 @@ def _lp_shuffle(
             batch_format="pyarrow",
             zero_copy_batch=True,
         ).materialize()
-    return LabelPropResult(labels=labels, iterations=iterations, mode="shuffle")
+        if checkpoint_dir is not None:
+            # distributed parquet write of the materialized label blocks
+            ckpt.save_state_ds(
+                checkpoint_dir,
+                it,
+                labels,
+                {"iteration": it, "mode": "shuffle", "kernel": "labelprop"},
+            )
+    return LabelPropResult(
+        labels=labels, iterations=iterations, mode="shuffle",
+        resumed_from=resumed_from,
+    )

@@ -43,6 +43,7 @@ class PageRankResult:
     iterations: int
     mode: str
     l1_delta: float
+    resumed_from: int | None = None
 
 
 def _all_vertices(edges: Dataset) -> Dataset:
@@ -65,16 +66,33 @@ def pagerank(
     mode: str = "auto",
     broadcast_threshold: int = 2_000_000,
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> PageRankResult:
+    """`checkpoint_dir` saves the exact float64 rank state after every
+    iteration (atomic tmp+rename+_SUCCESS, same layout contract as the
+    CC checkpoints); `resume=True` restarts from the latest complete
+    iteration instead of r_0 — a 20-iteration run that dies at 18
+    repeats 2 iterations, not 18. The state schema (vertex, rank) is a
+    FORMAT contract: any mode can resume a checkpoint any mode wrote."""
     edges = edges.materialize()
     if mode == "auto":
         n = _all_vertices(edges).count()
         mode = "local" if n <= broadcast_threshold else "shuffle"
     if mode == "pinned":
-        return _pagerank_pinned(edges, damping, max_iters, tol)
+        return _pagerank_pinned(
+            edges, damping, max_iters, tol,
+            checkpoint_dir=checkpoint_dir, resume=resume,
+        )
     if mode == "local":
-        return _pagerank_local(edges, damping, max_iters, tol)
-    return _pagerank_shuffle(edges, damping, max_iters, tol, num_partitions)
+        return _pagerank_local(
+            edges, damping, max_iters, tol,
+            checkpoint_dir=checkpoint_dir, resume=resume,
+        )
+    return _pagerank_shuffle(
+        edges, damping, max_iters, tol, num_partitions,
+        checkpoint_dir=checkpoint_dir, resume=resume,
+    )
 
 
 def _pagerank_pinned(
@@ -83,6 +101,8 @@ def _pagerank_pinned(
     max_iters: int,
     tol: float | None,
     seed_mod: int | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> PageRankResult:
     """DECENTRALIZED actor-pool power iteration over pinned dst-hash CSC
     shards: each shard owns the ranks of its vertex partition, peers
@@ -106,9 +126,23 @@ def _pagerank_pinned(
             ray.get([a.pr_start_personalized.remote(n_seeds) for a in actors])
         else:
             ray.get([a.pr_start.remote(n) for a in actors])
+        from ..state import checkpoint as ckpt
+
+        resumed_from = None
+        start_it = 1
         it = 0
         l1 = float("inf")
-        for it in range(1, max_iters + 1):
+        if resume and checkpoint_dir is not None:
+            last = ckpt.latest_superstep(checkpoint_dir)
+            if last is not None:
+                step_dir = ckpt.step_dir(checkpoint_dir, last)
+                ray.get([a.pr_load_checkpoint.remote(step_dir) for a in actors])
+                lin = ckpt.load_lineage(checkpoint_dir, last)
+                resumed_from = last
+                start_it = last + 1
+                it = last
+                l1 = float(lin.get("l1", float("inf")))
+        for it in range(start_it, max_iters + 1):
             # per-subscriber weight slices (request-order values only):
             # each shard ingests exactly the weights its edges read --
             # the emit-to-all form shipped the whole O(n) vector to
@@ -136,6 +170,15 @@ def _pagerank_pinned(
                 )
             else:
                 l1 = float(sum(ray.get([actors[0].pr_step.remote(ws[0], dangling, damping)])))
+            if checkpoint_dir is not None:
+                tmp = ckpt.begin_state_tmp(checkpoint_dir, it)
+                ray.get([a.pr_write_checkpoint.remote(tmp) for a in actors])
+                ckpt.commit_superstep(
+                    checkpoint_dir,
+                    it,
+                    {"iteration": it, "l1": l1, "mode": "pinned",
+                     "kernel": "pagerank", "damping": damping},
+                )
             if tol is not None and l1 < tol:
                 break
         import ray.data as rd
@@ -147,7 +190,10 @@ def _pagerank_pinned(
             ray.kill(a)
 
     mode = "pinned" if seed_mod is None else "ppr-pinned"
-    return PageRankResult(ranks=ranks, iterations=it, mode=mode, l1_delta=l1)
+    return PageRankResult(
+        ranks=ranks, iterations=it, mode=mode, l1_delta=l1,
+        resumed_from=resumed_from,
+    )
 
 
 # ---------------------------------------------------------------- local
@@ -181,6 +227,8 @@ def _pagerank_local(
     max_iters: int,
     tol: float | None,
     seed_mod: int | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> PageRankResult:
     # vertex set + out-degrees, collected once (n <= broadcast threshold)
     vparts = [
@@ -215,9 +263,24 @@ def _pagerank_local(
         p = np.full(n, 1.0 / n)
     r = p.copy()
     dangling_mask = deg == 0
+    from ..state import checkpoint as ckpt
+
+    resumed_from = None
+    start_it = 1
     it = 0
     l1 = float("inf")
-    for it in range(1, max_iters + 1):
+    if resume and checkpoint_dir is not None:
+        last = ckpt.latest_superstep(checkpoint_dir)
+        if last is not None:
+            st, lin = ckpt.load_state(checkpoint_dir, last)
+            sv = st["vertex"].to_numpy(zero_copy_only=False)
+            sr = st["rank"].to_numpy(zero_copy_only=False)
+            r[np.searchsorted(verts, sv)] = sr
+            resumed_from = last
+            start_it = last + 1
+            it = last
+            l1 = float(lin.get("l1", float("inf")))
+    for it in range(start_it, max_iters + 1):
         w = np.where(dangling_mask, 0.0, r / np.maximum(deg, 1))
         ref = ray.put((verts, w))
         partials = edges.map_batches(
@@ -237,6 +300,16 @@ def _pagerank_local(
         r_new = (1 - damping) * p + damping * (contrib + dangling * p)
         l1 = float(np.abs(r_new - r).sum())
         r = r_new
+        if checkpoint_dir is not None:
+            # local mode is driver-sized by definition (n <= broadcast
+            # threshold), so a single-part state write is fine here
+            ckpt.save_state_table(
+                checkpoint_dir,
+                it,
+                pa.table({"vertex": verts, "rank": r}),
+                {"iteration": it, "l1": l1, "mode": "local",
+                 "kernel": "pagerank", "damping": damping},
+            )
         if tol is not None and l1 < tol:
             break
 
@@ -244,7 +317,10 @@ def _pagerank_local(
 
     mode = "local" if seed_mod is None else "ppr-local"
     ranks = rd.from_arrow(pa.table({"vertex": verts, "rank": r}))
-    return PageRankResult(ranks=ranks, iterations=it, mode=mode, l1_delta=l1)
+    return PageRankResult(
+        ranks=ranks, iterations=it, mode=mode, l1_delta=l1,
+        resumed_from=resumed_from,
+    )
 
 
 def personalized_pagerank(
@@ -292,7 +368,11 @@ def _pagerank_shuffle(
     max_iters: int,
     tol: float | None,
     num_partitions: int | None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> PageRankResult:
+    from ..state import checkpoint as ckpt
+
     npart = num_partitions or default_parallelism()
     verts = _all_vertices(edges).materialize()
     n = verts.count()
@@ -331,9 +411,32 @@ def _pagerank_shuffle(
         zero_copy_batch=True,
     ).materialize()
 
+    resumed_from = None
+    start_it = 1
     it = 0
     l1 = float("inf")
-    for it in range(1, max_iters + 1):
+    if resume and checkpoint_dir is not None:
+        last = ckpt.latest_superstep(checkpoint_dir)
+        if last is not None:
+            import os
+
+            import ray.data as rd
+
+            # (vertex, rank) state read as a DATASET (workers read the
+            # parts); degrees re-derive from vdeg via one hash join, so
+            # the checkpoint format stays mode-portable
+            st = rd.read_parquet(
+                os.path.join(ckpt.step_dir(checkpoint_dir, last), "state")
+            ).select_columns(["vertex", "rank"])
+            ranks = hash_join(
+                vdeg, st, on=("vertex",), num_partitions=npart
+            ).materialize()
+            lin = ckpt.load_lineage(checkpoint_dir, last)
+            resumed_from = last
+            start_it = last + 1
+            it = last
+            l1 = float(lin.get("l1", float("inf")))
+    for it in range(start_it, max_iters + 1):
         dangling = (
             ranks.map_batches(
                 lambda t: pa.table(
@@ -420,9 +523,20 @@ def _pagerank_shuffle(
             or 0.0
         )
         ranks = new_ranks.drop_columns(["old_rank"]).materialize()
+        if checkpoint_dir is not None:
+            # distributed parquet write of the materialized rank blocks
+            # (no driver materialization; atomic tmp+rename+_SUCCESS)
+            ckpt.save_state_ds(
+                checkpoint_dir,
+                it,
+                ranks.select_columns(["vertex", "rank"]),
+                {"iteration": it, "l1": l1, "mode": "shuffle",
+                 "kernel": "pagerank", "damping": damping},
+            )
         if tol is not None and l1 < tol:
             break
 
     return PageRankResult(
-        ranks=ranks.drop_columns(["deg"]), iterations=it, mode="shuffle", l1_delta=l1
+        ranks=ranks.drop_columns(["deg"]), iterations=it, mode="shuffle",
+        l1_delta=l1, resumed_from=resumed_from,
     )

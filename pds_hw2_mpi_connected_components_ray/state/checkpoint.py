@@ -132,6 +132,80 @@ def save_superstep_ds(
         f.write("")
 
 
+def save_state_table(root: str, k: int, state: pa.Table, lineage: dict) -> None:
+    """Atomic GENERIC-schema checkpoint write from one driver-held table
+    (the local-mode iterative kernels: by definition driver-sized).
+    Layout mirrors the CC checkpoints (superstep_%06d + _SUCCESS) so
+    latest_superstep works unchanged; the state schema is the kernel's
+    own (PageRank: vertex/deg/rank; LP: vertex/label)."""
+    os.makedirs(root, exist_ok=True)
+    final = _step_dir(root, k)
+    tmp = final + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.makedirs(os.path.join(tmp, "state"))
+    pq.write_table(state, os.path.join(tmp, "state", "part-0.parquet"))
+    lineage = dict(lineage, superstep=k, wall_written=time.time())
+    with open(os.path.join(tmp, "lineage.json"), "w") as f:
+        json.dump(lineage, f)
+    os.rename(tmp, final)
+    with open(os.path.join(final, "_SUCCESS"), "w") as f:
+        f.write("")
+
+
+def save_state_ds(root: str, k: int, state, lineage: dict) -> None:
+    """Atomic generic-schema checkpoint write from a Ray DATASET: the
+    workers write partitioned parquet straight into the tmp dir (the
+    state never materializes on the driver — same rule as
+    save_superstep_ds), then the driver commits the rename."""
+    os.makedirs(root, exist_ok=True)
+    final = _step_dir(root, k)
+    tmp = final + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.makedirs(tmp)
+    state.write_parquet(os.path.join(tmp, "state"))
+    lineage = dict(lineage, superstep=k, wall_written=time.time())
+    with open(os.path.join(tmp, "lineage.json"), "w") as f:
+        json.dump(lineage, f)
+    os.rename(tmp, final)
+    with open(os.path.join(final, "_SUCCESS"), "w") as f:
+        f.write("")
+
+
+def begin_state_tmp(root: str, k: int) -> str:
+    """Tmp layout for a distributed per-shard generic-state checkpoint
+    (actors write state/part-*.parquet); commit_superstep renames it."""
+    os.makedirs(root, exist_ok=True)
+    tmp = _step_dir(root, k) + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(os.path.join(tmp, "state"))
+    return tmp
+
+
+def load_lineage(root: str, k: int) -> dict:
+    """Read only a checkpoint's lineage record (resume paths that
+    restore state distributed — per-shard actor reads — must not pull
+    the O(n) state table onto the driver just for the metadata)."""
+    with open(os.path.join(_step_dir(root, k), "lineage.json")) as f:
+        return json.load(f)
+
+
+def load_state(root: str, k: int) -> tuple[pa.Table, dict]:
+    """Read a generic-state checkpoint written by any of the save_state
+    variants (driver table, dataset parts, or per-shard actor parts)."""
+    d = _step_dir(root, k)
+    state = pq.read_table(os.path.join(d, "state"))
+    with open(os.path.join(d, "lineage.json")) as f:
+        lineage = json.load(f)
+    return state, lineage
+
+
 def latest_superstep(root: str) -> int | None:
     """Highest superstep k with a complete (_SUCCESS) checkpoint."""
     if not os.path.isdir(root):

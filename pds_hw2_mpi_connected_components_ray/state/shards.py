@@ -1114,6 +1114,33 @@ class GraphShardActor:
     def pr_table(self) -> pa.Table:
         return pa.table({"vertex": self.vx_own, "rank": self.pr_r})
 
+    def pr_write_checkpoint(self, tmp_dir: str) -> None:
+        """Write this shard's rank slice into a generic-state checkpoint
+        tmp dir (distributed write; driver only commits the rename)."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table({"vertex": self.vx_own, "rank": self.pr_r}),
+            os.path.join(tmp_dir, "state", f"part-{self.sid}.parquet"),
+        )
+
+    def pr_load_checkpoint(self, step_dir: str) -> None:
+        """Restore my owned rank slice from a checkpoint dir (each shard
+        reads and filters its own v % nshards partition; degrees/
+        preference come from init_vertex_ownership / pr_start, which
+        must already have run)."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        st = pq.read_table(os.path.join(step_dir, "state"))
+        v = st["vertex"].to_numpy(zero_copy_only=False)
+        r = st["rank"].to_numpy(zero_copy_only=False)
+        mine = v % self.vx_nshards == self.sid
+        self.pr_r[np.searchsorted(self.vx_own, v[mine])] = r[mine]
+
     # --------------------------------------- decentralized label propagation
 
     def lp_start(self) -> None:
@@ -1151,6 +1178,30 @@ class GraphShardActor:
 
     def lp_table(self) -> pa.Table:
         return pa.table({"vertex": self.vx_own, "label": self.lp_labels})
+
+    def lp_write_checkpoint(self, tmp_dir: str) -> None:
+        """Write this shard's LPA label slice into a generic-state
+        checkpoint tmp dir (same shape as pr_write_checkpoint)."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table({"vertex": self.vx_own, "label": self.lp_labels}),
+            os.path.join(tmp_dir, "state", f"part-{self.sid}.parquet"),
+        )
+
+    def lp_load_checkpoint(self, step_dir: str) -> None:
+        """Restore my owned LPA labels from a checkpoint dir."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        st = pq.read_table(os.path.join(step_dir, "state"))
+        v = st["vertex"].to_numpy(zero_copy_only=False)
+        lab = st["label"].to_numpy(zero_copy_only=False)
+        mine = v % self.vx_nshards == self.sid
+        self.lp_labels[np.searchsorted(self.vx_own, v[mine])] = lab[mine]
 
     # ------------------------------------------- decentralized SCC (FW-BW
     # coloring). Two pools hold the DIRECTED graph (this pool = one

@@ -11,6 +11,8 @@ import pytest
 
 from fixtures.synth_pages import g_path, g_ring_of_cliques
 from pds_hw2_mpi_connected_components_ray.pipelines.cc import connected_components
+from pds_hw2_mpi_connected_components_ray.pipelines.labelprop import labelprop
+from pds_hw2_mpi_connected_components_ray.pipelines.pagerank import pagerank
 from pds_hw2_mpi_connected_components_ray.sources.edges import from_numpy_edges
 from pds_hw2_mpi_connected_components_ray.stages.graph import canonical_edges
 from pds_hw2_mpi_connected_components_ray.state import checkpoint as ckpt
@@ -124,3 +126,81 @@ def test_cross_mode_resume(tmp_path, from_mode, to_mode):
     assert np.array_equal(rv, gv)
     assert np.array_equal(rl, gl)
     assert res.resumed_from == 0
+
+
+# ------------------------------------------- PageRank / LPA resume
+# (the CC layout generalized: generic-state checkpoints under the same
+# superstep_%06d + _SUCCESS contract; a 20-iteration PageRank that dies
+# at 18 repeats 2 iterations, not 18)
+
+
+@pytest.mark.parametrize("mode", ["local", "shuffle", "pinned"])
+def test_pagerank_resume_equals_fresh(tmp_path, mode):
+    g = g_ring_of_cliques(k=8, size=6)
+    edges = canonical_edges(from_numpy_edges(g.edges, num_blocks=4)).materialize()
+    fresh = pagerank(edges, max_iters=8, mode=mode)
+    fr = fresh.ranks.to_pandas().sort_values("vertex").reset_index(drop=True)
+
+    ckdir = str(tmp_path / f"pr_{mode}")
+    partial = pagerank(edges, max_iters=3, mode=mode, checkpoint_dir=ckdir)
+    assert partial.iterations == 3
+    assert ckpt.latest_superstep(ckdir) == 3
+
+    res = pagerank(edges, max_iters=8, mode=mode, checkpoint_dir=ckdir, resume=True)
+    assert res.resumed_from == 3
+    rr = res.ranks.to_pandas().sort_values("vertex").reset_index(drop=True)
+    assert np.array_equal(fr["vertex"].to_numpy(), rr["vertex"].to_numpy())
+    assert np.allclose(fr["rank"].to_numpy(), rr["rank"].to_numpy(), atol=1e-12)
+
+
+@pytest.mark.parametrize("mode", ["local", "shuffle", "pinned"])
+def test_labelprop_resume_equals_fresh(tmp_path, mode):
+    g = g_ring_of_cliques(k=8, size=6)
+    edges = canonical_edges(from_numpy_edges(g.edges, num_blocks=4)).materialize()
+    fresh = labelprop(edges, iterations=4, mode=mode)
+    fl = fresh.labels.to_pandas().sort_values("vertex").reset_index(drop=True)
+
+    ckdir = str(tmp_path / f"lp_{mode}")
+    labelprop(edges, iterations=2, mode=mode, checkpoint_dir=ckdir)
+    assert ckpt.latest_superstep(ckdir) == 2
+
+    res = labelprop(edges, iterations=4, mode=mode, checkpoint_dir=ckdir, resume=True)
+    assert res.resumed_from == 2
+    rl = res.labels.to_pandas().sort_values("vertex").reset_index(drop=True)
+    assert np.array_equal(fl["vertex"].to_numpy(), rl["vertex"].to_numpy())
+    assert np.array_equal(fl["label"].to_numpy(), rl["label"].to_numpy())
+
+
+@pytest.mark.parametrize(
+    "from_mode,to_mode", [("shuffle", "pinned"), ("pinned", "local")]
+)
+def test_pagerank_cross_mode_resume(tmp_path, from_mode, to_mode):
+    """The (vertex, rank) state is a FORMAT contract: a run killed under
+    one execution strategy resumes under another (shrink/grow the
+    cluster, switch modes) with identical trajectories."""
+    g = g_ring_of_cliques(k=8, size=6)
+    edges = canonical_edges(from_numpy_edges(g.edges, num_blocks=4)).materialize()
+    golden = pagerank(edges, max_iters=8, mode=to_mode)
+    gr = golden.ranks.to_pandas().sort_values("vertex").reset_index(drop=True)
+
+    ckdir = str(tmp_path / f"prx_{from_mode}_{to_mode}")
+    pagerank(edges, max_iters=3, mode=from_mode, checkpoint_dir=ckdir)
+    res = pagerank(edges, max_iters=8, mode=to_mode, checkpoint_dir=ckdir, resume=True)
+    assert res.resumed_from == 3
+    rr = res.ranks.to_pandas().sort_values("vertex").reset_index(drop=True)
+    assert np.allclose(gr["rank"].to_numpy(), rr["rank"].to_numpy(), atol=1e-12)
+
+
+def test_pagerank_incomplete_checkpoint_ignored(tmp_path):
+    g = g_ring_of_cliques(k=8, size=6)
+    edges = canonical_edges(from_numpy_edges(g.edges, num_blocks=4)).materialize()
+    ckdir = str(tmp_path / "pr_inc")
+    pagerank(edges, max_iters=3, mode="local", checkpoint_dir=ckdir)
+    os.remove(os.path.join(ckdir, "superstep_000003", "_SUCCESS"))
+    assert ckpt.latest_superstep(ckdir) == 2
+    res = pagerank(edges, max_iters=8, mode="local", checkpoint_dir=ckdir, resume=True)
+    assert res.resumed_from == 2
+    fresh = pagerank(edges, max_iters=8, mode="local")
+    fr = fresh.ranks.to_pandas().sort_values("vertex")["rank"].to_numpy()
+    rr = res.ranks.to_pandas().sort_values("vertex")["rank"].to_numpy()
+    assert np.allclose(fr, rr, atol=1e-12)
