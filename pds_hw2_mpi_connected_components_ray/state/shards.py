@@ -65,6 +65,32 @@ def split_block_by_dst(table, nshards: int):
     order = np.argsort(b16, kind="stable")
     counts = np.bincount(b16, minlength=nshards)
     offs = np.concatenate([[0], np.cumsum(counts)])
+    if set(table.column_names) == {"src", "dst"}:
+        # plain edge tables: emit int32 columns when every id fits --
+        # halves the bytes this load-time exchange pushes through plasma
+        # and the bytes each shard's build pass then faults in (the load
+        # wave is kernel-fault-bound at 32 concurrent actors; the shard
+        # build accepts any integer width and re-widens only the
+        # vertex-sized id arrays). take() with pre-gathered numpy slices
+        # also skips Arrow's per-shard take overhead.
+        src = table["src"].to_numpy(zero_copy_only=False)
+        hi = max(
+            int(src.max()) if len(src) else 0, int(dst.max()) if len(dst) else 0
+        )
+        lo = min(
+            int(src.min()) if len(src) else 0, int(dst.min()) if len(dst) else 0
+        )
+        narrow = np.int32 if (0 <= lo and hi < 2**31) else np.int64
+        # cast BEFORE the gather: the fancy-index then runs at the
+        # narrow width (cast 4B + gather 4B per edge, vs gather 8B +
+        # cast 4B the other way round)
+        ss = src.astype(narrow, copy=False)[order]
+        ds = dst.astype(narrow, copy=False)[order]
+        out = []
+        for s in range(nshards):
+            a, b = offs[s], offs[s + 1]
+            out.append(pa.table({"src": ss[a:b], "dst": ds[a:b]}))
+        return tuple(out) if nshards > 1 else out[0]
     out = []
     for s in range(nshards):
         idx = order[offs[s] : offs[s + 1]]
@@ -100,26 +126,56 @@ class GraphShardActor:
         tables = [t for t in tables if t.num_rows]
         self.load_phases["get"] = _time.perf_counter() - _t
         _t = _time.perf_counter()
-        if tables:
-            src = np.concatenate([t["src"].to_numpy(zero_copy_only=False) for t in tables])
-            dst = np.concatenate([t["dst"].to_numpy(zero_copy_only=False) for t in tables])
-        else:
-            src = np.array([], dtype=np.int64)
-            dst = np.array([], dtype=np.int64)
+        # Concatenate straight out of the plasma-backed Arrow buffers
+        # into ONE pre-sized allocation per column -- the per-table
+        # to_numpy + np.concatenate form copied every edge twice, and on
+        # this wave (32 actors faulting fresh pages concurrently) the
+        # kernel fault path is the wall, not the copy itself. When every
+        # id fits int32 the destination is allocated half-width and
+        # np.copyto downcasts during the same pass: per-edge bytes
+        # touched in the whole load drop ~2x (ids here are bench/compact
+        # spaces; minted 63-bit url ids keep the int64 path).
+        total = sum(t.num_rows for t in tables)
+        import pyarrow.compute as _pc
+
+        vmax = 0
+        for t in tables:
+            for name in ("src", "dst"):
+                m = _pc.max(t[name]).as_py()
+                mn = _pc.min(t[name]).as_py()
+                if m is not None:
+                    vmax = max(vmax, int(m))
+                if mn is not None and mn < 0:
+                    vmax = 2**62  # negative ids: stay int64
+        narrow = np.int32 if vmax < 2**31 else np.int64
+        src = np.empty(total, dtype=narrow)
+        dst = np.empty(total, dtype=narrow)
+        off = 0
+        for t in tables:
+            for name, out in (("src", src), ("dst", dst)):
+                o = off
+                for ch in t[name].chunks:
+                    v = ch.to_numpy(zero_copy_only=False)
+                    np.copyto(out[o : o + len(v)], v, casting="unsafe")
+                    o += len(v)
+            off += t.num_rows
         # every dst in this shard shares the residue class dst % nshards,
-        # so ordering by dst//nshards equals ordering by dst -- and the
-        # quotient usually fits int32, turning the stable argsort into a
-        # half-width radix (the load wave is bandwidth-bound; fewer
-        # passes = directly less wall)
+        # so ordering by dst//nshards equals ordering by dst; on the
+        # int32 path dst itself is already half-width, on the int64 path
+        # the quotient usually fits int32, turning the stable argsort
+        # into a half-width radix (fewer passes = directly less wall)
         key = dst
-        if nshards and len(dst):
+        if narrow is np.int64 and nshards and len(dst):
             q = dst // nshards
             if int(q.max()) < 2**31:
                 key = q.astype(np.int32)
         order = np.argsort(key, kind="stable")
         src = src[order]
         dst = dst[order]
-        self.usrc, src_local = np.unique(src, return_inverse=True)
+        usrc, src_local = np.unique(src, return_inverse=True)
+        # global-id arrays keep the int64 contract downstream (labels,
+        # ingest maps); they are vertex-sized, so the upcast is cheap
+        self.usrc = usrc.astype(np.int64, copy=False)
         # local index space always fits int32 (a shard holds E/n edges);
         # the load/contract wave is memory-bandwidth-bound on one box,
         # so halving per-edge index bytes is a direct wall-time cut
@@ -129,10 +185,10 @@ class GraphShardActor:
         # load leg is bandwidth-bound; round-2 per-leg efficiency 0.4)
         if len(dst):
             flags = np.r_[True, dst[1:] != dst[:-1]]
-            self.udst = dst[flags]
+            self.udst = dst[flags].astype(np.int64, copy=False)
             starts = np.flatnonzero(flags)
         else:
-            self.udst = dst
+            self.udst = dst.astype(np.int64, copy=False)
             starts = np.array([], dtype=np.int64)
         self.offsets = np.concatenate([starts, [len(dst)]]).astype(np.int64)
         # per-edge dst column index (for grouped ops beyond reduceat)
