@@ -308,8 +308,24 @@ def _dedup_small(pairs: Dataset, cols: list[str]) -> Dataset:
     127 s for 195k pairs at sf0.1 vs ~1 s bucketed; same trick as
     stages.graph.dedup_edges."""
 
-    def uniq(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["a", "b"])[cols]
+    def uniq(df: pd.DataFrame) -> pa.Table:
+        # vectorized first-per-(a,b) via lexsort + boundary scan, Arrow
+        # out (pandas drop_duplicates hashed per row and the pandas
+        # block forced a block-manager round-trip downstream). The kept
+        # representative may differ from drop_duplicates' first-in-
+        # input-order one, but every metric column is a deterministic
+        # function of the (a, b) pair, so representatives are equal.
+        a = df["a"].to_numpy(dtype=np.int64)
+        b = df["b"].to_numpy(dtype=np.int64)
+        if len(a) == 0:
+            return pa.table(
+                {c: pa.array(df[c].to_numpy()[:0]) for c in cols}
+            )
+        o = np.lexsort((b, a))
+        sa, sb = a[o], b[o]
+        first = np.r_[True, (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1])]
+        keep = o[first]
+        return pa.table({c: pa.array(df[c].to_numpy()[keep]) for c in cols})
 
     pairs = pairs.materialize()
     n = pairs.count()
