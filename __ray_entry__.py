@@ -1878,38 +1878,43 @@ def _scc_labels_memo(sf_dir: str):
     key = f"{job}:{sf_dir}"
     ds = _SCC_CACHE.get(key)
     if ds is None:
-        import pyarrow as pa
-
         from pds_hw2_mpi_connected_components_ray.pipelines.scc import scc_labels
-        from pds_hw2_mpi_connected_components_ray.sources.edges import derive_raw_edges
-        from pds_hw2_mpi_connected_components_ray.stages.graph import dedup_edges
 
-        d0 = dedup_edges(derive_raw_edges(sf_dir))
-
-        def with_reverse_chain(t: pa.Table) -> pa.Table:
-            s = t["src"].to_numpy(zero_copy_only=False)
-            d = t["dst"].to_numpy(zero_copy_only=False)
-            # chain edges are exactly src%8==0 and dst==src+8 (intra-
-            # group edges never cross a group boundary); reverse all
-            # but every 4th one -- lockstep with the rv CTE in
-            # oracle_sql()["scc_labels"]
-            ch = (s % 8 == 0) & (d == s + 8) & ((s // 8) % 4 != 3)
-            return pa.table(
-                {
-                    "src": np.concatenate([s, d[ch]]),
-                    "dst": np.concatenate([d, s[ch]]),
-                }
-            )
-
-        de = d0.map_batches(
-            with_reverse_chain, batch_format="pyarrow", zero_copy_batch=True
-        )
         # trim pre-phase on: cycle-free vertices peel as singletons
         # before FW-BW (equality vs plain is pytest-asserted; ~16%
         # faster at sf0.1)
-        ds = scc_labels(de, trim=True).materialize()
+        ds = scc_labels(_scc_directed_edges(sf_dir), trim=True).materialize()
         _SCC_CACHE[key] = ds
     return ds
+
+
+def _scc_directed_edges(sf_dir: str):
+    """The planted DIRECTED graph for the SCC family: distinct raw
+    edges plus a reverse chain edge inside each 4-group run — lockstep
+    with the rv CTE in oracle_sql()['scc_labels']."""
+    import pyarrow as pa
+
+    from pds_hw2_mpi_connected_components_ray.sources.edges import derive_raw_edges
+    from pds_hw2_mpi_connected_components_ray.stages.graph import dedup_edges
+
+    d0 = dedup_edges(derive_raw_edges(sf_dir))
+
+    def with_reverse_chain(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        # chain edges are exactly src%8==0 and dst==src+8 (intra-
+        # group edges never cross a group boundary)
+        ch = (s % 8 == 0) & (d == s + 8) & ((s // 8) % 4 != 3)
+        return pa.table(
+            {
+                "src": np.concatenate([s, d[ch]]),
+                "dst": np.concatenate([d, s[ch]]),
+            }
+        )
+
+    return d0.map_batches(
+        with_reverse_chain, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def _q_scc(sf_dir: str):
@@ -1919,6 +1924,25 @@ def _q_scc(sf_dir: str):
     shard pools. Oracle: recursive mutual-reachability closure."""
     _configure()
     return _scc_labels_memo(sf_dir)
+
+
+def _q_scc_checkpointed(sf_dir: str):
+    """SCC with per-peel-round checkpointing + resume in one call: run
+    ONE FW-BW round with the checkpoint writer, 'die', resume from the
+    round-1 state to convergence. Labels must equal the uninterrupted
+    solve (the scc_labels oracle)."""
+    _configure()
+    import tempfile
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.scc import scc_labels
+
+    de = _scc_directed_edges(sf_dir)
+    with tempfile.TemporaryDirectory(prefix="scc_ck_") as ck:
+        scc_labels(de, checkpoint_dir=ck, stop_after_rounds=1)
+        info: dict = {}
+        res = scc_labels(de, checkpoint_dir=ck, resume=True, info=info)
+        assert info.get("resumed_from") == 1
+        return res
 
 
 def _q_median_tokens(sf_dir: str):
@@ -2716,6 +2740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_incremental": _q_cc_incremental,
         "scc_labels": _q_scc,
         "scc_counts": _q_scc_counts,
+        "scc_checkpoint_resume": _q_scc_checkpointed,
         "link_prediction": _q_link_prediction,
         "random_walks": _q_walks,
         "pagerank_weighted": _q_pagerank_weighted,
@@ -2948,6 +2973,22 @@ GROUP BY dv.v
 SELECT label, count(*)::BIGINT AS size FROM x GROUP BY label
 """,
         "scc_labels": f"""
+WITH RECURSIVE {_EDGES_CTES},
+d0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+rv AS (SELECT dst AS src, src AS dst FROM d0
+       WHERE src % 8 = 0 AND dst = src + 8 AND (src // 8) % 4 <> 3),
+de AS MATERIALIZED (SELECT src, dst FROM d0 UNION ALL SELECT src, dst FROM rv),
+dv AS MATERIALIZED (SELECT src AS v FROM de UNION SELECT dst FROM de),
+reach AS (SELECT src AS u, dst AS v FROM de
+          UNION
+          SELECT r.u, e.dst FROM reach r JOIN de e ON e.src = r.v),
+mut AS (SELECT a.u, a.v FROM reach a JOIN reach b ON b.u = a.v AND b.v = a.u)
+SELECT dv.v AS vertex, least(dv.v, coalesce(min(m.u), dv.v))::BIGINT AS label
+FROM dv LEFT JOIN mut m ON m.v = dv.v
+GROUP BY dv.v
+""",
+        # a killed-and-resumed SCC run must equal the uninterrupted one
+        "scc_checkpoint_resume": f"""
 WITH RECURSIVE {_EDGES_CTES},
 d0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
 rv AS (SELECT dst AS src, src AS dst FROM d0

@@ -88,11 +88,25 @@ def scc_labels(
     max_peel_rounds: int = 256,
     max_supersteps: int = 4096,
     trim: bool = False,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    stop_after_rounds: int | None = None,
+    info: dict | None = None,
 ) -> Dataset:
     """(vertex, label) with label = min vertex id of v's strongly
-    connected component, over the self-loop-free directed graph."""
+    connected component, over the self-loop-free directed graph.
+
+    `checkpoint_dir` saves the peel state (vertex, label-or-−1, active)
+    after every FW-BW round (atomic tmp+rename+_SUCCESS, the CC layout);
+    `resume=True` reloads the graph and restarts from the latest
+    complete round — in web graphs round one peels the giant SCC, so a
+    resumed run skips the dominant cost. `stop_after_rounds` stops a
+    checkpointed run early WITHOUT the convergence error (the
+    kill-at-round-k simulation; unpeeled vertices stay unassigned).
+    `info`, if passed, is filled with {rounds, supersteps, resumed_from}."""
     import ray.data as rd
 
+    from ..state import checkpoint as ckpt
     from ..state.shards import build_shard_pool, establish_subscriptions
 
     ncpus = int(ray.cluster_resources().get("CPU", 8))
@@ -109,6 +123,21 @@ def scc_labels(
             establish_subscriptions(acts_f)
         establish_subscriptions(acts_b)
         active = sum(s for s, _r in sizes_f)
+        resumed_from = None
+        if resume and checkpoint_dir is not None:
+            last = ckpt.latest_superstep(checkpoint_dir)
+            if last is not None:
+                step_dir = ckpt.step_dir(checkpoint_dir, last)
+                counts = ray.get(
+                    [a.scc_load_checkpoint.remote(step_dir, True) for a in acts_f]
+                )
+                ray.get(
+                    [a.scc_load_checkpoint.remote(step_dir, False) for a in acts_b]
+                )
+                active = int(sum(counts))
+                resumed_from = last
+                # restored state already incorporates any trim deaths
+                trim = False
         if trim:
             # Multistep trim: peel cycle-free vertices (zero active
             # in-degree on either direction) to fixpoint before FW-BW —
@@ -127,8 +156,12 @@ def scc_labels(
                     break
             active = sum(ray.get([a.scc_active_count.remote() for a in acts_f]))
         total_steps = 0
-        rounds = 0
+        rounds = resumed_from or 0
         while active > 0 and rounds < max_peel_rounds:
+            if stop_after_rounds is not None and rounds - (
+                resumed_from or 0
+            ) >= stop_after_rounds:
+                break
             for pool, is_fwd in ((acts_f, True), (acts_b, False)):
                 ray.get([a.scc_phase_init.remote() for a in pool])
                 converged = False
@@ -173,6 +206,24 @@ def scc_labels(
                 )
             active -= done
             rounds += 1
+            if checkpoint_dir is not None:
+                tmp = ckpt.begin_state_tmp(checkpoint_dir, rounds)
+                ray.get([a.scc_write_checkpoint.remote(tmp) for a in acts_f])
+                ckpt.commit_superstep(
+                    checkpoint_dir,
+                    rounds,
+                    {"round": rounds, "active": int(active), "kernel": "scc"},
+                )
+        if info is not None:
+            info.update(
+                rounds=rounds, supersteps=total_steps, resumed_from=resumed_from
+            )
+        if active > 0 and stop_after_rounds is not None:
+            # deliberate early stop (kill simulation): return the
+            # partial assignment; unpeeled vertices are absent
+            refs = [a.scc_result_table.remote() for a in acts_f]
+            ray.wait(refs, num_returns=len(refs), fetch_local=False)
+            return rd.from_arrow_refs(refs)
         if active > 0:
             raise RuntimeError(
                 f"SCC did not converge within {max_peel_rounds} peel rounds "

@@ -1374,6 +1374,44 @@ class GraphShardActor:
     def scc_active_count(self) -> int:
         return int(self.scc_active.sum())
 
+    def scc_write_checkpoint(self, tmp_dir: str) -> None:
+        """Write this FORWARD shard's peel state (owned vertex, assigned
+        label or -1, active flag) into a generic-state checkpoint tmp
+        dir; the driver commits the rename after every peel round."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "vertex": self.udst,
+                    "label": self.scc_label,
+                    "active": self.scc_active,
+                }
+            ),
+            os.path.join(tmp_dir, "state", f"part-{self.sid}.parquet"),
+        )
+
+    def scc_load_checkpoint(self, step_dir: str, with_labels: bool) -> int:
+        """Restore my owned peel state from a checkpoint dir (forward
+        pool: labels + active mask; backward pool: active mask only --
+        its labels are phase-local). Returns my active count."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        st = pq.read_table(os.path.join(step_dir, "state"))
+        v = st["vertex"].to_numpy(zero_copy_only=False)
+        act = st["active"].to_numpy(zero_copy_only=False)
+        mine = v % self.cc_nshards == self.sid
+        pos = np.searchsorted(self.udst, v[mine])
+        self.scc_active[pos] = act[mine]
+        if with_labels:
+            lab = st["label"].to_numpy(zero_copy_only=False)
+            self.scc_label[pos] = lab[mine]
+        return int(self.scc_active.sum())
+
     def scc_result_table(self) -> pa.Table:
         assigned = self.scc_label >= 0
         return pa.table(

@@ -204,3 +204,42 @@ def test_pagerank_incomplete_checkpoint_ignored(tmp_path):
     fr = fresh.ranks.to_pandas().sort_values("vertex")["rank"].to_numpy()
     rr = res.ranks.to_pandas().sort_values("vertex")["rank"].to_numpy()
     assert np.allclose(fr, rr, atol=1e-12)
+
+
+def test_scc_resume_equals_fresh(tmp_path):
+    """SCC peel-round checkpoints: a run stopped after round 1 resumes
+    to labels identical to the uninterrupted solve."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.pipelines.scc import scc_labels
+
+    # chain of 6 directed 5-cycles bridged one-way: peels over 6 rounds
+    rows = []
+    for c in range(6):
+        base = c * 10
+        rows += [(base + i, base + (i + 1) % 5) for i in range(5)]
+        if c < 5:
+            rows.append((base + 1, base + 10))
+    arr = np.array(rows, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"src": arr[:, 0], "dst": arr[:, 1]}))
+
+    fresh = scc_labels(ds, nshards=3).to_pandas().sort_values("vertex")
+    ckdir = str(tmp_path / "scc_ck")
+    info: dict = {}
+    partial = scc_labels(
+        ds, nshards=3, checkpoint_dir=ckdir, stop_after_rounds=1, info=info
+    ).to_pandas()
+    assert info["rounds"] == 1
+    assert len(partial) < len(fresh)  # genuinely partial
+    assert ckpt.latest_superstep(ckdir) == 1
+
+    info2: dict = {}
+    res = (
+        scc_labels(ds, nshards=3, checkpoint_dir=ckdir, resume=True, info=info2)
+        .to_pandas()
+        .sort_values("vertex")
+    )
+    assert info2["resumed_from"] == 1
+    assert np.array_equal(fresh["vertex"].to_numpy(), res["vertex"].to_numpy())
+    assert np.array_equal(fresh["label"].to_numpy(), res["label"].to_numpy())
