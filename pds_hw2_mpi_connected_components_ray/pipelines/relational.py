@@ -247,13 +247,17 @@ _BROADCAST_DIM_ROWS = 5_000_000
 
 
 def _collect_cols(ds: Dataset, cols: list[str]) -> pa.Table:
-    return pa.concat_tables(
-        list(
-            ds.select_columns(cols).iter_batches(
-                batch_format="pyarrow", batch_size=None
-            )
-        )
-    )
+    sel = ds.select_columns(cols)
+    batches = list(sel.iter_batches(batch_format="pyarrow", batch_size=None))
+    if batches:
+        return pa.concat_tables(batches)
+    # Zero-batch plan (e.g. every upstream partial filtered to nothing):
+    # preserve the column types from the dataset schema.
+    schema = sel.schema()
+    base = getattr(schema, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base.empty_table()
+    return pa.table({c: pa.array([], pa.int64()) for c in cols})
 
 
 def _int_lookup_ref(ds: Dataset, key: str, val: str):
@@ -375,13 +379,24 @@ def revenue_by_nation(
     )
 
 
-def order_priority_counts(orders: Dataset, lineitem: Dataset) -> Dataset:
+def order_priority_counts(
+    orders: Dataset,
+    lineitem: Dataset,
+    *,
+    broadcast_threshold: int | None = None,
+) -> Dataset:
     """TPC-H Q4 shape: count orders per o_orderpriority having at least
     one RETURNED line (l_returnflag='R') — the distributed SEMI-JOIN:
     the probe side reduces to DISTINCT order keys first (per-batch
-    np.unique partial + one keyed count aggregate), so the join can
-    never duplicate an order, then a key-hash inner join against
-    orders and a 5-row count rollup (per-batch pre-combined)."""
+    np.unique partial), so the join can never duplicate an order.
+    Below the dimension gate the distinct key set (⊆ orderkeys, so
+    gate-bounded) broadcasts as one sorted array and membership is a
+    vectorized searchsorted inside the orders scan — no all-to-all at
+    all. Beyond the gate, a bucketed distinct + key-hash inner join
+    against orders; both paths end in a 5-row count rollup (per-batch
+    pre-combined)."""
+    import ray
+
     npart = default_parallelism()
 
     def key_partial(t: pa.Table) -> pa.Table:
@@ -389,18 +404,8 @@ def order_priority_counts(orders: Dataset, lineitem: Dataset) -> Dataset:
         ok = t.filter(keep)["l_orderkey"].to_numpy(zero_copy_only=False)
         return pa.table({"l_orderkey": np.unique(ok)})
 
-    rkeys = bucketed_distinct(
-        lineitem.select_columns(["l_orderkey", "l_returnflag"]).map_batches(
-            key_partial, batch_format="pyarrow", zero_copy_batch=True
-        ),
-        "l_orderkey",
-    )
-    j = hash_join(
-        orders.select_columns(["o_orderkey", "o_orderpriority"]),
-        rkeys,
-        on=("o_orderkey",),
-        right_on=("l_orderkey",),
-        num_partitions=npart,
+    partials = lineitem.select_columns(["l_orderkey", "l_returnflag"]).map_batches(
+        key_partial, batch_format="pyarrow", zero_copy_batch=True
     )
 
     def prio_partial(t: pa.Table) -> pa.Table:
@@ -409,6 +414,64 @@ def order_priority_counts(orders: Dataset, lineitem: Dataset) -> Dataset:
         return pa.table(
             {"o_orderpriority": u, "c": c.astype(np.int64)}
         )
+
+    _thr = _BROADCAST_DIM_ROWS if broadcast_threshold is None else broadcast_threshold
+    if orders.count() <= _thr:
+        keys = np.unique(
+            _collect_cols(partials, ["l_orderkey"])["l_orderkey"].to_numpy(
+                zero_copy_only=False
+            )
+        )
+        kref = ray.put(keys)
+
+        def member_partial(t: pa.Table) -> pa.Table:
+            ks = ray.get(kref)
+            ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+            if len(ks) == 0:
+                return pa.table(
+                    {
+                        "o_orderpriority": pa.array([], t.schema.field(
+                            "o_orderpriority"
+                        ).type),
+                        "c": pa.array([], pa.int64()),
+                    }
+                )
+            pos = np.searchsorted(ks, ok)
+            pos_c = np.minimum(pos, len(ks) - 1)
+            hit = ks[pos_c] == ok
+            return prio_partial(t.filter(pa.array(hit)))
+
+        j = orders.select_columns(["o_orderkey", "o_orderpriority"]).map_batches(
+            member_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return j.groupby("o_orderpriority").aggregate(
+            Sum("c", alias_name="order_count")
+        )
+
+    # Materialized so emptiness is a metadata check: Ray 2.49's native
+    # join builds each partition table with ArrowBlockBuilder, so a
+    # GLOBALLY empty side yields zero-column partition tables and acero
+    # raises; the distinct key set is semi-join-bounded (⊆ orderkeys),
+    # so pinning it is safe at any scale.
+    rkeys = bucketed_distinct(partials, "l_orderkey").materialize()
+    if rkeys.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "order_count": pa.array([], pa.int64()),
+                }
+            )
+        )
+    j = hash_join(
+        orders.select_columns(["o_orderkey", "o_orderpriority"]),
+        rkeys,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+        num_partitions=npart,
+    )
 
     return (
         j.map_batches(prio_partial, batch_format="pyarrow", zero_copy_batch=True)
@@ -488,52 +551,86 @@ def customer_order_distribution(customer: Dataset, orders: Dataset) -> Dataset:
 
 
 def returned_top_customers(
-    customer: Dataset, orders: Dataset, lineitem: Dataset, *, k: int = 20
+    customer: Dataset,
+    orders: Dataset,
+    lineitem: Dataset,
+    *,
+    k: int = 20,
+    broadcast_threshold: int | None = None,
 ) -> Dataset:
     """TPC-H Q10 shape: top-k customers by revenue from RETURNED lines
-    (l_returnflag='R'), name attached. Revenue pre-combines per order
-    key inside each lineitem batch, one key-hash join maps order→cust,
-    a customer-keyed sum + (revenue desc, custkey asc) top-k finishes,
-    and the k-row result broadcast-filters the customer table for the
-    name attach (no full-table join for k rows)."""
+    (l_returnflag='R'), name attached. Below the dimension gate the
+    orderkey→custkey map broadcasts once (`ray.put`) and the fact scan
+    is join-free: one fused pass filters R-lines, computes revenue, maps
+    order→customer and pre-groups per customer inside each batch.
+    Beyond the gate, revenue pre-combines per order key inside each
+    lineitem batch and one key-hash join maps order→cust. Either way a
+    customer-keyed bucketed sum + (revenue desc, custkey asc) top-k
+    finishes, and the k-row result broadcast-filters the customer table
+    for the name attach (no full-table join for k rows)."""
     import ray
 
     npart = default_parallelism()
 
-    def li_partial(t: pa.Table) -> pa.Table:
-        keep = pc.equal(t["l_returnflag"], "R")
-        t = t.filter(keep)
-        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
-        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
-        disc = t["l_discount"].to_numpy(zero_copy_only=False)
-        rev = np.floor(price * (1.0 - disc) * 1e4 + 0.5).astype(np.int64)
-        order = np.argsort(ok, kind="stable")
-        oks, revs = ok[order], rev[order]
-        b = np.flatnonzero(np.r_[True, oks[1:] != oks[:-1]])
-        return pa.table(
-            {"l_orderkey": oks[b], "r": np.add.reduceat(revs, b).astype(np.int64)}
-        )
+    _thr = _BROADCAST_DIM_ROWS if broadcast_threshold is None else broadcast_threshold
+    if orders.count() <= _thr:
+        oc_ref = _int_lookup_ref(orders, "o_orderkey", "o_custkey")
 
-    li = lineitem.select_columns(
-        ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"]
-    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
-    j = hash_join(
-        li,
-        orders.select_columns(["o_orderkey", "o_custkey"]),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-        num_partitions=npart,
-    )
-    topk = (
-        bucketed_group_sum(
-            j.map_batches(
-                lambda t: t.select(["o_custkey", "r"]),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            ),
-            "o_custkey",
-            "r",
+        def fused_pass(t: pa.Table) -> pa.Table:
+            ocl = ray.get(oc_ref)
+            keep = pc.equal(t["l_returnflag"], "R")
+            t = t.filter(keep)
+            ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = t["l_discount"].to_numpy(zero_copy_only=False)
+            rev = np.floor(price * (1.0 - disc) * 1e4 + 0.5).astype(np.int64)
+            _, ck = ocl.get(ok)
+            order = np.argsort(ck, kind="stable")
+            cks, revs = ck[order], rev[order]
+            b = np.flatnonzero(np.r_[True, cks[1:] != cks[:-1]])
+            return pa.table(
+                {
+                    "o_custkey": cks[b],
+                    "r": np.add.reduceat(revs, b).astype(np.int64),
+                }
+            )
+
+        summed = lineitem.select_columns(
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"]
+        ).map_batches(fused_pass, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+
+        def li_partial(t: pa.Table) -> pa.Table:
+            keep = pc.equal(t["l_returnflag"], "R")
+            t = t.filter(keep)
+            ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = t["l_discount"].to_numpy(zero_copy_only=False)
+            rev = np.floor(price * (1.0 - disc) * 1e4 + 0.5).astype(np.int64)
+            order = np.argsort(ok, kind="stable")
+            oks, revs = ok[order], rev[order]
+            b = np.flatnonzero(np.r_[True, oks[1:] != oks[:-1]])
+            return pa.table(
+                {"l_orderkey": oks[b], "r": np.add.reduceat(revs, b).astype(np.int64)}
+            )
+
+        li = lineitem.select_columns(
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"]
+        ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+        j = hash_join(
+            li,
+            orders.select_columns(["o_orderkey", "o_custkey"]),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+            num_partitions=npart,
         )
+        summed = j.map_batches(
+            lambda t: t.select(["o_custkey", "r"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    topk = (
+        bucketed_group_sum(summed, "o_custkey", "r")
         .map_batches(
             lambda t: t.rename_columns(["o_custkey", "revenue_e4"]),
             batch_format="pyarrow",

@@ -279,6 +279,53 @@ def test_revenue_pipelines_broadcast_vs_join_modes():
             pd.testing.assert_frame_equal(tk, base_tk)
 
 
+def test_semijoin_topk_broadcast_vs_join_modes():
+    """order_priority_counts (Q4) and returned_top_customers (Q10):
+    the broadcast membership/lookup plan (default under the dimension
+    gate) and the key-hash join plan (broadcast_threshold=0) must be
+    identical."""
+    from pds_hw2_mpi_connected_components_ray.pipelines.relational import (
+        order_priority_counts,
+        returned_top_customers,
+    )
+
+    cust, orders, lines = _tables()
+
+    def norm(ds, cols):
+        return ds.to_pandas().sort_values(cols).reset_index(drop=True)
+
+    for thr in (None, 0):
+        kw = {} if thr is None else {"broadcast_threshold": 0}
+        pc_ = norm(
+            order_priority_counts(_ds(orders), _ds(lines), **kw),
+            ["o_orderpriority"],
+        )
+        tc = norm(
+            returned_top_customers(_ds(cust), _ds(orders), _ds(lines), k=10, **kw),
+            ["revenue_e4", "c_custkey"],
+        )
+        if thr is None:
+            base_pc, base_tc = pc_, tc
+        else:
+            pd.testing.assert_frame_equal(pc_, base_pc)
+            pd.testing.assert_frame_equal(tc, base_tc)
+
+
+def test_order_priority_counts_no_returned_lines():
+    """Empty membership set: zero R-lines must yield an empty result on
+    both plans (broadcast path hits the len(keys)==0 typed-empty guard)."""
+    from pds_hw2_mpi_connected_components_ray.pipelines.relational import (
+        order_priority_counts,
+    )
+
+    cust, orders, lines = _tables()
+    lines = lines.copy()
+    lines["l_returnflag"] = "N"
+    for kw in ({}, {"broadcast_threshold": 0}):
+        out = order_priority_counts(_ds(orders), _ds(lines), **kw).to_pandas()
+        assert len(out) == 0
+
+
 def test_orders_by_month_brute(ray_session):
     from pds_hw2_mpi_connected_components_ray.pipelines.relational import (
         orders_by_month,
