@@ -23,10 +23,12 @@ Two modes, the engine's standard adaptive split:
 
 - ``local`` (n <= broadcast_threshold): the driver holds the O(n)
   score vector, each iteration broadcasts it once (``ray.put`` ref,
-  read per task) and streams the edge table through a per-batch
-  scatter-combiner (sort + ``np.add.reduceat``) — per-iteration
-  traffic is one O(n) broadcast plus dst/src-distinct partials, and
-  the edge table itself never moves.
+  read per task) and streams pre-indexed edge blocks
+  (stages/scatter.py: endpoint->position map + receiver grouping
+  hoisted into a one-time prep pass per direction) through a pure
+  gather + ``np.add.reduceat`` combiner — per-iteration traffic is one
+  O(n) broadcast plus receiver-distinct partials, and the edge blocks
+  themselves never move.
 - ``shuffle``: scores live in a hash-partitioned Dataset; each
   half-step is one hash join (edges x scores on the emitting side)
   plus one groupby-sum on the receiving side — all-to-alls are
@@ -69,31 +71,6 @@ def _collect_vertices(edges: Dataset) -> np.ndarray:
     return np.sort(np.concatenate(parts))
 
 
-class _EdgeScatter:
-    """Per-batch scatter-combiner: weight each edge by the broadcast
-    score of its `from_col` endpoint, partial-sum by `to_col`. Each
-    batch ships at most its distinct receivers, not its edge stream."""
-
-    def __init__(self, ref, from_col: str, to_col: str):
-        self._ref = ref
-        self._from = from_col
-        self._to = to_col
-        self._state = None
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if self._state is None:
-            self._state = ray.get(self._ref)
-        verts, w = self._state
-        f = batch[self._from].to_numpy(zero_copy_only=False)
-        t = batch[self._to].to_numpy(zero_copy_only=False)
-        contrib = w[np.searchsorted(verts, f)]
-        order = np.argsort(t, kind="stable")
-        tt = t[order]
-        c = contrib[order]
-        bounds = np.flatnonzero(np.r_[True, tt[1:] != tt[:-1]])
-        return pa.table({"vertex": tt[bounds], "s": np.add.reduceat(c, bounds)})
-
-
 def hits(
     edges: Dataset,
     *,
@@ -114,29 +91,27 @@ def hits(
 
 
 def _hits_local(edges: Dataset, iters: int) -> HitsResult:
+    from ..stages.scatter import index_edges, scatter_pass
+
     verts = _collect_vertices(edges)
     n = len(verts)
+    # loop-invariant prep (stages/scatter.py): endpoint->position map +
+    # receiver grouping hoisted out of the 2*iters edge passes; each
+    # half-step below is pure gather+reduceat over int32 blocks
+    vref = ray.put(verts)
+    fwd = index_edges(edges, vref, "src", "dst")  # hubs endorse authorities
+    rev = index_edges(edges, vref, "dst", "src")  # authorities credit hubs
     h = np.ones(n, dtype=np.float64)
     a = np.zeros(n, dtype=np.float64)
 
-    def half_step(w: np.ndarray, from_col: str, to_col: str) -> np.ndarray:
-        ref = ray.put((verts, w))
-        out = np.zeros(n, dtype=np.float64)
-        partials = edges.map_batches(
-            _EdgeScatter(ref, from_col, to_col),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        for b in partials.iter_batches(batch_format="pyarrow", batch_size=None):
-            v = b["vertex"].to_numpy(zero_copy_only=False)
-            if len(v):
-                np.add.at(out, np.searchsorted(verts, v), b["s"].to_numpy(zero_copy_only=False))
+    def half_step(indexed: Dataset, w: np.ndarray) -> np.ndarray:
+        out = scatter_pass(indexed, w, n)
         tot = out.sum()
         return out / tot if tot > 0 else out
 
     for _ in range(iters):
-        a = half_step(h, "src", "dst")  # hubs endorse authorities
-        h = half_step(a, "dst", "src")  # authorities credit hubs
+        a = half_step(fwd, h)
+        h = half_step(rev, a)
 
     import ray.data as rd
 

@@ -199,28 +199,6 @@ def _pagerank_pinned(
 # ---------------------------------------------------------------- local
 
 
-class _ContribProp:
-    """Per-batch contribution scatter with a per-dst partial-sum combiner."""
-
-    def __init__(self, ref):
-        self._ref = ref
-        self._state = None
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if self._state is None:
-            self._state = ray.get(self._ref)
-        verts, w = self._state  # w = r/deg per vertex (0 for dangling)
-        src = batch["src"].to_numpy(zero_copy_only=False)
-        dst = batch["dst"].to_numpy(zero_copy_only=False)
-        contrib = w[np.searchsorted(verts, src)]
-        order = np.argsort(dst, kind="stable")
-        d = dst[order]
-        c = contrib[order]
-        bounds = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
-        sums = np.add.reduceat(c, bounds)
-        return pa.table({"vertex": d[bounds], "contrib": sums})
-
-
 def _pagerank_local(
     edges: Dataset,
     damping: float,
@@ -249,6 +227,13 @@ def _pagerank_local(
     ):
         v = b["vertex"].to_numpy(zero_copy_only=False)
         np.add.at(deg, np.searchsorted(verts, v), b["cnt"].to_numpy(zero_copy_only=False))
+
+    # loop-invariant prep (stages/scatter.py): endpoint->position map +
+    # dst grouping hoisted out of the max_iters edge passes; each
+    # iteration below is pure gather+reduceat over int32 blocks
+    from ..stages.scatter import index_edges, scatter_pass
+
+    indexed = index_edges(edges, ray.put(verts), "src", "dst")
 
     # preference vector: uniform 1/n for classic PageRank, the seed
     # distribution for personalized (r0 = p; teleport AND dangling mass
@@ -282,20 +267,7 @@ def _pagerank_local(
             l1 = float(lin.get("l1", float("inf")))
     for it in range(start_it, max_iters + 1):
         w = np.where(dangling_mask, 0.0, r / np.maximum(deg, 1))
-        ref = ray.put((verts, w))
-        partials = edges.map_batches(
-            _ContribProp(ref), batch_format="pyarrow", zero_copy_batch=True
-        )
-        contrib = np.zeros(n)
-        for b in partials.iter_batches(batch_format="pyarrow", batch_size=None):
-            v = b["vertex"].to_numpy(zero_copy_only=False)
-            if len(v) == 0:
-                continue
-            np.add.at(
-                contrib,
-                np.searchsorted(verts, v),
-                b["contrib"].to_numpy(zero_copy_only=False),
-            )
+        contrib = scatter_pass(indexed, w, n)
         dangling = float(r[dangling_mask].sum())
         r_new = (1 - damping) * p + damping * (contrib + dangling * p)
         l1 = float(np.abs(r_new - r).sum())
