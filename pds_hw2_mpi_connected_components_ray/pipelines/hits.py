@@ -22,13 +22,12 @@ hash comparison (same contract as the PageRank oracles).
 Two modes, the engine's standard adaptive split:
 
 - ``local`` (n <= broadcast_threshold): the driver holds the O(n)
-  score vector, each iteration broadcasts it once (``ray.put`` ref,
-  read per task) and streams pre-indexed edge blocks
-  (stages/scatter.py: endpoint->position map + receiver grouping
-  hoisted into a one-time prep pass per direction) through a pure
-  gather + ``np.add.reduceat`` combiner — per-iteration traffic is one
-  O(n) broadcast plus receiver-distinct partials, and the edge blocks
-  themselves never move.
+  score vector; edge blocks pin by reference in a slice-actor pool
+  (stages/scatter.py ScatterPool: endpoint->position map + receiver
+  grouping indexed once per direction at load), and each half-step is
+  one O(n) broadcast + one RPC round of pure gather +
+  ``np.add.reduceat`` returning dense partials — no Dataset execution
+  per pass, and the edge blocks never move after load.
 - ``shuffle``: scores live in a hash-partitioned Dataset; each
   half-step is one hash join (edges x scores on the emitting side)
   plus one groupby-sum on the receiving side — all-to-alls are
@@ -46,7 +45,6 @@ from dataclasses import dataclass
 import numpy as np
 import pyarrow as pa
 
-import ray
 from ray.data import Dataset
 
 from ..context import default_parallelism
@@ -91,27 +89,31 @@ def hits(
 
 
 def _hits_local(edges: Dataset, iters: int) -> HitsResult:
-    from ..stages.scatter import index_edges, scatter_pass
+    from ..stages.scatter import ScatterPool
 
-    verts = _collect_vertices(edges)
-    n = len(verts)
-    # loop-invariant prep (stages/scatter.py): endpoint->position map +
-    # receiver grouping hoisted out of the 2*iters edge passes; each
-    # half-step below is pure gather+reduceat over int32 blocks
-    vref = ray.put(verts)
-    fwd = index_edges(edges, vref, "src", "dst")  # hubs endorse authorities
-    rev = index_edges(edges, vref, "dst", "src")  # authorities credit hubs
-    h = np.ones(n, dtype=np.float64)
-    a = np.zeros(n, dtype=np.float64)
+    # load-once / solve-many (stages/scatter.py): edge blocks pin in a
+    # slice-actor pool by reference, both directions indexed once; each
+    # half-step below is one broadcast + one RPC round of gather+reduceat
+    # — no Dataset execution per pass (16 executions for 8 iterations
+    # was >90% scheduling fixed cost at gate scale)
+    with ScatterPool(
+        edges,
+        directions=[("src", "dst"), ("dst", "src")],
+        # fwd: hubs endorse authorities; rev: authorities credit hubs
+    ) as pool:
+        verts = pool.verts
+        n = pool.n
+        h = np.ones(n, dtype=np.float64)
+        a = np.zeros(n, dtype=np.float64)
 
-    def half_step(indexed: Dataset, w: np.ndarray) -> np.ndarray:
-        out = scatter_pass(indexed, w, n)
-        tot = out.sum()
-        return out / tot if tot > 0 else out
+        def half_step(direction: int, w: np.ndarray) -> np.ndarray:
+            out = pool.scatter(w, direction)
+            tot = out.sum()
+            return out / tot if tot > 0 else out
 
-    for _ in range(iters):
-        a = half_step(fwd, h)
-        h = half_step(rev, a)
+        for _ in range(iters):
+            a = half_step(0, h)
+            h = half_step(1, a)
 
     import ray.data as rd
 

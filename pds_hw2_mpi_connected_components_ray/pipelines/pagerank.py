@@ -208,82 +208,72 @@ def _pagerank_local(
     checkpoint_dir: str | None = None,
     resume: bool = False,
 ) -> PageRankResult:
-    # vertex set + out-degrees, collected once (n <= broadcast threshold)
-    vparts = [
-        b["vertex"].to_numpy(zero_copy_only=False)
-        for b in _all_vertices(edges).iter_batches(batch_format="pyarrow", batch_size=None)
-    ]
-    verts = np.sort(np.concatenate(vparts))
-    n = len(verts)
-    deg = np.zeros(n, dtype=np.int64)
+    # load-once / solve-many (stages/scatter.py): edge blocks pin in a
+    # slice-actor pool by reference; the vertex set, out-degrees and the
+    # position index all derive from one pool prep (no separate
+    # vertices/degree/index Dataset passes), and each iteration below is
+    # one broadcast + one RPC round of gather+reduceat — no Dataset
+    # execution per pass (20 executions for 20 iterations was >90%
+    # scheduling fixed cost at gate scale)
+    from ..stages.scatter import ScatterPool
 
-    def deg_batch(t: pa.Table) -> pa.Table:
-        s = t["src"].to_numpy(zero_copy_only=False)
-        u, c = np.unique(s, return_counts=True)
-        return pa.table({"vertex": u, "cnt": c})
+    pool = ScatterPool(edges, directions=[("src", "dst")])
+    try:
+        verts = pool.verts
+        n = pool.n
+        deg = pool.sender_degrees(0)
 
-    for b in edges.map_batches(deg_batch, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
-        batch_format="pyarrow", batch_size=None
-    ):
-        v = b["vertex"].to_numpy(zero_copy_only=False)
-        np.add.at(deg, np.searchsorted(verts, v), b["cnt"].to_numpy(zero_copy_only=False))
+        # preference vector: uniform 1/n for classic PageRank, the seed
+        # distribution for personalized (r0 = p; teleport AND dangling
+        # mass both land on p — the standard PPR formulation)
+        if seed_mod is not None:
+            seed_mask = verts % seed_mod == 0
+            n_seeds = int(seed_mask.sum())
+            if n_seeds == 0:
+                raise ValueError(f"no seeds: no vertex id divisible by {seed_mod}")
+            p = seed_mask.astype(np.float64) / n_seeds
+        else:
+            p = np.full(n, 1.0 / n)
+        r = p.copy()
+        dangling_mask = deg == 0
+        from ..state import checkpoint as ckpt
 
-    # loop-invariant prep (stages/scatter.py): endpoint->position map +
-    # dst grouping hoisted out of the max_iters edge passes; each
-    # iteration below is pure gather+reduceat over int32 blocks
-    from ..stages.scatter import index_edges, scatter_pass
-
-    indexed = index_edges(edges, ray.put(verts), "src", "dst")
-
-    # preference vector: uniform 1/n for classic PageRank, the seed
-    # distribution for personalized (r0 = p; teleport AND dangling mass
-    # both land on p — the standard PPR formulation)
-    if seed_mod is not None:
-        seed_mask = verts % seed_mod == 0
-        n_seeds = int(seed_mask.sum())
-        if n_seeds == 0:
-            raise ValueError(f"no seeds: no vertex id divisible by {seed_mod}")
-        p = seed_mask.astype(np.float64) / n_seeds
-    else:
-        p = np.full(n, 1.0 / n)
-    r = p.copy()
-    dangling_mask = deg == 0
-    from ..state import checkpoint as ckpt
-
-    resumed_from = None
-    start_it = 1
-    it = 0
-    l1 = float("inf")
-    if resume and checkpoint_dir is not None:
-        last = ckpt.latest_superstep(checkpoint_dir)
-        if last is not None:
-            st, lin = ckpt.load_state(checkpoint_dir, last)
-            sv = st["vertex"].to_numpy(zero_copy_only=False)
-            sr = st["rank"].to_numpy(zero_copy_only=False)
-            r[np.searchsorted(verts, sv)] = sr
-            resumed_from = last
-            start_it = last + 1
-            it = last
-            l1 = float(lin.get("l1", float("inf")))
-    for it in range(start_it, max_iters + 1):
-        w = np.where(dangling_mask, 0.0, r / np.maximum(deg, 1))
-        contrib = scatter_pass(indexed, w, n)
-        dangling = float(r[dangling_mask].sum())
-        r_new = (1 - damping) * p + damping * (contrib + dangling * p)
-        l1 = float(np.abs(r_new - r).sum())
-        r = r_new
-        if checkpoint_dir is not None:
-            # local mode is driver-sized by definition (n <= broadcast
-            # threshold), so a single-part state write is fine here
-            ckpt.save_state_table(
-                checkpoint_dir,
-                it,
-                pa.table({"vertex": verts, "rank": r}),
-                {"iteration": it, "l1": l1, "mode": "local",
-                 "kernel": "pagerank", "damping": damping},
-            )
-        if tol is not None and l1 < tol:
-            break
+        resumed_from = None
+        start_it = 1
+        it = 0
+        l1 = float("inf")
+        if resume and checkpoint_dir is not None:
+            last = ckpt.latest_superstep(checkpoint_dir)
+            if last is not None:
+                st, lin = ckpt.load_state(checkpoint_dir, last)
+                sv = st["vertex"].to_numpy(zero_copy_only=False)
+                sr = st["rank"].to_numpy(zero_copy_only=False)
+                r[np.searchsorted(verts, sv)] = sr
+                resumed_from = last
+                start_it = last + 1
+                it = last
+                l1 = float(lin.get("l1", float("inf")))
+        for it in range(start_it, max_iters + 1):
+            w = np.where(dangling_mask, 0.0, r / np.maximum(deg, 1))
+            contrib = pool.scatter(w, 0)
+            dangling = float(r[dangling_mask].sum())
+            r_new = (1 - damping) * p + damping * (contrib + dangling * p)
+            l1 = float(np.abs(r_new - r).sum())
+            r = r_new
+            if checkpoint_dir is not None:
+                # local mode is driver-sized by definition (n <= broadcast
+                # threshold), so a single-part state write is fine here
+                ckpt.save_state_table(
+                    checkpoint_dir,
+                    it,
+                    pa.table({"vertex": verts, "rank": r}),
+                    {"iteration": it, "l1": l1, "mode": "local",
+                     "kernel": "pagerank", "damping": damping},
+                )
+            if tol is not None and l1 < tol:
+                break
+    finally:
+        pool.shutdown()
 
     import ray.data as rd
 
