@@ -93,10 +93,13 @@ def _lp_pinned(
     dst-disjoint, same deterministic count-desc/label-asc tie-break),
     and peers exchange label slices through the object store. The
     driver reduces only the changed-count scalar per iteration."""
-    from ..state.shards import build_shard_pool, init_vertex_ownership
+    from ..state.shards import (
+        build_shard_pool,
+        default_shard_count,
+        init_vertex_ownership,
+    )
 
-    ncpus = int(ray.cluster_resources().get("CPU", 8))
-    actors = build_shard_pool(edges, max(2, ncpus))
+    actors = build_shard_pool(edges, default_shard_count(edges))
     try:
         init_vertex_ownership(actors)
         ns = len(actors)

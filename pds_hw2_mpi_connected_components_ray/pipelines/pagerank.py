@@ -110,10 +110,13 @@ def _pagerank_pinned(
     store, and the driver reduces only two scalars per iteration
     (dangling mass, L1 delta) -- no O(n) driver vector (round 1 merged
     contributions and ranks on the driver every iteration)."""
-    from ..state.shards import build_shard_pool, init_vertex_ownership
+    from ..state.shards import (
+        build_shard_pool,
+        default_shard_count,
+        init_vertex_ownership,
+    )
 
-    ncpus = int(ray.cluster_resources().get("CPU", 8))
-    actors = build_shard_pool(edges, max(2, ncpus))
+    actors = build_shard_pool(edges, default_shard_count(edges))
     try:
         n = init_vertex_ownership(actors)
         ns = len(actors)

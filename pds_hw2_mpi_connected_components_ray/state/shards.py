@@ -1703,6 +1703,21 @@ def load_shard_pool_streaming(actors: list, lazy_edges) -> list:
     return [a.load.remote(g, nshards) for a, g in zip(actors, groups)]
 
 
+def default_shard_count(
+    edges, ncpus: int | None = None, edges_per_shard: int = 200_000
+) -> int:
+    """Data-size clamp for iterative pinned pools. Per-superstep driver
+    coordination and the ns^2 peer slice exchange dominate below
+    ~200k edges/shard (a 700k-edge graph on 32 shards spends its
+    iterations shipping 1024 near-empty slices), so small graphs get
+    small pools; min(ncpus, ...) keeps one-shard-per-core at scale.
+    `edges` must be MATERIALIZED (same contract as load_shard_pool) so
+    the count is a metadata read, not an execution."""
+    if ncpus is None:
+        ncpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(ncpus, edges.count() // edges_per_shard + 2))
+
+
 def build_shard_pool(
     edges,
     nshards: int,
