@@ -70,12 +70,12 @@ def bfs_hops_pinned(
     already-loaded shard pool (load once, solve many)."""
     import ray.data as rd
 
-    from ..state.shards import build_shard_pool
+    from ..state.shards import build_shard_pool, default_shard_count
 
     own_pool = actors is None
     if own_pool:
-        ncpus = int(ray.cluster_resources().get("CPU", 8))
-        acts = build_shard_pool(edges, nshards or max(2, ncpus))
+        edges = edges.materialize()
+        acts = build_shard_pool(edges, nshards or default_shard_count(edges))
     else:
         acts = actors
     try:
@@ -161,12 +161,12 @@ def multi_bfs_hops(
     point of batching landmarks instead of looping ``bfs_hops``."""
     import ray.data as rd
 
-    from ..state.shards import build_shard_pool
+    from ..state.shards import build_shard_pool, default_shard_count
 
     own_pool = actors is None
     if own_pool:
-        ncpus = int(ray.cluster_resources().get("CPU", 8))
-        acts = build_shard_pool(edges, nshards or max(2, ncpus))
+        edges = edges.materialize()
+        acts = build_shard_pool(edges, nshards or default_shard_count(edges))
     else:
         acts = actors
     try:
@@ -356,10 +356,10 @@ def double_sweep_diameter(
     and the final max), each reduced from per-shard partials."""
     import ray.data as rd
 
-    from ..state.shards import build_shard_pool
+    from ..state.shards import build_shard_pool, default_shard_count
 
-    ncpus = int(ray.cluster_resources().get("CPU", 8))
-    acts = build_shard_pool(edges, nshards or max(2, ncpus))
+    edges = edges.materialize()
+    acts = build_shard_pool(edges, nshards or default_shard_count(edges))
     try:
         h1 = bfs_hops_pinned(actors=acts)
 
@@ -422,12 +422,12 @@ def sssp_dist_pinned(
     proportional via the subscriber-filtered push."""
     import ray.data as rd
 
-    from ..state.shards import build_shard_pool
+    from ..state.shards import build_shard_pool, default_shard_count
 
     own_pool = actors is None
     if own_pool:
-        ncpus = int(ray.cluster_resources().get("CPU", 8))
-        acts = build_shard_pool(edges, nshards or max(2, ncpus))
+        edges = edges.materialize()
+        acts = build_shard_pool(edges, nshards or default_shard_count(edges))
     else:
         acts = actors
     try:
