@@ -141,15 +141,45 @@ def exact_dedup(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+# Survivor-id sets at or below this row count broadcast as one sorted
+# int64 array (40 MB at the gate) for a shuffle-free semi-join; above
+# it the id set is no longer "small side" and the hash join runs.
+_BROADCAST_KEEP_ROWS = 5_000_000
+
+
 def exact_dedup_keep(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
-    """Rows of `docs` surviving exact dedup (min id per text wins)."""
-    keep = exact_dedup(docs, text_col, id_col).select_columns(["keep_id"])
-    keep = keep.map_batches(
-        lambda t: t.rename_columns([id_col]), batch_format="pyarrow", zero_copy_batch=True
-    )
+    """Rows of `docs` surviving exact dedup (min id per text wins).
+
+    The survivor set is ids-only (bodies never move), so below the
+    broadcast gate membership is a vectorized searchsorted inside one
+    streaming pass over `docs` — no all-to-all; beyond the gate it
+    falls back to the key-hash join (only then do doc bodies shuffle,
+    and only once)."""
+    keep = exact_dedup(docs, text_col, id_col).select_columns(["keep_id"]).materialize()
     from ..stages.joins import hash_join
 
-    return hash_join(docs, keep, on=(id_col,))
+    if keep.count() <= _BROADCAST_KEEP_ROWS:
+        parts = [
+            b["keep_id"].to_numpy(zero_copy_only=False)
+            for b in keep.iter_batches(batch_format="pyarrow", batch_size=None)
+        ]
+        ids = np.sort(np.concatenate(parts)) if parts else np.array([], dtype=np.int64)
+        ref = ray.put(ids)
+
+        def member(t: pa.Table) -> pa.Table:
+            ks = ray.get(ref)
+            if len(ks) == 0:
+                return t.slice(0, 0)
+            v = t[id_col].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(ks, v), len(ks) - 1)
+            return t.filter(pa.array(ks[pos] == v))
+
+        return docs.map_batches(member, batch_format="pyarrow", zero_copy_batch=True)
+
+    renamed = keep.map_batches(
+        lambda t: t.rename_columns([id_col]), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_join(docs, renamed, on=(id_col,))
 
 
 # ----------------------------------------------- LSH candidate machinery
@@ -410,40 +440,43 @@ def _join_texts(
     return hash_join(j, side_b, on=("b",), num_partitions=npart)
 
 
-class _BroadcastJaccardVerify:
-    """Actor-pool verify stage for the small-corpus path: the WHOLE
-    corpus shingle table is built ONCE PER ACTOR from the broadcast
-    (ids, texts) arrays; each candidate pair is then verified by two
-    index lookups + one sorted-merge intersection. (The naive
-    formulation re-shingled both texts per candidate ROW: with ~15
-    band-duplicates per true pair that re-shingled the corpus ~80x and
-    dominated the whole dedup wall.)"""
+def _broadcast_jaccard_verify(ref, threshold, keep_cols):
+    """Stateless verify stage for the small-corpus path: the WHOLE
+    corpus shingle table is built ONCE ON THE DRIVER and broadcast;
+    each task reads it zero-copy from plasma and verifies each
+    candidate pair by two index lookups + one sorted-merge
+    intersection. (The naive formulation re-shingled both texts per
+    candidate ROW — ~80x corpus re-shingling. The next version
+    shingled per ACTOR in an actor pool's __init__ — better, but an
+    autoscaling pool re-paid the ~seconds-long corpus shingle per
+    spawned actor, and once init became a plasma read the actor
+    processes themselves were pure spin-up cost, so this is a plain
+    task-pool map_batches.)"""
 
-    def __init__(self, ref, kind, shingle_k, ngram_n, threshold, keep_cols):
-        ids, texts = ray.get(ref)
-        self.ids = ids
-        self.vals, self.offs = _shingle_batch(list(texts), kind, shingle_k, ngram_n)
-        self.threshold = threshold
-        self.keep_cols = keep_cols
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out_cols = {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
-        for c in self.keep_cols:
-            out_cols[c] = pd.Series([], dtype="int64")
-        out_cols["jaccard"] = pd.Series([], dtype="float64")
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
+            out_cols = {
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+            }
+            for c in keep_cols:
+                out_cols[c] = pd.Series([], dtype="int64")
+            out_cols["jaccard"] = pd.Series([], dtype="float64")
             return pd.DataFrame(out_cols)
+        ids, vals, offs = ray.get(ref)
         a = batch["a"].to_numpy(dtype=np.int64)
         b = batch["b"].to_numpy(dtype=np.int64)
-        ia = np.searchsorted(self.ids, a)
-        ib = np.searchsorted(self.ids, b)
-        jac = jaccard_pairs_from_table(self.vals, self.offs, ia, ib)
-        keep = jac >= self.threshold
+        ia = np.searchsorted(ids, a)
+        ib = np.searchsorted(ids, b)
+        jac = jaccard_pairs_from_table(vals, offs, ia, ib)
+        keep = jac >= threshold
         out = {"a": a[keep], "b": b[keep]}
-        for c in self.keep_cols:
+        for c in keep_cols:
             out[c] = batch[c].to_numpy(dtype=np.int64)[keep]
         out["jaccard"] = jac[keep]
         return pd.DataFrame(out)
+
+    return verify
 
 
 def _verify_jaccard(
@@ -466,12 +499,13 @@ def _verify_jaccard(
         tab = docs.select_columns([id_col, text_col]).to_pandas()
         ids = tab[id_col].to_numpy(dtype=np.int64)
         order = np.argsort(ids, kind="stable")
-        ref = ray.put((ids[order], tab[text_col].fillna("").to_numpy()[order]))
+        vals, offs = _shingle_batch(
+            list(tab[text_col].fillna("").to_numpy()[order]), kind, shingle_k, ngram_n
+        )
+        ref = ray.put((ids[order], vals, offs))
         return cands.map_batches(
-            _BroadcastJaccardVerify,
-            fn_constructor_args=(ref, kind, shingle_k, ngram_n, threshold, keep_cols),
+            _broadcast_jaccard_verify(ref, threshold, keep_cols),
             batch_format="pandas",
-            concurrency=_pool(None),
         )
     joined = _join_texts(cands, docs, id_col, text_col)
 
