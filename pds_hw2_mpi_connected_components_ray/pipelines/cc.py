@@ -600,6 +600,9 @@ def _cc_hashmin_shuffle(
     import ray.data as rd
 
     npart = num_partitions or default_parallelism()
+    # clamp to data size (same as hits shuffle): tiny partitions only
+    # add per-superstep fixed cost to the join + min-reduce all-to-alls
+    npart = max(2, min(npart, edges.count() // 100_000 + 2))
     # seed labels with BLOCK-LOCAL contraction instead of the identity:
     # each block's components start pre-merged (one vectorized pass per
     # block + the same groupby the identity init needed), cutting the

@@ -286,6 +286,9 @@ def _lp_shuffle(
     from ..state import checkpoint as ckpt
 
     npart = num_partitions or default_parallelism()
+    # clamp to data size (same as hits shuffle): tiny partitions only
+    # add per-iteration fixed cost to the join + reduce all-to-alls
+    npart = max(2, min(npart, edges.count() // 100_000 + 2))
     labels = init_labels(edges).materialize()
     resumed_from = None
     start_it = 1
