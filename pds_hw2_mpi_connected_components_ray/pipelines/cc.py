@@ -708,8 +708,12 @@ def _cc_hashmin_shuffle(
         # above -- more buckets than ~nv/500 yields empty output blocks,
         # and an empty block in the next superstep's frontier side
         # crashes Ray 2.49's hash-shuffle join (schema loss in acero)
-        agg = bucketed_group_min_max(
-            tagged, "vertex", "label", "old", num_buckets=npart
+        from ..stages.skew import coalesce_small_blocks
+
+        # re-bundled so the jump/frontier maps and the next superstep
+        # launch O(blocks) tasks, not one per tiny exchange output block
+        agg = coalesce_small_blocks(
+            bucketed_group_min_max(tagged, "vertex", "label", "old", num_buckets=npart)
         )
         # 3. one pointer-jump round: label <- label(label), via a
         #    broadcast root-map (SURVEY.md T7: "broadcast the (small)

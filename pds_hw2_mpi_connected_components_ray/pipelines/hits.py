@@ -129,13 +129,13 @@ def _hits_shuffle(edges: Dataset, iters: int, num_partitions: int | None) -> Hit
     import pyarrow.compute as pc
 
     from ..stages.joins import hash_join
-    from ..stages.skew import bucketed_group_sum
+    from ..stages.skew import bucketed_group_sum, coalesce_small_blocks
     from .pagerank import _all_vertices
 
     npart = num_partitions or default_parallelism()
     # clamp to data size: tiny partitions only add per-half-step fixed cost
     npart = max(2, min(npart, edges.count() // 100_000 + 2))
-    verts = _all_vertices(edges).materialize()
+    verts = coalesce_small_blocks(_all_vertices(edges)).materialize()
 
     scores = verts.map_batches(
         lambda t: pa.table(
@@ -175,7 +175,11 @@ def _hits_shuffle(edges: Dataset, iters: int, num_partitions: int | None) -> Hit
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        sums = bucketed_group_sum(contrib.union(zeros), "vertex", "s").materialize()
+        # re-bundle the exchange's tiny per-upstream-block outputs so the
+        # next half-step launches O(blocks) tasks, not O(upstream blocks)
+        sums = coalesce_small_blocks(
+            bucketed_group_sum(contrib.union(zeros), "vertex", "s")
+        ).materialize()
         return sums, float(sums.sum("s") or 0.0)
 
     scores = verts.map_batches(

@@ -330,7 +330,7 @@ def _bucketed_mode_merge(rows: Dataset, num_buckets: int) -> Dataset:
 
     return (
         rows.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=nb)
         .map_groups(bucket_mode, batch_format="pyarrow")
     )
 
@@ -405,8 +405,10 @@ def _lp_shuffle(
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        labels = _bucketed_mode_merge(
-            nb_rows.union(self_rows), npart
+        from ..stages.skew import coalesce_small_blocks
+
+        labels = coalesce_small_blocks(
+            _bucketed_mode_merge(nb_rows.union(self_rows), npart)
         ).materialize()
         if checkpoint_dir is not None:
             # distributed parquet write of the materialized label blocks

@@ -33,6 +33,11 @@ from ray.data.aggregate import Count, Sum
 
 from ..context import default_parallelism
 from ..stages.joins import hash_join
+from ..stages.skew import (
+    bucketed_distinct,
+    bucketed_group_sum,
+    coalesce_small_blocks,
+)
 
 _DAMPING = 0.85
 
@@ -54,7 +59,7 @@ def _all_vertices(edges: Dataset) -> Dataset:
         return pa.table({"vertex": u})
 
     local = edges.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
-    return local.groupby("vertex").aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+    return bucketed_distinct(local, "vertex")
 
 
 def pagerank(
@@ -345,27 +350,35 @@ def _pagerank_shuffle(
     verts = _all_vertices(edges).materialize()
     n = verts.count()
 
-    deg = (
-        edges.groupby("src")
-        .aggregate(Count(alias_name="deg"))
-        .map_batches(
-            lambda t: t.rename_columns(["vertex", "deg"]),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
+    # out-degree partials per batch, summed in one bucketed exchange
+    # (a keyed Count at |V| groups pays ~ms per group in Ray's sort
+    # aggregate; the bucketed reduce is one reduceat per bucket)
+    def _deg_partial(t: pa.Table) -> pa.Table:
+        s = np.sort(t["src"].to_numpy(zero_copy_only=False))
+        if s.size == 0:
+            return pa.table(
+                {"vertex": pa.array([], pa.int64()), "deg": pa.array([], pa.int64())}
+            )
+        b = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        return pa.table(
+            {"vertex": s[b], "deg": np.diff(np.r_[b, s.size]).astype(np.int64)}
         )
+
+    deg = edges.map_batches(
+        _deg_partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    # vertex table with degree (0 for dangling): left join via union-max
-    vdeg = (
+    # vertex table with degree (0 for dangling): union + bucketed sum
+    vdeg = bucketed_group_sum(
         verts.map_batches(
             lambda t: t.append_column("deg", pa.array(np.zeros(len(t), np.int64))),
             batch_format="pyarrow",
             zero_copy_batch=True,
-        )
-        .union(deg)
-        .groupby("vertex")
-        .aggregate(Sum("deg", alias_name="deg"))
-        .materialize()
+        ).union(deg),
+        "vertex",
+        "deg",
+        num_buckets=npart,
     )
+    vdeg = coalesce_small_blocks(vdeg).materialize()
 
     ranks = vdeg.map_batches(
         lambda t: pa.table(
@@ -441,39 +454,60 @@ def _pagerank_shuffle(
             zero_copy_batch=True,
         )
         joined = hash_join(edges, contribs_src, on=("src",), num_partitions=npart)
-        sums = (
-            joined.map_batches(
-                lambda t: pa.table({"vertex": t["dst"], "contrib": t["w"]}),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
-            .groupby("vertex")
-            .aggregate(Sum("contrib", alias_name="contrib"))
+        # ONE bucketed exchange merges contributions back into the rank
+        # state: contribution rows and state rows (carrying deg +
+        # old_rank, contrib=0) hash to the same vertex bucket and a
+        # single reduceat pass sums all three columns per vertex.
+        # Replaces groupby(vertex).Sum + a left_outer re-attach join —
+        # two keyed all-to-alls at |V| group count per iteration (the
+        # same ms-per-group reduce the LP shuffle fix removed).
+        contrib_rows = joined.map_batches(
+            lambda t: pa.table(
+                {
+                    "vertex": t["dst"],
+                    "contrib": t["w"],
+                    "deg": pa.array(np.zeros(len(t), np.int64)),
+                    "old_rank": pa.array(np.zeros(len(t), np.float64)),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
-        base = (1 - damping) / n + damping * dangling / n
-        merged = hash_join(
-            ranks,
-            sums,
-            on=("vertex",),
-            join_type="left_outer",
-            num_partitions=npart,
-        )
-        new_ranks = merged.map_batches(
+        state_rows = ranks.map_batches(
             lambda t: pa.table(
                 {
                     "vertex": t["vertex"],
+                    "contrib": pa.array(np.zeros(len(t), np.float64)),
                     "deg": t["deg"],
-                    "rank": pc.add(
-                        base,
-                        pc.multiply(
-                            damping, pc.coalesce(t["contrib"], 0.0)
-                        ),
-                    ),
                     "old_rank": t["rank"],
                 }
             ),
             batch_format="pyarrow",
             zero_copy_batch=True,
+        )
+        base = (1 - damping) / n + damping * dangling / n
+        merged = bucketed_group_sum(
+            contrib_rows.union(state_rows),
+            "vertex",
+            "contrib",
+            num_buckets=npart,
+            extra=["deg", "old_rank"],
+        )
+        # batch_size bundles the exchange's tiny per-upstream-block
+        # outputs back into a few full blocks, so the next iteration's
+        # maps/joins launch O(blocks) tasks, not O(upstream blocks)
+        new_ranks = merged.map_batches(
+            lambda t: pa.table(
+                {
+                    "vertex": t["vertex"],
+                    "deg": t["deg"],
+                    "rank": pc.add(base, pc.multiply(damping, t["contrib"])),
+                    "old_rank": t["old_rank"],
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=4_000_000,
         ).materialize()
         l1 = (
             new_ranks.map_batches(

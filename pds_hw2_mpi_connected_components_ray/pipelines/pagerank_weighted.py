@@ -200,7 +200,7 @@ def _shuffle(wedges, verts, n, damping, iters, num_partitions) -> Dataset:
     # clamp partitions to data size (same as pipelines.triangles): tiny
     # partitions only add per-iteration shuffle-actor fixed cost
     npart = max(2, min(npart, wedges.count() // 100_000 + 2))
-    from ..stages.skew import bucketed_group_sum
+    from ..stages.skew import bucketed_group_sum, coalesce_small_blocks
 
     pe = _normalized_edges(wedges)
     # dangling flag folded into the rank table ONCE (round-3 gate audit:
@@ -303,7 +303,11 @@ def _shuffle(wedges, verts, n, damping, iters, num_partitions) -> Dataset:
                 }
             )
 
-        ranks = inc.map_batches(step, batch_format="pandas").materialize()
+        # batch_size bundles the exchange's tiny per-upstream-block
+        # outputs so the next iteration launches O(blocks) tasks
+        ranks = inc.map_batches(
+            step, batch_format="pandas", batch_size=4_000_000
+        ).materialize()
     return ranks.map_batches(
         lambda df: pd.DataFrame(
             {"vertex": df["vertex"].astype(np.int64), "pr": np.round(df["r"].to_numpy(np.float64), 6)}

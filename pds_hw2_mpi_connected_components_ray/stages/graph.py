@@ -363,35 +363,70 @@ def two_hop_counts(edges: Dataset, num_partitions: int | None = None) -> Dataset
                 }
             )
 
-        return (
+        from .skew import bucketed_group_sum
+
+        per_bucket = (
             pairs.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("_kb")
             .map_groups(bucket_counts, batch_format="pyarrow")
-            .groupby("vertex")
-            .aggregate(Sum("c", alias_name="n_two_hop"))
         )
-
-    # wide fallback: two-column distinct via keyed groupby
-    def drop_self(t: pa.Table) -> pa.Table:
-        v = t["v"].to_numpy(zero_copy_only=False)
-        u = t["u"].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(v != u))
-
-    distinct = (
-        pairs.map_batches(drop_self, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["v", "u"])
-        .aggregate(Count(alias_name="_n"))
-    )
-    return (
-        distinct.map_batches(
-            lambda t: pa.table(
-                {"vertex": t["v"], "c": np.ones(len(t), dtype=np.int64)}
-            ),
+        # per-bucket partials are <= |V| x nb rows; a second bucketed
+        # exchange (hashed by vertex) sums them without paying Ray's
+        # ms-per-group keyed reduce at |V| groups
+        return bucketed_group_sum(per_bucket, "vertex", "c").map_batches(
+            lambda t: t.rename_columns(["vertex", "n_two_hop"]),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        .groupby("vertex")
-        .aggregate(Sum("c", alias_name="n_two_hop"))
+
+    # wide fallback (vertex ids >= 2**31, unpackable): bucket by hash(v)
+    # so each vertex's pairs colocate; in-bucket lexsort gives distinct
+    # (v,u) and the per-vertex count in one pass — no keyed groupby at
+    # pair cardinality
+    from ..context import default_parallelism as _dp
+
+    nbw = max(8, _dp())
+
+    def tag_bucket(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy(zero_copy_only=False)
+        u = t["u"].to_numpy(zero_copy_only=False)
+        keep = v != u
+        return pa.table(
+            {
+                "v": v[keep],
+                "u": u[keep],
+                "_kb": (v[keep] * np.int64(0x9E3779B9)) % nbw,
+            }
+        )
+
+    def bucket_pair_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "vertex": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        v = t["v"].to_numpy(zero_copy_only=False)
+        u = t["u"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((u, v))
+        vs, us = v[order], u[order]
+        new = np.r_[True, (vs[1:] != vs[:-1]) | (us[1:] != us[:-1])]
+        vd = vs[new]
+        b = np.flatnonzero(np.r_[True, vd[1:] != vd[:-1]])
+        return pa.table(
+            {"vertex": vd[b], "c": np.diff(np.r_[b, vd.size]).astype(np.int64)}
+        )
+
+    per_bucket = (
+        pairs.map_batches(tag_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_kb")
+        .map_groups(bucket_pair_counts, batch_format="pyarrow")
+    )
+    return per_bucket.map_batches(
+        lambda t: t.rename_columns(["vertex", "n_two_hop"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
 
@@ -458,10 +493,13 @@ def avg_neighbor_degree(
             }
         )
 
-    agg = (
-        attached.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("vertex")
-        .aggregate(Sum("sd", alias_name="sd"), Sum("c", alias_name="c"))
+    from .skew import bucketed_group_sum
+
+    agg = bucketed_group_sum(
+        attached.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "vertex",
+        "sd",
+        extra="c",
     )
 
     def finalize(t: pa.Table) -> pa.Table:

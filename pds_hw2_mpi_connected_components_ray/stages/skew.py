@@ -40,6 +40,22 @@ def _typed_empty(t: pa.Table, cols: dict[str, pa.DataType | None]) -> pa.Table:
     )
 
 
+def coalesce_small_blocks(ds: Dataset, rows_per_block: int = 4_000_000) -> Dataset:
+    """Bundle tiny blocks into ~rows_per_block blocks via a batch-
+    bundled identity map. Bucketed exchanges emit one (mostly empty)
+    block per upstream input block; iterative loops that carry such
+    state as next-superstep input compound hundreds of sub-ms task
+    launches per iteration unless the state is re-bundled once per
+    step. 4M rows of (int64 x 4) state is ~128 MB — Ray's default
+    target block size."""
+    return ds.map_batches(
+        lambda t: t,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=rows_per_block,
+    )
+
+
 def high_degree_vertices(edges: Dataset, threshold: int) -> Dataset:
     """(vertex, degree) for vertices with degree > threshold (group on
     src of the symmetric edge table)."""
@@ -59,7 +75,7 @@ def bucketed_group_sum(
     val: str,
     *,
     num_buckets: int | None = None,
-    extra: str | None = None,
+    extra: str | list[str] | None = None,
 ) -> Dataset:
     """Exact (key -> SUM(val)) for an int64 key, as one bucketed
     exchange instead of Ray's full sort-based keyed aggregate: hash the
@@ -74,13 +90,18 @@ def bucketed_group_sum(
     where it can fuse with the producing map; this helper only owns the
     exchange + final reduce.
 
-    `extra` names one additional numeric column summed alongside `val`
-    in the same pass (used by the weighted-PageRank shuffle loop to
-    carry the dangling flag through the exchange).
+    `extra` names one additional numeric column (or a list of them)
+    summed alongside `val` in the same pass (used by the
+    weighted-PageRank shuffle loop to carry the dangling flag through
+    the exchange, and by the plain-PageRank merge to carry deg +
+    old_rank).
     """
     from ..context import default_parallelism
 
     nb = num_buckets or max(8, default_parallelism())
+    extras: list[str] = (
+        [] if extra is None else [extra] if isinstance(extra, str) else list(extra)
+    )
 
     def add_bucket(t: pa.Table) -> pa.Table:
         k = t[key].to_numpy(zero_copy_only=False)
@@ -91,8 +112,8 @@ def bucketed_group_sum(
     def bucket_sum(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             cols: dict[str, pa.DataType | None] = {key: None, val: None}
-            if extra is not None:
-                cols[extra] = None
+            for e in extras:
+                cols[e] = None
             return _typed_empty(t, cols)
         k = t[key].to_numpy(zero_copy_only=False)
         v = t[val].to_numpy(zero_copy_only=False)
@@ -100,14 +121,14 @@ def bucketed_group_sum(
         ks, vs = k[order], v[order]
         bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
         out = {key: ks[bounds], val: np.add.reduceat(vs, bounds)}
-        if extra is not None:
-            es = t[extra].to_numpy(zero_copy_only=False)[order]
-            out[extra] = np.add.reduceat(es, bounds)
+        for e in extras:
+            es = t[e].to_numpy(zero_copy_only=False)[order]
+            out[e] = np.add.reduceat(es, bounds)
         return pa.table(out)
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=nb)
         .map_groups(bucket_sum, batch_format="pyarrow")
     )
 
@@ -154,7 +175,7 @@ def bucketed_group_min_max(
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=nb)
         .map_groups(bucket_reduce, batch_format="pyarrow")
     )
 
@@ -204,7 +225,7 @@ def bucketed_group_reduce(
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=nb)
         .map_groups(bucket_reduce, batch_format="pyarrow")
     )
 
@@ -232,7 +253,7 @@ def bucketed_distinct(
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=nb)
         .map_groups(uniq, batch_format="pyarrow")
     )
 

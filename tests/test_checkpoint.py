@@ -102,7 +102,16 @@ def test_checkpoint_writes_are_distributed(tmp_path, mode):
     connected_components(edges, mode=mode, max_supersteps=2, checkpoint_dir=ckdir)
     step = ckpt.step_dir(ckdir, ckpt.latest_superstep(ckdir))
     parts = [f for f in os.listdir(os.path.join(step, "labels")) if f.endswith(".parquet")]
-    assert len(parts) >= 2, parts  # distributed parts, not one driver file
+    if mode == "pinned":
+        # shard actors write one part each
+        assert len(parts) >= 2, parts
+    else:
+        # shuffle state is block-bundled (may be ONE block at toy
+        # scale), but every part must carry Ray's write-task naming —
+        # written by Dataset.write_parquet workers, never a single
+        # driver-concatenated pandas file (round-1 regression)
+        assert parts, parts
+        assert all("_00000" in f for f in parts), parts
     # and the parts reassemble to a complete label table
     lt, _, _ = ckpt.load_superstep(ckdir, ckpt.latest_superstep(ckdir))
     assert len(lt) == len(np.unique(g.edges.reshape(-1)))
