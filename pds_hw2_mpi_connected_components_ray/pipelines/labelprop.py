@@ -14,8 +14,10 @@ community consensus. Neighbor multiplicity is over the deduped
 symmetric edge table (distinct neighbors).
 
 Modes mirror cc/pagerank: ``local`` broadcasts the label vector
-(n <= threshold); ``shuffle`` is join + groupby((dst,label)).count +
-per-vertex argmax, fully distributed; ``pinned`` is decentralized over
+(n <= threshold); ``shuffle`` is one hash join + ONE bucketed exchange
+per iteration (neighbor-label rows and self-fallback rows hash to the
+same vertex bucket; the in-bucket reduce picks the per-vertex mode
+vectorized), fully distributed; ``pinned`` is decentralized over
 dst-hash CSC shard actors (shard-owned label slices, scalar-only
 driver traffic).
 """
@@ -25,12 +27,10 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Count
 
 from ..context import default_parallelism
 from ..stages.graph import init_labels, vertices

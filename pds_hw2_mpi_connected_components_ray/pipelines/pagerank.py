@@ -13,8 +13,10 @@ computed -- it is exactly 0).
 
 Three modes, same adaptive split as CC (SURVEY.md section 4): ``local``
 broadcasts the O(n) rank vector per iteration (n <= threshold),
-``shuffle`` keeps ranks in a hash-partitioned Dataset and does
-join + groupby-sum per iteration, ``pinned`` runs decentralized over
+``shuffle`` keeps ranks in a hash-partitioned Dataset and does one
+hash join + one bucketed union-sum exchange per iteration (state rows
+carry deg and old_rank through the same exchange, so there is no
+keyed aggregate or re-attach join), ``pinned`` runs decentralized over
 dst-hash CSC shard actors (shard-owned rank slices exchanged peer to
 peer; the driver reduces two scalars per iteration).
 """
@@ -29,8 +31,6 @@ import pyarrow.compute as pc
 
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Count, Sum
-
 from ..context import default_parallelism
 from ..stages.joins import hash_join
 from ..stages.skew import (
