@@ -107,18 +107,37 @@ def scc_labels(
     import ray.data as rd
 
     from ..state import checkpoint as ckpt
-    from ..state.shards import build_shard_pool, establish_subscriptions
+    from ..state.shards import (
+        default_shard_count,
+        establish_subscriptions,
+        load_shard_pool,
+        spawn_shard_pool,
+    )
 
-    ncpus = int(ray.cluster_resources().get("CPU", 8))
-    ns = nshards or max(2, min(8, ncpus // 2))
-
+    # one padded derivation: the BW table is the FW table with the
+    # columns swapped (self-loops are symmetric), a zero-copy rename
+    # instead of a second clean+distinct+union pass
     fwd_tab = _pad_with_self_loops(directed_edges, reverse=False).materialize()
-    bwd_tab = _pad_with_self_loops(directed_edges, reverse=True).materialize()
-    acts_f = build_shard_pool(fwd_tab, ns)
-    acts_b = build_shard_pool(bwd_tab, ns)
+    bwd_tab = fwd_tab.map_batches(
+        lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    # data-sized twin pools (same clamp as the BFS family): small
+    # graphs get small pools -- per-superstep coordination dominates
+    # below ~200k edges/shard -- while big data still gets
+    # one-shard-per-core
+    ns = nshards or default_shard_count(fwd_tab)
+    acts_f = spawn_shard_pool(ns)
+    acts_b = spawn_shard_pool(ns)
     try:
-        sizes_f = ray.get([a.scc_init.remote(i, ns) for i, a in enumerate(acts_f)])
-        ray.get([a.scc_init.remote(i, ns) for i, a in enumerate(acts_b)])
+        # load + init both pools concurrently (disjoint actors)
+        ray.get(load_shard_pool(acts_f, fwd_tab) + load_shard_pool(acts_b, bwd_tab))
+        inits = ray.get(
+            [a.scc_init.remote(i, ns) for i, a in enumerate(acts_f)]
+            + [a.scc_init.remote(i, ns) for i, a in enumerate(acts_b)]
+        )
+        sizes_f = inits[:ns]
         if not all(r for _s, r in sizes_f):
             establish_subscriptions(acts_f)
         establish_subscriptions(acts_b)
@@ -162,34 +181,43 @@ def scc_labels(
                 resumed_from or 0
             ) >= stop_after_rounds:
                 break
-            for pool, is_fwd in ((acts_f, True), (acts_b, False)):
-                ray.get([a.scc_phase_init.remote() for a in pool])
-                converged = False
-                while not converged:
+            # F and B fixpoints run on DISJOINT actor pools with
+            # independent state, so their supersteps overlap: each
+            # joint step launches one superstep on every unconverged
+            # pool and the round's fixpoint wall is max(F, B) steps,
+            # not their sum (the driver still barriers per joint step,
+            # moving only per-shard improvement counts).
+            def _superstep(pool):
+                if ns > 1:
+                    fs = [
+                        a.scc_frontier_slices.options(num_returns=ns).remote()
+                        for a in pool
+                    ]
+                    return [
+                        pool[s].scc_relax.remote([fs[p][s] for p in range(ns)])
+                        for s in range(ns)
+                    ]
+                fs0 = [a.scc_frontier_slices.remote() for a in pool]
+                return [pool[0].scc_relax.remote(fs0)]
+
+            ray.get([a.scc_phase_init.remote() for a in acts_f + acts_b])
+            converged = {True: False, False: False}
+            while not (converged[True] and converged[False]):
+                pending = {}
+                for is_fwd, pool in ((True, acts_f), (False, acts_b)):
+                    if converged[is_fwd]:
+                        continue
                     if total_steps >= max_supersteps:
                         raise RuntimeError(
                             f"SCC superstep budget ({max_supersteps}) exhausted "
                             "mid-fixpoint -- peeling on a stale fixpoint would "
                             "be incorrect; raise max_supersteps"
                         )
-                    if ns > 1:
-                        fs = [
-                            a.scc_frontier_slices.options(num_returns=ns).remote()
-                            for a in pool
-                        ]
-                        counts = ray.get(
-                            [
-                                pool[s].scc_relax.remote([fs[p][s] for p in range(ns)])
-                                for s in range(ns)
-                            ]
-                        )
-                    else:
-                        fs0 = [a.scc_frontier_slices.remote() for a in pool]
-                        counts = ray.get([pool[0].scc_relax.remote(fs0)])
+                    pending[is_fwd] = _superstep(pool)
                     total_steps += 1
-                    converged = sum(counts) == 0
-                if is_fwd:
-                    ray.get([a.scc_store_f.remote() for a in pool])
+                for is_fwd, refs in pending.items():
+                    converged[is_fwd] = sum(ray.get(refs)) == 0
+            ray.get([a.scc_store_f.remote() for a in acts_f])
             b_slices = [a.scc_take_phase.remote() for a in acts_b]
             peeled = [
                 acts_f[s].scc_merge_and_peel.remote(b_slices[s]) for s in range(ns)
