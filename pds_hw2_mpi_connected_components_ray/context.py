@@ -38,3 +38,14 @@ def default_parallelism() -> int:
     else:
         cpus = int(os.environ.get("RAY_GRAFT_CPUS", os.cpu_count() or 8))
     return max(4, cpus)
+
+
+def exchange_partitions() -> int:
+    """Sort-partition count for a bucketed ``groupby("_kb")`` exchange:
+    ~cluster parallelism. Ray's default is one sort partition per
+    UPSTREAM BLOCK, which on tiny-block inputs (an exchange fed by
+    another exchange, a unioned partial table) multiplies fixed
+    per-partition costs for no parallelism gain. Pass this as
+    ``groupby("_kb", num_partitions=...)`` at every bucketed-exchange
+    site (the skew helpers already do)."""
+    return max(8, default_parallelism())

@@ -28,6 +28,8 @@ regime as CC): it is the default.
 
 from __future__ import annotations
 
+from ..context import exchange_partitions
+
 import numpy as np
 import pyarrow as pa
 
@@ -523,7 +525,7 @@ def landmark_features(edges: Dataset, *, k: int = 4) -> Dataset:
 
     return (
         _bucket_by_key(pairs, "vertex", ["source", "vertex", "hops"])
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=exchange_partitions())
         .map_groups(per_bucket, batch_format="pandas")
     )
 

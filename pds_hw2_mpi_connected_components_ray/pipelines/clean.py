@@ -20,6 +20,8 @@ No reference analogue (north-rule training-data extension).
 
 from __future__ import annotations
 
+from ..context import exchange_partitions
+
 import numpy as np
 import pandas as pd
 
@@ -257,7 +259,7 @@ def duplicate_ngram_stats(docs: Dataset, *, force_join: bool = False) -> Dataset
 
     shared_g = (
         _bucket_by_key(grams, "g", ["g"])
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=exchange_partitions())
         .map_groups(bucket_shared, batch_format="pandas")
         .materialize()
     )
@@ -435,7 +437,7 @@ def dedup_lines(docs: Dataset, *, min_docs: int = 2, force_join: bool = False) -
         _bucket_by_key(
             base.map_batches(_doc_lines, batch_format="pandas"), "line", ["line"]
         )
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=exchange_partitions())
         .map_groups(bucket_shared, batch_format="pandas")
         .materialize()
     )
@@ -526,7 +528,7 @@ def dedup_lines(docs: Dataset, *, min_docs: int = 2, force_join: bool = False) -
 
     return (
         _bucket_by_key(attached, "doc_id", ["doc_id", "pos", "line", "_dup"])
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=exchange_partitions())
         .map_groups(rebuild_bucket, batch_format="pandas")
     )
 

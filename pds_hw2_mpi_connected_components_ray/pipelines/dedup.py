@@ -45,7 +45,7 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
-from ..context import default_parallelism
+from ..context import default_parallelism, exchange_partitions
 from ..functions.hashing import (
     band_keys_batch,
     hamming64_batch,
@@ -136,7 +136,7 @@ def exact_dedup(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -
         docs.select_columns([id_col, text_col])
         .map_batches(fp, batch_format="pandas")
         .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=exchange_partitions())
         .map_groups(bucket_reduce, batch_format="pyarrow")
     )
 
@@ -315,7 +315,7 @@ def _lsh_bucket_candidates(
         )
 
     coarse = sigs.map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
-    return coarse.groupby("_cb").map_groups(
+    return coarse.groupby("_cb", num_partitions=min(num_coarse, exchange_partitions())).map_groups(
         _coarse_bucket_pairs, batch_format="pandas"
     )
 
@@ -371,7 +371,9 @@ def _dedup_small(pairs: Dataset, cols: list[str]) -> Dataset:
         return t.append_column("_pb", pa.array(mix.astype(np.int64)))
 
     bucketed = pairs.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
-    return bucketed.groupby("_pb").map_groups(uniq, batch_format="pandas")
+    return bucketed.groupby(
+        "_pb", num_partitions=min(num_buckets, 4 * exchange_partitions())
+    ).map_groups(uniq, batch_format="pandas")
 
 
 def _empty_pairs(extra: dict[str, str] | None = None) -> Dataset:
@@ -794,7 +796,9 @@ def simhash_pairs(
 
     pairs = hashes.map_batches(
         add_coarse, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby("_cb").map_groups(coarse_bucket, batch_format="pandas")
+    ).groupby(
+        "_cb", num_partitions=min(num_coarse, exchange_partitions())
+    ).map_groups(coarse_bucket, batch_format="pandas")
     # pair-dedup via an a-hash bucketed exchange (groups = candidate
     # pairs, data-proportional; Ray's keyed aggregate pays ~ms/group):
     # same (a, b) always co-locates when bucketed on a alone
@@ -823,7 +827,7 @@ def simhash_pairs(
 
     dedup = (
         pairs.map_batches(_bkt_a, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=exchange_partitions())
         .map_groups(_pair_min, batch_format="pyarrow")
     )
     if verify_threshold is None:
@@ -1142,7 +1146,7 @@ def dup_rate_by_source(docs: Dataset) -> Dataset:
     nd = (
         base.map_batches(hash_partial, batch_format="pandas")
         .map_batches(_bkt_h, batch_format="pandas")
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=exchange_partitions())
         .map_groups(_bucket_distinct_counts, batch_format="pandas")
         .groupby("source")
         .aggregate(Sum("d", alias_name="n_distinct"))

@@ -21,7 +21,7 @@ import pyarrow as pa
 from ray.data import Dataset
 from ray.data.aggregate import Count, Sum
 
-from ..context import default_parallelism
+from ..context import default_parallelism, exchange_partitions
 
 US_PER_HOUR = 3_600_000_000
 US_30_MIN = 1_800_000_000
@@ -172,7 +172,7 @@ def asof_prev(
 
     return (
         _bucket_by_key(events, by, [by, ts_col, id_col])
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=exchange_partitions())
         .map_groups(per_bucket, batch_format="pandas")
     )
 
@@ -234,7 +234,7 @@ def asof_enrich(
 
     return (
         _bucket_by_key(events, by, [by, ts_col, id_col, type_col])
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=exchange_partitions())
         .map_groups(per_bucket, batch_format="pandas")
     )
 
@@ -269,7 +269,7 @@ def sessionize(events: Dataset, gap_us: int = US_30_MIN) -> Dataset:
 
     return (
         _bucket_by_key(events, "user_id", ["user_id", "ts", "event_id"])
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=exchange_partitions())
         .map_groups(per_bucket, batch_format="pandas")
     )
 
@@ -310,7 +310,7 @@ def event_transitions(events: Dataset) -> Dataset:
 
     partials = (
         _bucket_by_key(events, "user_id", ["user_id", "ts", "event_id", "event_type"])
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=exchange_partitions())
         .map_groups(per_bucket, batch_format="pandas")
     )
     agg = partials.groupby(["prev_type", "event_type"]).aggregate(
@@ -380,7 +380,7 @@ def rate_anomalies(
         events.select_columns(["user_id", "ts"])
         .map_batches(add_win, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(_bkt, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=exchange_partitions())
         .map_groups(_pair_count, batch_format="pyarrow")
     ).materialize()
     stats = counts.groupby("user_id").aggregate(
@@ -465,7 +465,7 @@ def funnel_stages(
 
     return (
         _bucket_by_key(events, by, [by, ts_col, id_col, "event_type"])
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=exchange_partitions())
         .map_groups(per_bucket, batch_format="pandas")
     )
 
@@ -640,7 +640,7 @@ def window_join(
 
     return (
         _bucket_by_key(events, by, [by, ts_col, id_col, "event_type", "value"])
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=exchange_partitions())
         .map_groups(per_bucket, batch_format="pandas")
     )
 
@@ -811,7 +811,7 @@ def running_totals(events: Dataset) -> Dataset:
 
     return (
         _bucket_by_key(events, "user_id", ["event_id", "user_id", "ts", "value"])
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=exchange_partitions())
         .map_groups(per_bucket, batch_format="pandas")
     )
 
@@ -889,7 +889,7 @@ def session_length_hist(events: Dataset, gap_us: int = US_30_MIN) -> Dataset:
 
     return (
         _bucket_by_key(events, "user_id", ["user_id", "ts", "event_id"])
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=exchange_partitions())
         .map_groups(per_bucket, batch_format="pandas")
         .groupby("n_events")
         .aggregate(Sum("c", alias_name="n_sessions"))
@@ -943,7 +943,7 @@ def out_of_order_stats(events: Dataset) -> Dataset:
 
     return (
         _bucket_by_key(events, "user_id", ["user_id", "event_id", "ts"])
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=exchange_partitions())
         .map_groups(per_bucket, batch_format="pandas")
     )
 
@@ -974,7 +974,7 @@ def first_touch_counts(events: Dataset) -> Dataset:
 
     return (
         _bucket_by_key(events, "user_id", ["user_id", "ts", "event_id", "event_type"])
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=exchange_partitions())
         .map_groups(per_bucket, batch_format="pandas")
         .groupby("event_type")
         .aggregate(Sum("c", alias_name="n_users"))
@@ -1014,7 +1014,7 @@ def gap_hist(events: Dataset) -> Dataset:
 
     return (
         _bucket_by_key(events, "user_id", ["user_id", "ts", "event_id"])
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=exchange_partitions())
         .map_groups(per_bucket, batch_format="pandas")
         .groupby("bucket")
         .aggregate(Sum("c", alias_name="n_gaps"))

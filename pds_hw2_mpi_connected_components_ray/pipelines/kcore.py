@@ -24,7 +24,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from ..context import default_parallelism
+from ..context import default_parallelism, exchange_partitions
 from ..stages.graph import degrees, drop_self_loops
 
 
@@ -184,7 +184,7 @@ def _coreness_shuffle(simple: Dataset, max_rounds: int) -> Dataset:
             )
         h = (
             attached.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("_kb")
+            .groupby("_kb", num_partitions=exchange_partitions())
             .map_groups(bucket_hindex, batch_format="pyarrow")
             .materialize()
         )

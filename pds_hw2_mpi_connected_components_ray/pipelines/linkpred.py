@@ -89,7 +89,7 @@ def _bucketed_pair_sum_max(ds, sum_col: str, max_col: str = "_adj"):
 
     return (
         ds.map_batches(bkt, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=nb)
         .map_groups(red, batch_format="pyarrow")
     )
 
@@ -192,7 +192,7 @@ def _packed_pair_scores(
     return (
         partials.union(tagged)
         .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=nb)
         .map_groups(bucket_reduce, batch_format="pyarrow")
     )
 

@@ -28,7 +28,7 @@ import ray.data as rd
 from ray.data import Dataset
 from ray.data.aggregate import Count, Sum
 
-from ..context import default_parallelism
+from ..context import default_parallelism, exchange_partitions
 from ..stages.skew import bucketed_distinct, bucketed_group_sum
 from ..stages.joins import hash_join
 
@@ -705,7 +705,7 @@ def copurchase_pairs(lineitem: Dataset, *, min_orders: int = 2) -> Dataset:
             "l_orderkey",
             ["l_orderkey", "l_partkey"],
         )
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=exchange_partitions())
         .map_groups(per_bucket, batch_format="pandas")
     )
 
@@ -729,7 +729,7 @@ def copurchase_pairs(lineitem: Dataset, *, min_orders: int = 2) -> Dataset:
 
     return (
         parts.map_batches(add_kb, batch_format="pandas")
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=exchange_partitions())
         .map_groups(bucket_sum, batch_format="pandas")
     )
 

@@ -12,6 +12,8 @@ import pandas as pd
 
 from ray.data import Dataset
 
+from ..context import exchange_partitions
+
 from ..functions.textstats import (
     _STOPWORDS,
     fingerprint64_series,
@@ -119,7 +121,7 @@ def _bucketed_str_sum(ds: Dataset, key: str, val: str) -> Dataset:
 
     return (
         _bucket_by_key(ds, key, [key, val])
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=exchange_partitions())
         .map_groups(bucket_sum, batch_format="pandas")
     )
 
@@ -563,7 +565,7 @@ def bigram_surprisal(docs: Dataset, *, force_join: bool = False) -> Dataset:
 
         return (
             _bucket_by_key(inst, key, [key, "m"])
-            .groupby("_kb")
+            .groupby("_kb", num_partitions=exchange_partitions())
             .map_groups(per_bucket, batch_format="pandas")
         )
 
@@ -724,7 +726,7 @@ def pmi_collocations(docs: Dataset, *, k: int = 30, min_count: int = 5) -> Datas
 
     c2 = (
         _bucket_by_key(parts, "bg", ["bg", "w1", "w2", "n"])
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=exchange_partitions())
         .map_groups(bucket_c2, batch_format="pandas")
         .materialize()
     )
@@ -740,12 +742,12 @@ def pmi_collocations(docs: Dataset, *, k: int = 30, min_count: int = 5) -> Datas
 
     with_l = (
         _bucket_by_key(c2, "w1", ["bg", "w1", "w2", "n"])
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=exchange_partitions())
         .map_groups(attach_marginal("w1", "c1l"), batch_format="pandas")
     )
     with_lr = (
         _bucket_by_key(with_l, "w2", ["bg", "w2", "n", "c1l"])
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=exchange_partitions())
         .map_groups(attach_marginal("w2", "c1r"), batch_format="pandas")
     )
 
@@ -866,7 +868,7 @@ def corpus_vocab_stats(docs: Dataset) -> Dataset:
 
     agg = (
         _bucket_by_key(parts, "tok", ["tok", "c"])
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=exchange_partitions())
         .map_groups(bucket_stats, batch_format="pandas")
         .to_pandas()  # one row per bucket -- scalar-sized
     )
@@ -1028,7 +1030,7 @@ def doc_unigram_xent(docs: Dataset, *, force_join: bool = False) -> Dataset:
 
     vocab = (
         _bucket_by_key(inst, "tok", ["tok", "m"])
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=exchange_partitions())
         .map_groups(per_bucket, batch_format="pandas")
         .materialize()
     )
@@ -1455,7 +1457,7 @@ def source_similarity(docs: Dataset) -> Dataset:
             "tok",
             ["source", "tok"],
         )
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=exchange_partitions())
         .map_groups(per_bucket, batch_format="pandas")
     )
     sizes: dict[str, int] = {}
@@ -1567,7 +1569,7 @@ def vocab_uniqueness(docs: Dataset) -> Dataset:
 
     agg = (
         _bucket_by_key(st, "tok", ["source", "tok"])
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=exchange_partitions())
         .map_groups(per_bucket, batch_format="pandas")
         .groupby("source")
         .aggregate(Sum("v", alias_name="n_vocab"), Sum("u", alias_name="n_unique"))

@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 
-from ..context import default_parallelism
+from ..context import default_parallelism, exchange_partitions
 from ..stages.graph import degrees, drop_self_loops
 from ..stages.joins import broadcast_attach, hash_join, put_lookup
 
@@ -542,7 +542,7 @@ def edge_support(
         sup = (
             tri.map_batches(edge_credits, batch_format="pyarrow", zero_copy_batch=True)
             .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("_kb")
+            .groupby("_kb", num_partitions=exchange_partitions())
             .map_groups(bucket_sum, batch_format="pyarrow")
             .materialize()
         )

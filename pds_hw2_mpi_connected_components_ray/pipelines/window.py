@@ -14,6 +14,8 @@ driver-side state.
 
 from __future__ import annotations
 
+from ..context import exchange_partitions
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -59,7 +61,7 @@ def top_k_per_group(
 
     return (
         _bucket_by_key(ds, key, keep)
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=exchange_partitions())
         .map_groups(per_bucket, batch_format="pandas")
     )
 

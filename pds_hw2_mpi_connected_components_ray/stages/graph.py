@@ -76,7 +76,9 @@ def dedup_edges(edges: Dataset, num_buckets: int = 64) -> Dataset:
         return pa.table({"src": arr[:, 0], "dst": arr[:, 1]})
 
     bucketed = edges.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
-    return bucketed.groupby("_b").map_groups(uniq, batch_format="pandas")
+    return bucketed.groupby("_b", num_partitions=num_buckets).map_groups(
+        uniq, batch_format="pandas"
+    )
 
 
 def canonical_edges(raw_directed: Dataset) -> Dataset:
@@ -314,7 +316,7 @@ def two_hop_counts(edges: Dataset, num_partitions: int | None = None) -> Dataset
     31 bits fall back to a two-column distinct groupby."""
     from ray.data.aggregate import Count, Sum
 
-    from ..context import default_parallelism
+    from ..context import default_parallelism, exchange_partitions
     from .joins import hash_join
 
     simple = drop_self_loops(edges).materialize()
@@ -367,7 +369,7 @@ def two_hop_counts(edges: Dataset, num_partitions: int | None = None) -> Dataset
 
         per_bucket = (
             pairs.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("_kb")
+            .groupby("_kb", num_partitions=exchange_partitions())
             .map_groups(bucket_counts, batch_format="pyarrow")
         )
         # per-bucket partials are <= |V| x nb rows; a second bucketed
@@ -420,7 +422,7 @@ def two_hop_counts(edges: Dataset, num_partitions: int | None = None) -> Dataset
 
     per_bucket = (
         pairs.map_batches(tag_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_kb")
+        .groupby("_kb", num_partitions=exchange_partitions())
         .map_groups(bucket_pair_counts, batch_format="pyarrow")
     )
     return per_bucket.map_batches(
