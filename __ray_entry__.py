@@ -1140,11 +1140,33 @@ def _round_cols(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
     return df
 
 
+_MINHASH_PAIRS_CACHE: dict = {}
+
+
+def _minhash_pairs_memo(sf_dir: str):
+    """Verified MinHash near-dup pair set (threshold 0.5 over the raw
+    documents table), MEMOIZED per process like _canon_edges:
+    minhash_pairs / dup_groups / dup_family_sizes share ONE
+    shingle→LSH→verify run instead of each paying it (~4 s at sf0.1)."""
+    import ray
+
+    job = ray.get_runtime_context().get_job_id() if ray.is_initialized() else ""
+    key = f"{job}:{sf_dir}"
+    ds = _MINHASH_PAIRS_CACHE.get(key)
+    if ds is None:
+        from pds_hw2_mpi_connected_components_ray.pipelines.dedup import (
+            minhash_lsh_pairs,
+        )
+
+        ds = minhash_lsh_pairs(_docs(sf_dir), threshold=0.5).materialize()
+        _MINHASH_PAIRS_CACHE.clear()
+        _MINHASH_PAIRS_CACHE[key] = ds
+    return ds
+
+
 def _q_minhash_pairs(sf_dir: str):
     _configure()
-    from pds_hw2_mpi_connected_components_ray.pipelines.dedup import minhash_lsh_pairs
-
-    out = minhash_lsh_pairs(_docs(sf_dir), threshold=0.5).to_pandas()
+    out = _minhash_pairs_memo(sf_dir).to_pandas()
     return _round_cols(out, ["jaccard"])
 
 
@@ -1203,12 +1225,9 @@ def _q_dup_groups(sf_dir: str):
     connected components. Oracle: recursive min-label walk over the SQL
     exact-Jaccard pair set."""
     _configure()
-    from pds_hw2_mpi_connected_components_ray.pipelines.dedup import (
-        duplicate_groups,
-        minhash_lsh_pairs,
-    )
+    from pds_hw2_mpi_connected_components_ray.pipelines.dedup import duplicate_groups
 
-    pairs = minhash_lsh_pairs(_docs(sf_dir), threshold=0.5).materialize()
+    pairs = _minhash_pairs_memo(sf_dir)
     if pairs.count() == 0:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "group_id": pd.Series([], dtype="int64")})
@@ -1232,12 +1251,9 @@ def _q_dup_family_sizes(sf_dir: str):
     _configure()
     from ray.data.aggregate import Count, Sum
 
-    from pds_hw2_mpi_connected_components_ray.pipelines.dedup import (
-        duplicate_groups,
-        minhash_lsh_pairs,
-    )
+    from pds_hw2_mpi_connected_components_ray.pipelines.dedup import duplicate_groups
 
-    pairs = minhash_lsh_pairs(_docs(sf_dir), threshold=0.5).materialize()
+    pairs = _minhash_pairs_memo(sf_dir)
     if pairs.count() == 0:
         return pd.DataFrame(
             {
