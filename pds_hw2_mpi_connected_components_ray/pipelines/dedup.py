@@ -68,6 +68,41 @@ def _pool(concurrency):
     return (1, max(2, default_parallelism()))
 
 
+# per-worker-process stage instances for _stage_map_batches (Ray task
+# workers are long-lived, so this memo survives across tasks AND queries)
+_STAGE_CACHE: dict = {}
+
+
+def _stage_map_batches(ds, cls, kwargs, concurrency, **mb_kwargs):
+    """map_batches over a CHEAP-SETUP callable-class stage.
+
+    ``concurrency=None`` (every in-repo caller) runs PLAIN TASKS with
+    the stage instance memoized per worker process: task workers are
+    long-lived, so setup still runs once per worker, but without the
+    actor-pool cold-start (a fresh pool spawns new processes per query
+    -- measured ~1.8 s/query at sf0.1 for the MinHash stage whose setup
+    is microseconds). An explicit int/tuple keeps a dedicated actor
+    pool -- the right call for heavy-setup stages (model weights,
+    codecs: see multimodal/textpipe) or when isolating resources."""
+    if concurrency is not None:
+        return ds.map_batches(
+            cls,
+            fn_constructor_kwargs=kwargs,
+            concurrency=_pool(concurrency),
+            **mb_kwargs,
+        )
+    key = (cls.__name__, tuple(sorted(kwargs.items())))
+
+    def fn(batch):
+        st = _STAGE_CACHE.get(key)
+        if st is None:
+            st = cls(**kwargs)
+            _STAGE_CACHE[key] = st
+        return st(batch)
+
+    return ds.map_batches(fn, **mb_kwargs)
+
+
 def _shingle_batch(texts, kind: str, k: int, n: int):
     if kind == "char":
         return pack_char_shingles_batch(texts, k)
@@ -550,9 +585,10 @@ def _lsh_jaccard_pairs(
     id_col: str,
     text_col: str,
 ) -> Dataset:
-    sigs = docs.select_columns([id_col, text_col]).map_batches(
+    sigs = _stage_map_batches(
+        docs.select_columns([id_col, text_col]),
         _MinHashBandStage,
-        fn_constructor_kwargs={
+        {
             "kind": kind,
             "shingle_k": shingle_k,
             "ngram_n": ngram_n,
@@ -561,8 +597,8 @@ def _lsh_jaccard_pairs(
             "id_col": id_col,
             "text_col": text_col,
         },
+        concurrency,
         batch_format="pandas",
-        concurrency=_pool(concurrency),
     )
     cands = _lsh_bucket_candidates(
         sigs, num_coarse=_coarse_bucket_count(docs.count() * num_bands)
@@ -729,16 +765,17 @@ def simhash_pairs(
     output becomes (a, b, hamming, jaccard) -- the oracle-checkable
     configuration (Jaccard is SQL-expressible, Hamming is not).
     """
-    hashes = docs.select_columns([id_col, text_col]).map_batches(
+    hashes = _stage_map_batches(
+        docs.select_columns([id_col, text_col]),
         _SimHashStage,
-        fn_constructor_kwargs={
+        {
             "shingle_k": shingle_k,
             "num_bands": num_bands,
             "id_col": id_col,
             "text_col": text_col,
         },
+        concurrency,
         batch_format="pandas",
-        concurrency=_pool(concurrency),
     )
 
     def coarse_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -913,17 +950,18 @@ def embedding_cosine_pairs(
     """Embedding near-dup pairs with EXACT cosine >= threshold; candidates
     from multi-table hyperplane LSH buckets. Output (a, b, cosine), a < b.
     Only candidate pairs' vectors are joined back and scored."""
-    bucketed = embeddings.select_columns([id_col, vec_col]).map_batches(
+    bucketed = _stage_map_batches(
+        embeddings.select_columns([id_col, vec_col]),
         _PlaneLSHStage,
-        fn_constructor_kwargs={
+        {
             "num_tables": num_tables,
             "num_planes": num_planes,
             "seed": seed,
             "id_col": id_col,
             "vec_col": vec_col,
         },
+        concurrency,
         batch_format="pandas",
-        concurrency=_pool(concurrency),
     )
     buckets = bucketed.groupby(["table_id", "bucket"]).map_groups(
         _bucket_pairs, batch_format="pandas"
