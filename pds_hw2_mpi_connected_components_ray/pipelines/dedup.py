@@ -68,39 +68,15 @@ def _pool(concurrency):
     return (1, max(2, default_parallelism()))
 
 
-# per-worker-process stage instances for _stage_map_batches (Ray task
-# workers are long-lived, so this memo survives across tasks AND queries)
-_STAGE_CACHE: dict = {}
-
-
 def _stage_map_batches(ds, cls, kwargs, concurrency, **mb_kwargs):
-    """map_batches over a CHEAP-SETUP callable-class stage.
+    """Cheap-setup stage execution: tasks when concurrency is None,
+    a dedicated actor pool otherwise (policy + measurement in
+    stages/stagepool.py)."""
+    from ..stages.stagepool import stage_map_batches
 
-    ``concurrency=None`` (every in-repo caller) runs PLAIN TASKS with
-    the stage instance memoized per worker process: task workers are
-    long-lived, so setup still runs once per worker, but without the
-    actor-pool cold-start (a fresh pool spawns new processes per query
-    -- measured ~1.8 s/query at sf0.1 for the MinHash stage whose setup
-    is microseconds). An explicit int/tuple keeps a dedicated actor
-    pool -- the right call for heavy-setup stages (model weights,
-    codecs: see multimodal/textpipe) or when isolating resources."""
-    if concurrency is not None:
-        return ds.map_batches(
-            cls,
-            fn_constructor_kwargs=kwargs,
-            concurrency=_pool(concurrency),
-            **mb_kwargs,
-        )
-    key = (cls.__name__, tuple(sorted(kwargs.items())))
-
-    def fn(batch):
-        st = _STAGE_CACHE.get(key)
-        if st is None:
-            st = cls(**kwargs)
-            _STAGE_CACHE[key] = st
-        return st(batch)
-
-    return ds.map_batches(fn, **mb_kwargs)
+    return stage_map_batches(
+        ds, cls, kwargs, None if concurrency is None else _pool(concurrency), **mb_kwargs
+    )
 
 
 def _shingle_batch(texts, kind: str, k: int, n: int):

@@ -96,17 +96,20 @@ class MediaDecodeStage:
 def decode_media(
     media: Dataset, *, decoder: str = "fake", concurrency=None, batch_size: int = 64
 ) -> Dataset:
-    """media table -> per-item feature table via an actor-pool stage."""
-    if concurrency is None:
-        from ..context import default_parallelism
+    """media table -> per-item feature table. concurrency=None runs
+    plain tasks with a per-worker stage memo (setup here is an import
+    probe, microseconds); an explicit int/tuple keeps a dedicated
+    actor pool -- the right call for real heavy codecs (policy +
+    measurement: stages/stagepool.py)."""
+    from ..stages.stagepool import stage_map_batches
 
-        concurrency = (1, max(2, default_parallelism()))
-    return media.map_batches(
+    return stage_map_batches(
+        media,
         MediaDecodeStage,
-        fn_constructor_kwargs={"decoder": decoder},
+        {"decoder": decoder},
+        concurrency,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
 
 
@@ -177,16 +180,17 @@ class PngDecodeStage:
 def decode_png_media(
     media: Dataset, *, concurrency=None, batch_size: int = 64
 ) -> Dataset:
-    """Real-format (PNG) decode over a media table via an actor pool."""
-    if concurrency is None:
-        from ..context import default_parallelism
+    """Real-format (PNG) decode over a media table (tasks by default,
+    dedicated actor pool when concurrency is explicit -- stagepool.py)."""
+    from ..stages.stagepool import stage_map_batches
 
-        concurrency = (1, max(2, default_parallelism()))
-    return media.map_batches(
+    return stage_map_batches(
+        media,
         PngDecodeStage,
+        {},
+        concurrency,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
 
 
@@ -253,17 +257,17 @@ class MediaResizeStage:
 def resize_media(
     media: Dataset, *, factor: int = 2, concurrency=None, batch_size: int = 64
 ) -> Dataset:
-    """Resize stage over a media table (actor pool, small batches)."""
-    if concurrency is None:
-        from ..context import default_parallelism
+    """Resize stage over a media table (small batches; tasks by
+    default, actor pool when concurrency is explicit)."""
+    from ..stages.stagepool import stage_map_batches
 
-        concurrency = (1, max(2, default_parallelism()))
-    return media.map_batches(
+    return stage_map_batches(
+        media,
         MediaResizeStage,
-        fn_constructor_kwargs={"factor": factor},
+        {"factor": factor},
+        concurrency,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
 
 
@@ -308,17 +312,17 @@ class FrameSampleStage:
 def sample_frames(
     videos: Dataset, *, every_k: int = 4, concurrency=None, batch_size: int = 64
 ) -> Dataset:
-    """(media_id, frame, width, height) for every k-th frame."""
-    if concurrency is None:
-        from ..context import default_parallelism
+    """(media_id, frame, width, height) for every k-th frame (tasks by
+    default, actor pool when concurrency is explicit)."""
+    from ..stages.stagepool import stage_map_batches
 
-        concurrency = (1, max(2, default_parallelism()))
-    return videos.map_batches(
+    return stage_map_batches(
+        videos,
         FrameSampleStage,
-        fn_constructor_kwargs={"every_k": every_k},
+        {"every_k": every_k},
+        concurrency,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
 
 
@@ -390,16 +394,17 @@ class WavDecodeStage:
 def decode_wav_media(
     media: Dataset, *, concurrency=None, batch_size: int = 64
 ) -> Dataset:
-    """Real-format (WAV) audio decode over a media table, actor pool."""
-    if concurrency is None:
-        from ..context import default_parallelism
+    """Real-format (WAV) audio decode over a media table (tasks by
+    default, actor pool when concurrency is explicit)."""
+    from ..stages.stagepool import stage_map_batches
 
-        concurrency = (1, max(2, default_parallelism()))
-    return media.map_batches(
+    return stage_map_batches(
+        media,
         WavDecodeStage,
+        {},
+        concurrency,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
 
 

@@ -97,12 +97,16 @@ class LangIdStage:
 
 
 def lang_id_stage(docs: Dataset, concurrency=None) -> Dataset:
-    if concurrency is None:
-        from ..context import default_parallelism
+    # setup (regex compile + stopword matrix) is ~ms: plain tasks with
+    # the per-worker memo beat a per-query actor pool (stagepool.py)
+    from ..stages.stagepool import stage_map_batches
 
-        concurrency = (1, max(2, default_parallelism()))
-    return docs.select_columns(["doc_id", "text"]).map_batches(
-        LangIdStage, batch_format="pandas", concurrency=concurrency
+    return stage_map_batches(
+        docs.select_columns(["doc_id", "text"]),
+        LangIdStage,
+        {},
+        concurrency,
+        batch_format="pandas",
     )
 
 
