@@ -433,14 +433,12 @@ def knn_ivf(
     probes = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]  # (q, nprobe)
     ref = ray.put((np.asarray(query_ids, dtype=np.int64), qmat, cent, probes))
 
-    class _IVFScore:
-        def __init__(self):
-            self.state = None
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            if self.state is None:
-                self.state = ray.get(ref)
-            qids, qm, cen, prb = self.state
+    # plain-task stage: the broadcast state is ray.put once and
+    # ray.get per batch -- a worker-local plasma read (~us after the
+    # first fetch on a node), so tasks get the broadcast-once pattern
+    # without paying a per-query actor-pool spawn (stagepool.py)
+    def _ivf_score(batch: pd.DataFrame) -> pd.DataFrame:
+            qids, qm, cen, prb = ray.get(ref)
             ids = batch[id_col].to_numpy(dtype=np.int64)
             vecs = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
             assign = (vecs @ cen.T).argmax(axis=1)  # list id per vector
@@ -464,10 +462,8 @@ def knn_ivf(
                 }
             )
 
-    from ..context import default_parallelism
-
     partials = embeddings.select_columns([id_col, vec_col]).map_batches(
-        _IVFScore, batch_format="pandas", concurrency=(1, max(2, default_parallelism()))
+        _ivf_score, batch_format="pandas"
     )
     allp = partials.to_pandas()
     if exclude_self:
