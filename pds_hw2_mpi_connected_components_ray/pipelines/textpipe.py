@@ -963,10 +963,16 @@ def lang_confusion(docs: Dataset, concurrency: int | None = None) -> Dataset:
             g["n"] = g["n"].astype(np.int64)
             return g
 
-    kwargs = {"batch_format": "pandas", "concurrency": concurrency or (1, 8)}
+    from ..stages.stagepool import stage_map_batches
+
     return (
-        docs.select_columns(["doc_id", "text", "lang"])
-        .map_batches(_ConfusionStage, **kwargs)
+        stage_map_batches(
+            docs.select_columns(["doc_id", "text", "lang"]),
+            _ConfusionStage,
+            {},
+            concurrency,
+            batch_format="pandas",
+        )
         .groupby(["lang", "lang_pred"])
         .aggregate(Sum("n", alias_name="n"))
     )
@@ -1317,10 +1323,16 @@ def quality_by_source(docs: Dataset, concurrency: int | None = None) -> Dataset:
                 out[c] = out[c].astype(np.int64)
             return out
 
-    kwargs = {"batch_format": "pandas", "concurrency": concurrency or (1, 8)}
+    from ..stages.stagepool import stage_map_batches
+
     agg = (
-        docs.select_columns(["doc_id", "source", "text"])
-        .map_batches(_Stage, **kwargs)
+        stage_map_batches(
+            docs.select_columns(["doc_id", "source", "text"]),
+            _Stage,
+            {},
+            concurrency,
+            batch_format="pandas",
+        )
         .groupby("source")
         .aggregate(
             Sum("n", alias_name="n_docs"),
@@ -1513,10 +1525,16 @@ def lang_by_source(docs: Dataset, concurrency: int | None = None) -> Dataset:
             out["c"] = out["c"].astype(np.int64)
             return out
 
-    kwargs = {"batch_format": "pandas", "concurrency": concurrency or (1, 8)}
+    from ..stages.stagepool import stage_map_batches
+
     return (
-        docs.select_columns(["doc_id", "source", "text"])
-        .map_batches(_Stage, **kwargs)
+        stage_map_batches(
+            docs.select_columns(["doc_id", "source", "text"]),
+            _Stage,
+            {},
+            concurrency,
+            batch_format="pandas",
+        )
         .groupby(["source", "lang_pred"])
         .aggregate(Sum("c", alias_name="n"))
     )

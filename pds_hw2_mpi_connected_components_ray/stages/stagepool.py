@@ -43,7 +43,7 @@ def stage_map_batches(ds: Dataset, cls, kwargs: dict, concurrency, **mb_kwargs):
             concurrency=concurrency,
             **mb_kwargs,
         )
-    key = (cls.__module__, cls.__name__, tuple(sorted(kwargs.items())))
+    key = (cls.__module__, cls.__qualname__, tuple(sorted(kwargs.items())))
 
     def fn(batch):
         st = _STAGE_CACHE.get(key)
