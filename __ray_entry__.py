@@ -1521,6 +1521,34 @@ def _q_pages_to_edges(sf_dir: str):
     pages = pages_from_documents(sf_dir, messy_links=True).materialize()
     edges = pages_to_edges(pages)
     urls = url_id_table(pages).materialize()
+    if urls.count() <= 2_000_000:
+        # broadcast attach: the url dimension is pages-sized; below the
+        # gate one ray.put'd sorted lookup replaces TWO string hash
+        # joins (measured 8 s of join fixed cost at sf0.1 for a
+        # 5k-row dimension)
+        import pyarrow as pa
+        import ray
+
+        from pds_hw2_mpi_connected_components_ray.stages.joins import _LookupArrays
+
+        tab = pa.concat_tables(
+            list(urls.iter_batches(batch_format="pyarrow", batch_size=None))
+        )
+        keys = tab["vertex"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = np.asarray(tab["url"].to_pandas(), dtype=object)
+        ref = ray.put(_LookupArrays(keys, vals))
+
+        def attach(t: "pa.Table") -> "pa.Table":
+            import ray as _ray
+
+            lk = _ray.get(ref)
+            _, su = lk.get(t["src"].to_numpy(zero_copy_only=False))
+            _, du = lk.get(t["dst"].to_numpy(zero_copy_only=False))
+            return pa.table(
+                {"src_url": pa.array(list(su)), "dst_url": pa.array(list(du))}
+            )
+
+        return edges.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
     ua = urls.map_batches(
         lambda df: pd.DataFrame({"src": df["vertex"], "src_url": df["url"]}),
         batch_format="pandas",
