@@ -113,6 +113,34 @@ def kmeans_fit(
     return cent
 
 
+# below this row count the full corpus fits one driver matrix and the
+# per-iteration Dataset pass of the distributed fit is pure fixed cost
+_LOCAL_FIT_ROWS = 65_536
+
+
+def kmeans_fit_local_full(
+    ids: np.ndarray, X: np.ndarray, nlist: int, *, iters: int = 10
+) -> np.ndarray:
+    """Driver-side full-corpus spherical k-means with the SAME
+    semantics as kmeans_fit_distributed (init = nlist lowest-id
+    vectors, cosine assignment with argmax ties to the lowest list id,
+    mean+renormalize update, empty lists keep their centroid) — the
+    small-corpus fast path behind ivf_build's fit=\"auto\" gate."""
+    X = _normalize(np.asarray(X, dtype=np.float64))
+    order = np.argsort(ids, kind="stable")[:nlist]
+    cent = X[order].copy()
+    for _ in range(iters):
+        a = (X @ cent.T).argmax(axis=1)
+        kk, dd = cent.shape
+        sums = np.zeros((kk, dd), dtype=np.float64)
+        np.add.at(sums, a, X)
+        cnts = np.bincount(a, minlength=kk).astype(np.int64)
+        nonempty = cnts > 0
+        cent = cent.copy()
+        cent[nonempty] = _normalize(sums[nonempty] / cnts[nonempty, None])
+    return cent
+
+
 def kmeans_fit_distributed(
     emb: Dataset,
     nlist: int,
@@ -226,16 +254,21 @@ def ivf_build(
     sample_size: int = 2048,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    fit: str = "distributed",
+    fit: str = "auto",
     fit_iters: int = 10,
 ) -> IVFIndex:
-    """Train centroids (default: the DISTRIBUTED full-corpus spherical
-    k-means, kmeans_fit_distributed; fit="sample" keeps the old
-    sample_size-row driver fit for tiny corpora), assign every vector
-    to its nearest list (one streaming pass, centroids broadcast),
-    write the corpus as list-partitioned parquet, persist the centroids
-    alongside. nlist=None picks the scale heuristic sqrt(n_vectors)
+    """Train centroids, assign every vector to its nearest list (one
+    streaming pass, centroids broadcast), write the corpus as
+    list-partitioned parquet, persist the centroids alongside.
+    nlist=None picks the scale heuristic sqrt(n_vectors)
     (default_nlist).
+
+    fit="auto" (default) runs the DISTRIBUTED full-corpus spherical
+    k-means (kmeans_fit_distributed) above _LOCAL_FIT_ROWS and the
+    same-semantics driver fit (kmeans_fit_local_full) below it, where
+    each distributed iteration is a full Dataset pass of pure fixed
+    cost; fit="distributed" forces the distributed fit, fit="sample"
+    keeps the old sample_size-row driver fit.
 
     The build is ATOMIC and loud about partial state: everything lands
     in <path>.tmp first, then one rename publishes it, with a
@@ -248,11 +281,22 @@ def ivf_build(
     import os
     import shutil
 
+    n_vectors = embeddings.count()
     if nlist is None:
-        nlist = default_nlist(embeddings.count())
+        nlist = default_nlist(n_vectors)
+    if fit == "auto":
+        fit = "distributed" if n_vectors > _LOCAL_FIT_ROWS else "local"
     if fit == "distributed":
         cent = kmeans_fit_distributed(
             embeddings, nlist, iters=fit_iters, id_col=id_col, vec_col=vec_col
+        )
+    elif fit == "local":
+        full = embeddings.select_columns([id_col, vec_col]).to_pandas()
+        cent = kmeans_fit_local_full(
+            full[id_col].to_numpy(dtype=np.int64),
+            np.stack(full[vec_col].to_numpy()),
+            nlist,
+            iters=fit_iters,
         )
     else:
         sample = embeddings.select_columns([vec_col]).limit(sample_size).to_pandas()
