@@ -134,12 +134,23 @@ def contamination_check(
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         return t.filter(pa.array(ids % test_mod != 0))
 
+    # distinct held-out grams via the string-hash bucket exchange --
+    # a direct groupby("g") pays Ray's string-sort keyed aggregate
+    # (~ms per DISTINCT gram; see duplicate_ngram_stats note)
+    from .events import _bucket_by_key
+
+    def _bucket_uniq(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"g": df["g"].unique().astype(str)})
+
     test_grams = (
-        base.map_batches(_is_test, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(_doc_grams, batch_format="pandas")
-        .groupby("g")
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["g"])
+        _bucket_by_key(
+            base.map_batches(_is_test, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(_doc_grams, batch_format="pandas"),
+            "g",
+            ["g"],
+        )
+        .groupby("_kb", num_partitions=exchange_partitions())
+        .map_groups(_bucket_uniq, batch_format="pandas")
     ).materialize()  # benchmark-set vocabulary: the provably small side
     train_grams = base.map_batches(
         _is_train, batch_format="pyarrow", zero_copy_batch=True
@@ -589,13 +600,11 @@ def contamination_bloom(
         p1, p2 = _bloom_positions(f["fp"].to_numpy(dtype=np.int64), m_bits)
         return pd.DataFrame({"pos": np.unique(np.concatenate([p1, p2]))})
 
-    pos = (
-        base.map_batches(_train_pos, batch_format="pandas")
-        .groupby("pos")
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["pos"])
-        .materialize()
-    )
+    from ..stages.skew import bucketed_distinct
+
+    pos = bucketed_distinct(
+        base.map_batches(_train_pos, batch_format="pandas"), "pos"
+    ).materialize()
     bits = np.zeros(m_bits, dtype=bool)
     for t in pos.iter_batches(batch_format="pyarrow", batch_size=None):
         bits[t["pos"].to_numpy(zero_copy_only=False)] = True
