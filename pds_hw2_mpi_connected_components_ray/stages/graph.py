@@ -244,8 +244,12 @@ def reciprocity(directed_edges: Dataset) -> Dataset:
     link-symmetry statistic (symmetrizing first would make it 1.0 by
     construction, so this runs on the distinct directed table).
 
-    Plan: one unordered-pair keyed groupby. Each edge emits
-    (lo, hi, f, b) with f/b marking its direction; per-pair sums land
+    Plan: one unordered-pair exchange. Each edge emits a packed pair
+    key (lo << 31 | hi, ids < 2^31 after the engine's dense renumber;
+    wide ids fall back to the (lo, hi) keyed aggregate) with f/b
+    marking its direction, pre-combined per batch; the bucketed sum
+    resolves per-pair (f, b) in one hash exchange instead of Ray's
+    ms-per-group keyed aggregate over ~|E| pairs. Per-pair sums land
     in {0, 1} (input is exactly deduped), so a pair is mutual iff both
     sums are positive. The per-batch tail emits two scalars per block
     (mutual-pair count, edge count) — driver reduces a handful of
@@ -254,28 +258,68 @@ def reciprocity(directed_edges: Dataset) -> Dataset:
     decimal ties are reachable and np.round half-to-even would diverge
     from the SQL oracle).
     """
-    from ray.data.aggregate import Sum
-
-    def tag(t: pa.Table) -> pa.Table:
-        s = t["src"].to_numpy(zero_copy_only=False)
-        d = t["dst"].to_numpy(zero_copy_only=False)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        fwd = (s < d).astype(np.int64)
-        return pa.table(
-            {
-                "lo": np.minimum(s, d),
-                "hi": np.maximum(s, d),
-                "f": fwd,
-                "b": 1 - fwd,
-            }
-        )
-
-    pairs = (
-        directed_edges.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["lo", "hi"])
-        .aggregate(Sum("f", alias_name="f"), Sum("b", alias_name="b"))
+    vmax = directed_edges.max("dst")
+    smax = directed_edges.max("src")
+    wide = (
+        vmax is None
+        or smax is None
+        or max(int(vmax), int(smax)) >= 2**31
     )
+    if not wide:
+        from .skew import bucketed_group_sum
+
+        shift = np.int64(31)
+
+        def tag_packed(t: pa.Table) -> pa.Table:
+            s = t["src"].to_numpy(zero_copy_only=False)
+            d = t["dst"].to_numpy(zero_copy_only=False)
+            keep = s != d
+            s, d = s[keep], d[keep]
+            k = (np.minimum(s, d) << shift) | np.maximum(s, d)
+            fwd = (s < d).astype(np.int64)
+            # per-batch pre-combine (each k appears at most twice)
+            u, inv = np.unique(k, return_inverse=True)
+            return pa.table(
+                {
+                    "k": u,
+                    "f": np.bincount(inv, weights=fwd).astype(np.int64),
+                    "b": np.bincount(inv, weights=1 - fwd).astype(np.int64),
+                }
+            )
+
+        pairs = bucketed_group_sum(
+            directed_edges.map_batches(
+                tag_packed, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            "k",
+            "f",
+            extra="b",
+        )
+    else:
+        from ray.data.aggregate import Sum
+
+        def tag(t: pa.Table) -> pa.Table:
+            s = t["src"].to_numpy(zero_copy_only=False)
+            d = t["dst"].to_numpy(zero_copy_only=False)
+            keep = s != d
+            s, d = s[keep], d[keep]
+            fwd = (s < d).astype(np.int64)
+            return pa.table(
+                {
+                    "lo": np.minimum(s, d),
+                    "hi": np.maximum(s, d),
+                    "f": fwd,
+                    "b": 1 - fwd,
+                }
+            )
+
+        pairs = (
+            directed_edges.map_batches(
+                tag, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby(["lo", "hi"])
+            .aggregate(Sum("f", alias_name="f"), Sum("b", alias_name="b"))
+        )
 
     def partial(t: pa.Table) -> pa.Table:
         f = t["f"].to_numpy(zero_copy_only=False)
