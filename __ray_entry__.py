@@ -803,9 +803,7 @@ def _q_pagerank_top10(sf_dir: str):
 
 def _q_labelprop(sf_dir: str):
     _configure()
-    from pds_hw2_mpi_connected_components_ray.pipelines.labelprop import labelprop
-
-    return labelprop(_canon_edges(sf_dir), iterations=4, mode="pinned").labels
+    return _lpa_labels(sf_dir)
 
 
 def _q_triangle_total(sf_dir: str):
@@ -2288,10 +2286,26 @@ def _q_ktruss_sync(sf_dir: str):
     return truss_peel(_canon_edges(sf_dir), k=5, rounds=3)
 
 
-def _lpa_labels(sf_dir: str):
-    from pds_hw2_mpi_connected_components_ray.pipelines.labelprop import labelprop
+_LPA_CACHE: dict = {}
 
-    return labelprop(_canon_edges(sf_dir), iterations=4, mode="pinned").labels
+
+def _lpa_labels(sf_dir: str):
+    """4-iteration pinned sync-LPA labels, MEMOIZED per process like
+    _canon_edges: labelprop4 / modularity / community_graph /
+    conductance share ONE solve (a pinned pool spawn each) instead of
+    each paying it."""
+    import ray
+
+    job = ray.get_runtime_context().get_job_id() if ray.is_initialized() else ""
+    key = f"{job}:{sf_dir}"
+    ds = _LPA_CACHE.get(key)
+    if ds is None:
+        from pds_hw2_mpi_connected_components_ray.pipelines.labelprop import labelprop
+
+        ds = labelprop(_canon_edges(sf_dir), iterations=4, mode="pinned").labels.materialize()
+        _LPA_CACHE.clear()
+        _LPA_CACHE[key] = ds
+    return ds
 
 
 def _q_modularity(sf_dir: str):
