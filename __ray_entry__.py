@@ -814,13 +814,32 @@ def _q_triangle_total(sf_dir: str):
     return pd.DataFrame({"n_triangles": np.array([n], dtype=np.int64)})
 
 
+_TRI_CACHE: dict = {}
+
+
+def _tri_per_vertex_memo(sf_dir: str):
+    """(vertex, triangles) table, MEMOIZED per process like
+    _canon_edges: the triangles_per_vertex query and clustering_coeff
+    share one oriented-wedge count."""
+    import ray
+
+    job = ray.get_runtime_context().get_job_id() if ray.is_initialized() else ""
+    key = f"{job}:{sf_dir}"
+    ds = _TRI_CACHE.get(key)
+    if ds is None:
+        from pds_hw2_mpi_connected_components_ray.pipelines.triangles import (
+            triangles_per_vertex,
+        )
+
+        ds = triangles_per_vertex(_canon_edges(sf_dir)).materialize()
+        _TRI_CACHE.clear()
+        _TRI_CACHE[key] = ds
+    return ds
+
+
 def _q_triangles_by_vertex(sf_dir: str):
     _configure()
-    from pds_hw2_mpi_connected_components_ray.pipelines.triangles import (
-        triangles_per_vertex,
-    )
-
-    return triangles_per_vertex(_canon_edges(sf_dir))
+    return _tri_per_vertex_memo(sf_dir)
 
 
 def _q_kcore(sf_dir: str, k: int = 7):
@@ -929,7 +948,7 @@ def _q_clustering_coeff(sf_dir: str):
 
     edges = _canon_edges(sf_dir).materialize()
     deg = degrees(drop_self_loops(edges).materialize())
-    tri = triangles_per_vertex(edges).map_batches(
+    tri = _tri_per_vertex_memo(sf_dir).map_batches(
         lambda t: t.rename_columns(["vertex", "tri"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
