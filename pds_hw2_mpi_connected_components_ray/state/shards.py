@@ -1660,9 +1660,65 @@ def release_pool_placement(actors: list) -> None:
         remove_placement_group(pg)
 
 
+# Conservative per-edge-row heap peak of GraphShardActor.load (copy-in
+# columns + argsort indices + reorder copies + np.unique temporaries,
+# int64-path worst case, measured from the 20x single-box OOM: 32
+# concurrent builds over 1.31B rows exhausted a 126 GB host).
+_LOAD_PEAK_BYTES_PER_ROW = 72
+
+
+def _available_bytes() -> int | None:
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) * 1024
+    except Exception:
+        pass
+    return None
+
+
+def _load_wave(n_rows: int | None, nshards: int) -> int:
+    """How many shard CSC builds may run concurrently. All of them,
+    unless the estimated simultaneous heap peak would blow the host
+    budget -- then loads are gated in waves sized to ~50% of available
+    memory (the other half stays for the object store + peers). Keeps
+    the single-box envelope graceful: a graph 20x the comfortable size
+    loads slower instead of OOM-killing the pool. Multi-node runs see
+    per-node MemAvailable, which is exactly the right budget there.
+    Override with GRAFT_LOAD_WAVE=<int>."""
+    env = os.environ.get("GRAFT_LOAD_WAVE")
+    if env:
+        return max(1, min(nshards, int(env)))
+    if not n_rows or nshards <= 1:
+        return nshards
+    avail = _available_bytes()
+    if avail is None:
+        return nshards
+    per_shard_peak = max(1, n_rows // nshards) * _LOAD_PEAK_BYTES_PER_ROW
+    wave = int((avail * 0.5) // per_shard_peak)
+    return max(1, min(nshards, wave))
+
+
+def _submit_loads(actors: list, groups: list, nshards: int, wave: int) -> list:
+    """Submit one load per actor, at most `wave` in flight (ray.wait
+    gates submission; all refs are returned for the caller's get)."""
+    refs: list = []
+    pending: list = []
+    for a, g in zip(actors, groups):
+        if wave < nshards and len(pending) >= wave:
+            _, pending = ray.wait(pending, num_returns=1)
+        r = a.load.remote(g, nshards)
+        refs.append(r)
+        pending.append(r)
+    return refs
+
+
 def load_shard_pool(actors: list, edges) -> list:
     """Split a materialized edge Dataset into dst-hash shards and load
-    one shard per (pre-spawned) actor. Returns the load ObjectRefs."""
+    one shard per (pre-spawned) actor. Returns the load ObjectRefs.
+    Loads are wave-gated when the concurrent CSC-build peak would
+    exceed the host's memory budget (see _load_wave)."""
     nshards = len(actors)
     block_refs = [
         ref for bundle in edges.iter_internal_ref_bundles() for ref in bundle.block_refs
@@ -1677,17 +1733,24 @@ def load_shard_pool(actors: list, edges) -> list:
         groups = [[s[i] for s in splits] for i in range(nshards)]
     else:
         groups = [list(block_refs)]
-    return [a.load.remote(g, nshards) for a, g in zip(actors, groups)]
+    wave = _load_wave(edges.count(), nshards)
+    return _submit_loads(actors, groups, nshards, wave)
 
 
 def load_shard_pool_streaming(actors: list, lazy_edges) -> list:
     """Feed a LAZY edge dataset into the shard pool: blocks stream out
     of the upstream pipeline and are split by dst-hash AS THEY ARRIVE,
     overlapping the exchange with the tail of the ETL (no materialize
-    barrier). Returns the load ObjectRefs."""
+    barrier). Returns the load ObjectRefs. Same memory-budget wave
+    gating as load_shard_pool (row count taken from block metadata as
+    the stream drains; unknown counts skip gating)."""
     nshards = len(actors)
     splits = []
+    n_rows: int | None = 0
     for bundle in lazy_edges.iter_internal_ref_bundles():
+        if n_rows is not None:
+            b_rows = bundle.num_rows()
+            n_rows = None if b_rows is None else n_rows + b_rows
         for ref in bundle.block_refs:
             if nshards > 1:
                 splits.append(
@@ -1700,7 +1763,8 @@ def load_shard_pool_streaming(actors: list, lazy_edges) -> list:
     if not splits:
         raise ValueError("empty edge dataset")
     groups = [[s[i] for s in splits] for i in range(nshards)]
-    return [a.load.remote(g, nshards) for a, g in zip(actors, groups)]
+    wave = _load_wave(n_rows, nshards)
+    return _submit_loads(actors, groups, nshards, wave)
 
 
 def default_shard_count(
