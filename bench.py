@@ -785,6 +785,16 @@ def main() -> None:
         # regressions are caught per round (VERDICT r2 next-round #8);
         # ~328M undirected edges at the default rep. 3 trials with an
         # interleaved contention probe each (VERDICT r3 #1).
+        # Fresh Ray session first: after 138 suite queries the object
+        # store is full/fragmented and the scale-5 shard load reads
+        # ~2x slower than the same load in a clean session (43.6 s
+        # in-suite vs 21.9 s fresh at 10x data) -- restarting isolates
+        # the measurement from suite residue, like the fresh-process
+        # levels in --scaling.
+        import ray
+
+        ray.shutdown()
+        _init_ray()
         s5 = bench_headline(trials=3, scale_rep=SCALE_REP * 5, calibrate=True)
         record["headline_scale5"] = _round_rec(s5)
     import ray
