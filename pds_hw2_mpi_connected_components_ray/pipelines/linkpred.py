@@ -24,6 +24,14 @@ No reference analogue (north-rule link-graph extension); the wedge
 machinery parallels pipelines.triangles (which orients by degree to
 count each triangle once — here every wedge must be counted, so
 orientation does not apply).
+
+Adaptive execution: when the edge table is small (≤ _LOCAL_EDGE_ROWS
+rows AND ≤ _LOCAL_WEDGE_ROWS generated wedges — a dimension table
+relative to a 100 TB corpus), the WHOLE predictor runs as one numpy
+pass on the driver (`_local_pair_topk`); five fixed-cost Ray
+executions dominated the wall there. Above either bound the
+distributed wedge-join plan runs unchanged; equality is pinned by
+tests/test_linkpred.py::test_local_fastpath_equals_distributed.
 """
 
 from __future__ import annotations
@@ -41,6 +49,125 @@ from ..stages.joins import hash_join, put_lookup
 
 _PACK_SHIFT = np.int64(31)
 _PACK_MASK = np.int64((1 << 31) - 1)
+
+# Driver-local fast path: below these bounds the whole predictor runs
+# as ONE numpy pass on the driver (the edge table is dimension-sized
+# relative to a 100 TB corpus; five Ray executions of fixed cost
+# dominate the wall at gate scale). Above either bound the distributed
+# wedge-join plan runs unchanged.
+_LOCAL_EDGE_ROWS = 4_000_000
+_LOCAL_WEDGE_ROWS = 32_000_000
+
+
+def _collect_edges(simple) -> pa.Table:
+    return pa.concat_tables(
+        list(simple.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+
+
+def _run_pairs(values: np.ndarray, bounds: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All within-run position pairs (i < j) over a run-partitioned
+    array: returns (first_idx, second_idx) into `values`. Vectorized
+    (repeat + offset arithmetic), no Python loop."""
+    n = len(values)
+    runlens = np.diff(np.r_[bounds, n])
+    within = np.arange(n) - np.repeat(bounds, runlens)
+    counts = np.repeat(runlens, runlens) - 1 - within  # pairs led by i
+    firsts = np.repeat(np.arange(n), counts)
+    starts = np.r_[0, np.cumsum(counts)[:-1]]
+    seconds = np.arange(counts.sum()) - np.repeat(starts, counts) + firsts + 1
+    return firsts, seconds
+
+
+def _local_pair_topk(
+    t: pa.Table, k: int, cap: int | None, weighted: bool
+) -> pa.Table | None:
+    """Driver-local (b, c, score) top-k over a collected symmetric
+    self-loop-free edge table; replicates the distributed plans
+    exactly (degree = rows per src incl. duplicate edges; CN caps
+    filter BOTH wedges and adjacency, AA keeps full adjacency and
+    drops deg<2 centers; round-before-rank on the AA float sum).
+    Returns None when the wedge volume exceeds _LOCAL_WEDGE_ROWS or
+    ids do not fit the 31-bit pack."""
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    if len(src) == 0:
+        name = "aa_score" if weighted else "common_neighbors"
+        return pa.table(
+            {
+                "b": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+                name: pa.array([], pa.float64() if weighted else pa.int64()),
+            }
+        )
+    if src.min() < 0 or dst.min() < 0 or max(src.max(), dst.max()) >= 2**31:
+        return None
+    order = np.argsort(src, kind="stable")
+    s, d = src[order], dst[order]
+    bounds = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+    runlens = np.diff(np.r_[bounds, len(s)])
+    deg = runlens  # rows per src == degree (symmetric table)
+    if weighted:
+        # AA: centers need 2 <= deg <= cap; adjacency stays FULL
+        ok = deg >= 2
+        if cap is not None:
+            ok &= deg <= cap
+        adj_src, adj_dst = src, dst
+    else:
+        # CN with a cap filters the TABLE (wedges and adjacency both)
+        if cap is not None:
+            keep = np.repeat(deg <= cap, runlens)
+            s, d = s[keep], d[keep]
+            bounds = np.flatnonzero(np.r_[True, s[1:] != s[:-1]]) if len(s) else np.array([], np.int64)
+            runlens = np.diff(np.r_[bounds, len(s)])
+            adj_src, adj_dst = s, d
+        else:
+            adj_src, adj_dst = src, dst
+        ok = np.ones(len(runlens), dtype=bool)
+    n_wedges = (runlens[ok].astype(np.int64) * (runlens[ok] - 1) // 2).sum()
+    if n_wedges > _LOCAL_WEDGE_ROWS:
+        return None
+    keep_rows = np.repeat(ok, runlens)
+    s2, d2 = s[keep_rows], d[keep_rows]
+    bounds2 = (
+        np.flatnonzero(np.r_[True, s2[1:] != s2[:-1]]) if len(s2) else np.array([], np.int64)
+    )
+    fi, se = _run_pairs(d2, bounds2)
+    b = np.minimum(d2[fi], d2[se]).astype(np.int64)
+    c = np.maximum(d2[fi], d2[se]).astype(np.int64)
+    ne = b != c  # duplicate-edge wedges (b==c) are filtered by b<c
+    b, c = b[ne], c[ne]
+    key = (b << _PACK_SHIFT) | c
+    if weighted:
+        runlens2 = np.diff(np.r_[bounds2, len(s2)])
+        # the per-center filter keeps whole runs, so runlen == full-table
+        # degree for every surviving center (the AA weight's divisor)
+        w_run = 1.0 / np.log(runlens2.astype(np.float64))
+        w = np.repeat(w_run, (runlens2 * (runlens2 - 1) // 2))[ne]
+        u, inv = np.unique(key, return_inverse=True)
+        score = np.bincount(inv, weights=w)
+    else:
+        u, counts = np.unique(key, return_counts=True)
+        score = counts.astype(np.int64)
+    sel = adj_src < adj_dst
+    adj_key = np.unique(
+        (adj_src[sel].astype(np.int64) << _PACK_SHIFT) | adj_dst[sel].astype(np.int64)
+    )
+    pos = np.searchsorted(adj_key, u)
+    pos_c = np.clip(pos, 0, len(adj_key) - 1) if len(adj_key) else pos
+    is_adj = (
+        (adj_key[pos_c] == u) & (pos < len(adj_key)) if len(adj_key) else np.zeros(len(u), bool)
+    )
+    keep = ~is_adj & (score > 0)
+    u, score = u[keep], score[keep]
+    bu = (u >> _PACK_SHIFT).astype(np.int64)
+    cu = (u & _PACK_MASK).astype(np.int64)
+    if weighted:
+        score = np.round(score, 6)  # round-before-rank (oracle contract)
+    top = np.lexsort((cu, bu, -score))[:k]
+    name = "aa_score" if weighted else "common_neighbors"
+    vals = score[top] if weighted else score[top].astype(np.int64)
+    return pa.table({"b": bu[top], "c": cu[top], name: vals})
 
 
 
@@ -208,7 +335,17 @@ def common_neighbor_candidates(
     neighbor count over a canonical symmetric edge table."""
     simple = drop_self_loops(edges).materialize()
     npart = num_partitions or default_parallelism()
-    npart = max(2, min(npart, simple.count() // 100_000 + 2))
+    n_rows = simple.count()
+    npart = max(2, min(npart, n_rows // 100_000 + 2))
+
+    if n_rows <= _LOCAL_EDGE_ROWS:
+        local = _local_pair_topk(
+            _collect_edges(simple), k, max_degree, weighted=False
+        )
+        if local is not None:
+            import ray.data as _rd
+
+            return _rd.from_arrow(local)
 
     if max_degree is not None:
         degs = degrees(simple).materialize()
@@ -336,7 +473,17 @@ def adamic_adar_candidates(
 
     simple = drop_self_loops(edges).materialize()
     npart = num_partitions or default_parallelism()
-    npart = max(2, min(npart, simple.count() // 100_000 + 2))
+    n_rows = simple.count()
+    npart = max(2, min(npart, n_rows // 100_000 + 2))
+
+    if n_rows <= _LOCAL_EDGE_ROWS:
+        local = _local_pair_topk(
+            _collect_edges(simple), k, max_degree, weighted=True
+        )
+        if local is not None:
+            import ray.data as _rd
+
+            return _rd.from_arrow(local)
 
     degs = degrees(simple).materialize()
     cap = np.iinfo(np.int64).max if max_degree is None else max_degree

@@ -135,3 +135,31 @@ def test_degree_powerlaw_brute(ray_session):
     alpha = math.floor((1.0 + len(tail) / (s_mu / 1e6)) * 1e6 + 0.5) / 1e6
     assert out["n_tail"].iloc[0] == len(tail)
     assert out["alpha"].iloc[0] == alpha
+
+
+def test_local_fastpath_equals_distributed(ray_session, monkeypatch):
+    """The gated driver-local numpy path must be bit-identical to the
+    distributed wedge-join plan for BOTH predictors, capped and not."""
+    from pds_hw2_mpi_connected_components_ray.pipelines import linkpred
+    from pds_hw2_mpi_connected_components_ray.pipelines.linkpred import (
+        adamic_adar_candidates,
+    )
+
+    rng = np.random.default_rng(7)
+    pairs = [tuple(e) for e in rng.integers(0, 80, size=(400, 2)) if e[0] != e[1]]
+    # add a hub so the degree cap changes results
+    pairs += [(99, int(v)) for v in rng.integers(0, 80, size=25)]
+    ds = _ds(pairs)
+
+    def run_both(fn, **kw):
+        local = fn(ds, k=15, **kw).to_pandas().reset_index(drop=True)
+        monkeypatch.setattr(linkpred, "_LOCAL_EDGE_ROWS", -1)
+        dist = fn(ds, k=15, **kw).to_pandas().reset_index(drop=True)
+        monkeypatch.setattr(linkpred, "_LOCAL_EDGE_ROWS", 4_000_000)
+        assert list(local.columns) == list(dist.columns)
+        pd.testing.assert_frame_equal(local, dist, check_dtype=False)
+
+    run_both(common_neighbor_candidates)
+    run_both(common_neighbor_candidates, max_degree=8)
+    run_both(adamic_adar_candidates)
+    run_both(adamic_adar_candidates, max_degree=8)
