@@ -345,6 +345,62 @@ def reciprocity(directed_edges: Dataset) -> Dataset:
     )
 
 
+# Driver-local fast path for two_hop_counts (same rationale as the
+# link-prediction gate): the output is DISTINCT-pair based, so the
+# local pass dedupes the edge table first and cross-products unique
+# neighbor sets per middle vertex. Bounds keep the driver arrays small;
+# above them the distributed join/bucket plan runs unchanged.
+_TWO_HOP_LOCAL_EDGE_ROWS = 4_000_000
+_TWO_HOP_LOCAL_PAIR_ROWS = 64_000_000
+
+
+def _two_hop_counts_local(simple: Dataset) -> "pa.Table | None":
+    t = pa.concat_tables(
+        list(simple.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "vertex": pa.array([], pa.int64()),
+                "n_two_hop": pa.array([], pa.int64()),
+            }
+        )
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    if src.min() < 0 or dst.min() < 0 or max(src.max(), dst.max()) >= 2**31:
+        return None
+    shift = np.int64(31)
+    mask = np.int64((1 << 31) - 1)
+    ue = np.unique((src << shift) | dst)  # distinct directed edges, sorted
+    s = (ue >> shift).astype(np.int64)
+    d = (ue & mask).astype(np.int64)
+    bounds = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+    runlens = np.diff(np.r_[bounds, len(s)])
+    n_pairs = (runlens.astype(np.int64) * (runlens - 1)).sum()
+    if n_pairs > _TWO_HOP_LOCAL_PAIR_ROWS:
+        return None
+    # unordered position pairs i < j within each middle's (unique,
+    # sorted) neighbor run; values differ, so each yields BOTH ordered
+    # 2-hop pairs
+    n = len(d)
+    within = np.arange(n) - np.repeat(bounds, runlens)
+    counts = np.repeat(runlens, runlens) - 1 - within
+    fi = np.repeat(np.arange(n), counts)
+    gstart = np.r_[0, np.cumsum(counts)[:-1]]
+    se = np.arange(counts.sum()) - np.repeat(gstart, counts) + fi + 1
+    a, b = d[fi], d[se]
+    keys = np.concatenate([(a << shift) | b, (b << shift) | a, ue])
+    keys = np.unique(keys)
+    v = (keys >> shift).astype(np.int64)
+    vb = np.flatnonzero(np.r_[True, v[1:] != v[:-1]])
+    return pa.table(
+        {
+            "vertex": v[vb],
+            "n_two_hop": np.diff(np.r_[vb, len(v)]).astype(np.int64),
+        }
+    )
+
+
 def two_hop_counts(edges: Dataset, num_partitions: int | None = None) -> Dataset:
     """(vertex, n_two_hop): number of DISTINCT vertices within two hops
     of v (direct neighbors ∪ neighbors-of-neighbors, self excluded) —
@@ -365,7 +421,15 @@ def two_hop_counts(edges: Dataset, num_partitions: int | None = None) -> Dataset
 
     simple = drop_self_loops(edges).materialize()
     npart = num_partitions or default_parallelism()
-    npart = max(1, min(npart, simple.count() // 100_000 + 2))
+    n_rows = simple.count()
+    npart = max(1, min(npart, n_rows // 100_000 + 2))
+
+    if n_rows <= _TWO_HOP_LOCAL_EDGE_ROWS:
+        local = _two_hop_counts_local(simple)
+        if local is not None:
+            import ray.data as _rd
+
+            return _rd.from_arrow(local)
 
     mid = simple.map_batches(
         lambda t: t.rename_columns(["mid", "u"]),

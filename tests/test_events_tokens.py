@@ -980,3 +980,21 @@ def test_median_tokens_by_source_brute():
         want = int(ks[(len(ks) + 1) // 2 - 1])  # quantile_disc(0.5)
         assert out.loc[s, "n_docs"] == len(g)
         assert out.loc[s, "median_tokens"] == want
+
+
+def test_two_hop_local_fastpath_equals_distributed(ray_session, monkeypatch):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.stages import graph
+    from pds_hw2_mpi_connected_components_ray.stages.graph import two_hop_counts
+
+    rng = np.random.RandomState(11)
+    pairs = {(int(a), int(b)) for a, b in rng.randint(0, 40, size=(150, 2)) if a != b}
+    rows = sorted(pairs | {(b, a) for a, b in pairs})
+    e = rd.from_pandas(pd.DataFrame(rows, columns=["src", "dst"]).astype(np.int64))
+    local = two_hop_counts(e).to_pandas().sort_values("vertex").reset_index(drop=True)
+    monkeypatch.setattr(graph, "_TWO_HOP_LOCAL_EDGE_ROWS", -1)
+    dist = two_hop_counts(e).to_pandas().sort_values("vertex").reset_index(drop=True)
+    pd.testing.assert_frame_equal(local, dist, check_dtype=False)
