@@ -163,3 +163,38 @@ def test_local_fastpath_equals_distributed(ray_session, monkeypatch):
     run_both(common_neighbor_candidates, max_degree=8)
     run_both(adamic_adar_candidates)
     run_both(adamic_adar_candidates, max_degree=8)
+
+
+def test_local_fastpath_randomized_sweep(ray_session, monkeypatch):
+    """Randomized pin across graph shapes: sparse, dense-ish, hubby,
+    duplicate-heavy. Local numpy path == distributed plan every time."""
+    from pds_hw2_mpi_connected_components_ray.pipelines import linkpred
+    from pds_hw2_mpi_connected_components_ray.pipelines.linkpred import (
+        adamic_adar_candidates,
+    )
+    from pds_hw2_mpi_connected_components_ray.stages import graph as graph_mod
+    from pds_hw2_mpi_connected_components_ray.stages.graph import two_hop_counts
+
+    for seed, n_v, n_e in [(1, 30, 80), (2, 15, 120), (3, 200, 150), (4, 8, 60)]:
+        rng = np.random.default_rng(seed)
+        raw = rng.integers(0, n_v, size=(n_e, 2))
+        pairs = [tuple(e) for e in raw if e[0] != e[1]]
+        if seed == 4:  # duplicate-heavy: repeat the list
+            pairs = pairs * 3
+        ds = _ds(pairs)
+
+        lp_l = common_neighbor_candidates(ds, k=10).to_pandas()
+        aa_l = adamic_adar_candidates(ds, k=10).to_pandas()
+        th_l = two_hop_counts(ds).to_pandas().sort_values("vertex").reset_index(drop=True)
+
+        monkeypatch.setattr(linkpred, "_LOCAL_EDGE_ROWS", -1)
+        monkeypatch.setattr(graph_mod, "_TWO_HOP_LOCAL_EDGE_ROWS", -1)
+        lp_d = common_neighbor_candidates(ds, k=10).to_pandas()
+        aa_d = adamic_adar_candidates(ds, k=10).to_pandas()
+        th_d = two_hop_counts(ds).to_pandas().sort_values("vertex").reset_index(drop=True)
+        monkeypatch.setattr(linkpred, "_LOCAL_EDGE_ROWS", 4_000_000)
+        monkeypatch.setattr(graph_mod, "_TWO_HOP_LOCAL_EDGE_ROWS", 4_000_000)
+
+        pd.testing.assert_frame_equal(lp_l, lp_d, check_dtype=False)
+        pd.testing.assert_frame_equal(aa_l, aa_d, check_dtype=False)
+        pd.testing.assert_frame_equal(th_l, th_d, check_dtype=False)
