@@ -44,7 +44,9 @@ from ray.data import Dataset
 from ray.data.aggregate import Count
 
 from ..context import default_parallelism
+from ..stages.graph import collect_edge_table as _collect_edges
 from ..stages.graph import degrees, drop_self_loops
+from ..stages.graph import run_pairs as _run_pairs
 from ..stages.joins import hash_join, put_lookup
 
 _PACK_SHIFT = np.int64(31)
@@ -59,24 +61,6 @@ _LOCAL_EDGE_ROWS = 4_000_000
 _LOCAL_WEDGE_ROWS = 32_000_000
 
 
-def _collect_edges(simple) -> pa.Table:
-    return pa.concat_tables(
-        list(simple.iter_batches(batch_format="pyarrow", batch_size=None))
-    )
-
-
-def _run_pairs(values: np.ndarray, bounds: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """All within-run position pairs (i < j) over a run-partitioned
-    array: returns (first_idx, second_idx) into `values`. Vectorized
-    (repeat + offset arithmetic), no Python loop."""
-    n = len(values)
-    runlens = np.diff(np.r_[bounds, n])
-    within = np.arange(n) - np.repeat(bounds, runlens)
-    counts = np.repeat(runlens, runlens) - 1 - within  # pairs led by i
-    firsts = np.repeat(np.arange(n), counts)
-    starts = np.r_[0, np.cumsum(counts)[:-1]]
-    seconds = np.arange(counts.sum()) - np.repeat(starts, counts) + firsts + 1
-    return firsts, seconds
 
 
 def _local_pair_topk(

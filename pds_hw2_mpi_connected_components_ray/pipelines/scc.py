@@ -131,8 +131,16 @@ def scc_labels(
     acts_f = spawn_shard_pool(ns)
     acts_b = spawn_shard_pool(ns)
     try:
-        # load + init both pools concurrently (disjoint actors)
-        ray.get(load_shard_pool(acts_f, fwd_tab) + load_shard_pool(acts_b, bwd_tab))
+        # load + init both pools concurrently (disjoint actors); each
+        # load gets HALF the usual wave budget so the combined in-flight
+        # CSC-build peak stays within the one-pool bound (when gating
+        # engages, the fwd loads serialize ahead of the bwd submission
+        # -- memory safety over overlap on oversized graphs; ungated
+        # loads keep the full overlap)
+        ray.get(
+            load_shard_pool(acts_f, fwd_tab, budget_frac=0.25)
+            + load_shard_pool(acts_b, bwd_tab, budget_frac=0.25)
+        )
         inits = ray.get(
             [a.scc_init.remote(i, ns) for i, a in enumerate(acts_f)]
             + [a.scc_init.remote(i, ns) for i, a in enumerate(acts_b)]

@@ -354,10 +354,33 @@ _TWO_HOP_LOCAL_EDGE_ROWS = 4_000_000
 _TWO_HOP_LOCAL_PAIR_ROWS = 64_000_000
 
 
-def _two_hop_counts_local(simple: Dataset) -> "pa.Table | None":
-    t = pa.concat_tables(
+def collect_edge_table(simple: Dataset) -> pa.Table:
+    """Pull a (small, gate-checked) edge Dataset to one driver table."""
+    return pa.concat_tables(
         list(simple.iter_batches(batch_format="pyarrow", batch_size=None))
     )
+
+
+def run_pairs(values: np.ndarray, bounds: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All within-run position pairs (i < j) over a run-partitioned
+    array: returns (first_idx, second_idx) into `values`. Vectorized
+    (repeat + offset arithmetic), no Python loop. Shared by the
+    link-prediction and two-hop driver-local fast paths."""
+    n = len(values)
+    if n == 0:
+        e = np.array([], dtype=np.int64)
+        return e, e
+    runlens = np.diff(np.r_[bounds, n])
+    within = np.arange(n) - np.repeat(bounds, runlens)
+    counts = np.repeat(runlens, runlens) - 1 - within  # pairs led by i
+    firsts = np.repeat(np.arange(n), counts)
+    starts = np.r_[0, np.cumsum(counts)[:-1]]
+    seconds = np.arange(counts.sum()) - np.repeat(starts, counts) + firsts + 1
+    return firsts, seconds
+
+
+def _two_hop_counts_local(simple: Dataset) -> "pa.Table | None":
+    t = collect_edge_table(simple)
     if t.num_rows == 0:
         return pa.table(
             {
@@ -374,6 +397,12 @@ def _two_hop_counts_local(simple: Dataset) -> "pa.Table | None":
     ue = np.unique((src << shift) | dst)  # distinct directed edges, sorted
     s = (ue >> shift).astype(np.int64)
     d = (ue & mask).astype(np.int64)
+    # the per-middle cross product below equals v->m->u reachability
+    # ONLY for a symmetric table (in-neighbors == out-neighbors);
+    # asymmetric input falls back to the distributed join plan, which
+    # handles it
+    if not np.array_equal(ue, np.unique((d << shift) | s)):
+        return None
     bounds = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
     runlens = np.diff(np.r_[bounds, len(s)])
     n_pairs = (runlens.astype(np.int64) * (runlens - 1)).sum()
@@ -382,12 +411,7 @@ def _two_hop_counts_local(simple: Dataset) -> "pa.Table | None":
     # unordered position pairs i < j within each middle's (unique,
     # sorted) neighbor run; values differ, so each yields BOTH ordered
     # 2-hop pairs
-    n = len(d)
-    within = np.arange(n) - np.repeat(bounds, runlens)
-    counts = np.repeat(runlens, runlens) - 1 - within
-    fi = np.repeat(np.arange(n), counts)
-    gstart = np.r_[0, np.cumsum(counts)[:-1]]
-    se = np.arange(counts.sum()) - np.repeat(gstart, counts) + fi + 1
+    fi, se = run_pairs(d, bounds)
     a, b = d[fi], d[se]
     keys = np.concatenate([(a << shift) | b, (b << shift) | a, ue])
     keys = np.unique(keys)

@@ -1678,25 +1678,32 @@ def _available_bytes() -> int | None:
     return None
 
 
-def _load_wave(n_rows: int | None, nshards: int) -> int:
+def _load_wave(
+    n_rows: int | None, nshards: int, budget_frac: float = 0.5
+) -> int:
     """How many shard CSC builds may run concurrently. All of them,
     unless the estimated simultaneous heap peak would blow the host
-    budget -- then loads are gated in waves sized to ~50% of available
-    memory (the other half stays for the object store + peers). Keeps
-    the single-box envelope graceful: a graph 20x the comfortable size
-    loads slower instead of OOM-killing the pool. Multi-node runs see
-    per-node MemAvailable, which is exactly the right budget there.
-    Override with GRAFT_LOAD_WAVE=<int>."""
+    budget -- then loads are gated in waves sized to `budget_frac` of
+    available memory (the rest stays for the object store + peers;
+    callers loading SEVERAL pools at once, like SCC's fwd/bwd twins,
+    must split the fraction between them). Keeps the single-box
+    envelope graceful: a graph 20x the comfortable size loads slower
+    instead of OOM-killing the pool. Multi-node runs see per-node
+    MemAvailable, which is exactly the right budget there. Override
+    with GRAFT_LOAD_WAVE=<int> (malformed values are ignored)."""
     env = os.environ.get("GRAFT_LOAD_WAVE")
     if env:
-        return max(1, min(nshards, int(env)))
+        try:
+            return max(1, min(nshards, int(env)))
+        except ValueError:
+            pass
     if not n_rows or nshards <= 1:
         return nshards
     avail = _available_bytes()
     if avail is None:
         return nshards
     per_shard_peak = max(1, n_rows // nshards) * _LOAD_PEAK_BYTES_PER_ROW
-    wave = int((avail * 0.5) // per_shard_peak)
+    wave = int((avail * budget_frac) // per_shard_peak)
     return max(1, min(nshards, wave))
 
 
@@ -1714,11 +1721,12 @@ def _submit_loads(actors: list, groups: list, nshards: int, wave: int) -> list:
     return refs
 
 
-def load_shard_pool(actors: list, edges) -> list:
+def load_shard_pool(actors: list, edges, budget_frac: float = 0.5) -> list:
     """Split a materialized edge Dataset into dst-hash shards and load
     one shard per (pre-spawned) actor. Returns the load ObjectRefs.
     Loads are wave-gated when the concurrent CSC-build peak would
-    exceed the host's memory budget (see _load_wave)."""
+    exceed the host's memory budget (see _load_wave); callers loading
+    multiple pools at once pass a smaller `budget_frac` each."""
     nshards = len(actors)
     block_refs = [
         ref for bundle in edges.iter_internal_ref_bundles() for ref in bundle.block_refs
@@ -1733,7 +1741,7 @@ def load_shard_pool(actors: list, edges) -> list:
         groups = [[s[i] for s in splits] for i in range(nshards)]
     else:
         groups = [list(block_refs)]
-    wave = _load_wave(edges.count(), nshards)
+    wave = _load_wave(edges.count(), nshards, budget_frac)
     return _submit_loads(actors, groups, nshards, wave)
 
 

@@ -998,3 +998,23 @@ def test_two_hop_local_fastpath_equals_distributed(ray_session, monkeypatch):
     monkeypatch.setattr(graph, "_TWO_HOP_LOCAL_EDGE_ROWS", -1)
     dist = two_hop_counts(e).to_pandas().sort_values("vertex").reset_index(drop=True)
     pd.testing.assert_frame_equal(local, dist, check_dtype=False)
+
+
+def test_two_hop_asymmetric_falls_back_to_distributed(ray_session):
+    """Regression: the local fast path assumes a symmetric table; a
+    DIRECTED input must take the distributed plan (0 reaches {1,2} via
+    0->1->2), not the per-run cross product (which would say 1)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pds_hw2_mpi_connected_components_ray.stages.graph import two_hop_counts
+
+    e = rd.from_pandas(
+        pd.DataFrame({"src": [0, 1], "dst": [1, 2]}).astype(np.int64)
+    )
+    out = {
+        int(r.vertex): int(r.n_two_hop)
+        for r in two_hop_counts(e).to_pandas().itertuples()
+    }
+    assert out[0] == 2  # {1, 2}

@@ -179,9 +179,18 @@ def test_local_fastpath_randomized_sweep(ray_session, monkeypatch):
         rng = np.random.default_rng(seed)
         raw = rng.integers(0, n_v, size=(n_e, 2))
         pairs = [tuple(e) for e in raw if e[0] != e[1]]
-        if seed == 4:  # duplicate-heavy: repeat the list
-            pairs = pairs * 3
-        ds = _ds(pairs)
+        if seed == 4:
+            # duplicate-heavy: canonical_edges would dedup, so build the
+            # symmetric closure BY HAND with each directed row tripled --
+            # this actually reaches the local path's duplicate-edge logic
+            # (deg counts rows incl. dups; b==c wedges must drop)
+            sym = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+            arr = np.asarray(sym * 3, dtype=np.int64)
+            ds = rd.from_pandas(
+                pd.DataFrame({"src": arr[:, 0], "dst": arr[:, 1]})
+            ).materialize()
+        else:
+            ds = _ds(pairs)
 
         lp_l = common_neighbor_candidates(ds, k=10).to_pandas()
         aa_l = adamic_adar_candidates(ds, k=10).to_pandas()
@@ -198,3 +207,24 @@ def test_local_fastpath_randomized_sweep(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(lp_l, lp_d, check_dtype=False)
         pd.testing.assert_frame_equal(aa_l, aa_d, check_dtype=False)
         pd.testing.assert_frame_equal(th_l, th_d, check_dtype=False)
+
+
+def test_local_fastpath_filter_empties_graph(ray_session):
+    """Regression: the degree/cap filter removing EVERY row must yield
+    an empty result, not a numpy broadcast crash in run_pairs."""
+    from pds_hw2_mpi_connected_components_ray.pipelines.linkpred import (
+        adamic_adar_candidates,
+    )
+
+    # two disjoint edges: every center has degree 1 -> AA drops all
+    # (Ray's to_pandas drops columns on 0-row data, so check the
+    # Dataset schema, which is preserved)
+    aa = adamic_adar_candidates(_ds([(0, 1), (2, 3)]), k=5)
+    assert aa.count() == 0
+    assert aa.schema().names == ["b", "c", "aa_score"]
+    # triangle with max_degree=1: the CN cap filters every row
+    cn = common_neighbor_candidates(
+        _ds([(0, 1), (1, 2), (0, 2)]), k=5, max_degree=1
+    )
+    assert cn.count() == 0
+    assert cn.schema().names == ["b", "c", "common_neighbors"]
